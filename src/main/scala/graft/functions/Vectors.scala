@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity over two `array<float>` embedding columns.
+  *
+  * This is the hot inner loop of the similarity-search / near-dup
+  * operators: at 100 TB it runs billions of times per stage, so it is a
+  * native Catalyst expression with `doGenCode` — the generated Java
+  * loop stays inside whole-stage codegen (no boxing, no lambda
+  * dispatch), unlike a Scala UDF or the higher-order
+  * `aggregate(zip_with(...))` formulation (kept in [[VectorFunctions]]
+  * as the differential-test partner).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getFloat($i);
+         |  double $y = $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector API. */
+object VectorFunctions {
+  import org.apache.spark.sql.functions._
+
+  /** Codegen'd cosine similarity (native expression above). */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Higher-order-function formulation — built-ins only; the
+    * differential-test partner of [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / sqrt(na * nb))
+  }
+
+  /** L2 norm of an array<float>. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Sign bits of dot products against `k` deterministic pseudo-random
+    * hyperplanes → a Long bucket id. This is the random-hyperplane LSH
+    * used by the embedding near-dup and ANN bucketing paths: vectors
+    * with high cosine similarity agree on most sign bits, so hashing to
+    * the same bucket is likely. Planes are derived from (planeSeed, dim
+    * index) via a splitmix-style integer mix — identical on every
+    * executor with no broadcast of plane matrices.
+    */
+  def hyperplaneSignBits(vec: Column, bits: Int, seed: Long): Column = {
+    require(bits <= 63, "bucket id packs into a signed Long")
+    // plane(b)[i] = mix(seed, b, i) mapped to [-1, 1)
+    val bitCols = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(lit(seed), lit(b), i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random plane component in [-1, 1): a 64-bit
+    * integer mix of (seed, plane, index), scaled. */
+  private def planeComponent(seed: Column, plane: Column, idx: Column): Column = {
+    val h = xxhash64(seed, plane, idx)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+package object queries {
+
+  /** One operator-coverage query: Spark implementation + optional ANSI
+    * SQL oracle (run by the driver in DuckDB over the same parquet).
+    * Column names must match exactly between the two. */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Exact money math: cast doubles to DECIMAL(12,2) before arithmetic
+    * so Spark and DuckDB accumulate identically (decimal addition is
+    * associative; double summation is partition-order-dependent).
+    * Final outputs are cast back to double — same value in both
+    * engines. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  def dec(name: String): Column = dec(col(name))
+
+  /** SQL-side mirror of [[dec]]. */
+  def decSql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+}
