@@ -1,0 +1,210 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+  * and exact n-gram Jaccard verification.
+  *
+  * Scale design (the point of each stage):
+  *  - exact: one hash-shuffle on a 16-byte key — the cheapest pass,
+  *    always run first.
+  *  - MinHash+LSH: candidate generation is `explode(bands)` + a
+  *    groupBy on (band, hash) — cost O(n·bands) rows shuffled, never
+  *    O(n²). Only bucket-mates are pair-joined, then exact Jaccard
+  *    verifies. This is the only formulation that survives 100 TB;
+  *    any direct pairwise compare does not.
+  *  - SimHash: one 64-bit signature per doc; near-dups are signatures
+  *    within small Hamming distance, found by banding the 64 bits into
+  *    chunks (pigeonhole: d bits differing ⇒ some chunk equal).
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------
+
+  /** One representative (min id) per exact text; `n_copies` > 1 marks
+    * duplicate groups. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        md5(col(textCol)).as("text_hash"))
+      .drop(textCol)
+
+  /** Keep only the representative row per exact text (hash-groupBy
+    * dedup). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- shingling -----------------------------------------------------
+
+  /** Distinct word k-gram shingles as an array column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val nShingles = size(toks) - (k - 1)
+    // guard: Spark's sequence(1, n) is DESCENDING for n < 1, not empty
+    when(nShingles < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), nShingles),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  // ---- MinHash -------------------------------------------------------
+
+  /** k-permutation MinHash signature of the shingle set.
+    *
+    * One base xxhash64 per shingle, then k affine permutations
+    * `a_i·h + b_i` (odd multipliers from a splitmix of the seed) with
+    * wrap-around arithmetic — the standard single-hash MinHash trick,
+    * so cost is O(shingles + k·shingles cheap int ops), not k string
+    * hashes. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64,
+                       seed: Long = 42L): Column = {
+    // Fold to 32 bits and use 31-bit odd multipliers so a·h + b stays
+    // below 2^63: Spark 4 runs ANSI mode, where Long wrap-around is an
+    // ARITHMETIC_OVERFLOW error, so the classic mod-2^64 trick is out.
+    val base = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    val perHash = (0 until numHashes).map { i =>
+      val a = (mix(seed, 2L * i) & 0x7FFFFFFFL) | 1L  // 31-bit odd multiplier
+      val b = mix(seed, 2L * i + 1) & 0x7FFFFFFFL
+      array_min(transform(base, h => h * lit(a) + lit(b)))
+    }
+    array(perHash: _*)
+  }
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — same constants
+    * as the public-domain splitmix64 reference. */
+  private def mix(seed: Long, i: Long): Long = {
+    var z = seed + i * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** LSH banding: split the signature into `bands` groups of `rows`
+    * hashes; each band hashes to one bucket key. Docs sharing any
+    * (band, bucket) are candidates. */
+  def bands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))
+          .as("bucket")))
+
+  /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= `threshold`. The candidate step shuffles O(n·bands)
+    * band rows; the verify step computes exact Jaccard only on
+    * bucket-mates.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleK: Int = 3,
+                   numHashes: Int = 64, numBands: Int = 16,
+                   threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("band", explode(bands(col("sig"), numBands, rowsPerBand)))
+      .select(col("id"), col("sh"), col("band.band"), col("band.bucket"))
+
+    // bucket-mate pairs (a.id < b.id), deduped across bands
+    val a = withSig.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSig.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: bit j of the result is 1
+    * iff the sum over tokens of ±1 (sign of bit j of the token's
+    * xxhash64) is positive. Pure higher-order-function formulation —
+    * one fold over tokens carrying a 64-wide counter array. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // one literal mask per bit; bit j of h is set iff (h & mask_j) != 0
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
+    // bits are disjoint, so summing the kept masks == bitwise OR
+    aggregate(
+      zip_with(counters, masks, (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, found by banding the
+    * 64 bits into `numBands` chunks (pigeonhole guarantee when
+    * numBands > maxHamming). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3,
+                   numBands: Int = 8): DataFrame = {
+    val width = 64 / numBands
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.withColumn("band", explode(
+      array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND((1L << width) - 1).as("chunk"))
+      }: _*)))
+      .select(col("id"), col("sig"), col("band.band"), col("band.chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---- exact n-gram Jaccard (bounded verification pass) --------------
+
+  /** Exact word-k-gram Jaccard over all pairs of `docs` — O(n²) in the
+    * number of docs, so callers bound the input (it is the *verify*
+    * stage; candidate generation is [[minhashPairs]]). Implemented as a
+    * shingle-inverted-index self-join (shuffle on shingle), not a
+    * cross join. */
+  def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleK: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("x").join(inv.as("y"), Seq("shingle"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.n")).as("n_a"), first(col("y.n")).as("n_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+    pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

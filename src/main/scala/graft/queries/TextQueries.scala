@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** LLM-training-data pipeline surface: text analysis, dedup, similarity
+  * search over the `documents` / `embeddings` tables.
+  *
+  * DuckDB-oracled where byte-parity is expressible in ANSI SQL;
+  * hash-based operators (MinHash/SimHash/xxhash fingerprints) are
+  * rows-only here and differentially tested in ScalaTest instead
+  * (their oracle is the exact-Jaccard pass, see `DedupSpec`).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // stopword list shared with the oracle SQL below
+  private val enStop = TextAnalysis.stopwords("en")
+  private def enStopSql = enStop.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token / char statistics (oracled) ---------------------------
+    Q("q30_doc_token_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_obs"),
+          TextAnalysis.hitCount(TextAnalysis.tokens(col("text")), enStop)
+            .as("stop_hits"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).as("alpha_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+              |  CAST(length(text) AS INTEGER) AS n_chars_obs,
+              |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$enStopSql], x))) AS INTEGER) AS stop_hits,
+              |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha_chars
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring (oracled: ratios are single-division doubles)
+    Q("q31_doc_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("double")
+        val stopRatio = TextAnalysis.hitCount(TextAnalysis.tokens(col("text")), enStop)
+          .cast("double") / greatest(nTok, lit(1.0))
+        val meanLen = length(col("text")).cast("double") / greatest(nTok, lit(1.0))
+        d.select(col("doc_id"), stopRatio.as("stop_ratio"),
+            meanLen.as("mean_word_len"),
+            when(nTok >= 10 && stopRatio > 0.01, "keep").otherwise("drop")
+              .as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$enStopSql], x))) AS DOUBLE)
+              |    / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS stop_ratio,
+              |  CAST(length(text) AS DOUBLE)
+              |    / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_word_len,
+              |  CASE WHEN len(string_split(text, ' ')) >= 10
+              |        AND CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$enStopSql], x))) AS DOUBLE)
+              |            / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) > 0.01
+              |       THEN 'keep' ELSE 'drop' END AS verdict
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dedup: representative per text (oracled) --------------
+    Q("q32_doc_exact_dedup",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"))
+        .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+             |FROM documents
+             |GROUP BY text
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ---- language ID (rows-only: hash/argmax heuristic; determinism +
+    // ---- value-domain asserted in TextSpec) --------------------------
+    Q("q33_doc_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("lang_declared"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- content fingerprints (rows-only: xxhash64 not in DuckDB) ----
+    Q("q34_doc_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- MinHash+LSH near-dup pairs (rows-only; oracled analog: q37) -
+    Q("q35_minhash_pairs",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.6)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- SimHash near-dup pairs (rows-only) --------------------------
+    Q("q36_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- exact n-gram Jaccard on a bounded slice (oracled O(n²) pass)
+    Q("q37_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        Dedup.jaccardPairs(d, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
+             |    SELECT doc_id,
+             |      list_distinct([array_to_string(toks[i:i+2], ' ')
+             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 200)
+             |  ) WHERE len(sl) > 0
+             |), inv AS (
+             |  SELECT id, n, unnest(sh) AS shingle FROM sh
+             |)
+             |SELECT x.id AS id_a, y.id AS id_b,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) AS jaccard
+             |FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+             |GROUP BY x.id, y.id
+             |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- brute-force cosine top-k (oracled in exact f64) -------------
+    Q("q40_embed_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.bruteForceTopK(emb, queries, k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 8
+             |QUALIFY rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- embedding near-dup pairs, bounded brute force (oracled) -----
+    Q("q41_embed_neardup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6)
+              .as("cosine"))
+          .where(col("cosine") >= 0.42)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+             |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- LSH-bucketed ANN (rows-only; recall asserted in SimSpec) ----
+    Q("q42_embed_lsh_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.lshTopK(emb, queries, k = 5, bits = 6, tables = 6)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- label centroids + per-label cohesion (oracled) --------------
+    Q("q43_label_cohesion",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        emb.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(element_at(col("embedding"), 1).cast("double")), 6)
+              .as("mean_dim0"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, COUNT(*) AS n_vecs,
+             |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
+             |FROM embeddings
+             |GROUP BY label
+             |ORDER BY label""".stripMargin))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAgg, VectorFunctions => VF}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *    against the corpus, score with the codegen'd cosine expression,
+  *    reduce with the bounded-heap [[graft.functions.TopKByScore]]
+  *    aggregate. The only shuffle is queries×k rows (partial
+  *    aggregation collapses each task to k candidates per query before
+  *    the exchange) — this is the formulation that survives a corpus
+  *    of 10^10 vectors.
+  *  - [[lshTopK]] — approximate: random-hyperplane LSH buckets both
+  *    sides with several independent probe tables; only bucket-mates
+  *    are scored. Trades recall for a candidate set ~n/2^bits per
+  *    table.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) frame — arbitrarily large
+    * @param queries (idCol, vecCol) frame — small enough to broadcast
+    * @return (query_id, neighbor_id, cosine) rows, k per query,
+    *         ordered within query by (cosine desc, neighbor_id)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(q,
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    scored
+      .groupBy("query_id")
+      .agg(TopKAgg.topKBy(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"), (col("rank0") + 1).cast("int").as("rank"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with `tables`
+    * independent hash tables of `bits` bits each. Candidates = pairs
+    * agreeing on all bits in at least one table. Recall rises with
+    * `tables`, candidate count falls with `bits`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 8, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
+    // per-table planes: fold the table index into the seed
+    def bucketedT(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), col(vecCol).as(vec))
+      val tabs = (0 until tables).map { t =>
+        base.withColumn("table", lit(t))
+          .withColumn("bucket",
+            VF.hyperplaneSignBits(col(vec), bits, seed = 0x5EEDL + 7919L * t))
+      }
+      tabs.reduce(_ unionByName _)
+    }
+    val c = bucketedT(corpus, "neighbor_id", "c_vec")
+    val q = broadcast(bucketedT(queries, "query_id", "q_vec"))
+    val cand = c.join(q, Seq("table", "bucket"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VF.cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    cand.groupBy("query_id")
+      .agg(TopKAgg.topKBy(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"), (col("rank0") + 1).cast("int").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine above `threshold` among
+    * LSH bucket-mates (the scale path for embedding-based dedup). */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   bits: Int = 6, tables: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = (0 until tables).map { t =>
+      base.withColumn("table", lit(t))
+        .withColumn("bucket",
+          VF.hyperplaneSignBits(col("vec"), bits, seed = 0xD00DL + 104729L * t))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VF.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions (codegen'd, no UDFs) — every operator is
+  * a narrow map over the document rows, so the plans scale linearly
+  * with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split: matches the harness corpus
+    * and mirrors byte-for-byte in DuckDB (`string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as
+    * separate tokens (a cheap stand-in for a real BPE vocab — the regex
+    * mirrors the GPT-2 pre-tokenizer's shape classes). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Small multilingual stopword table (public, common-knowledge lists).
+    * Used for both quality's stopword ratio and the language-ID score. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+      "es", "por", "con", "para", "del", "se", "no", "su", "al", "lo"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "que", "en", "un", "une",
+      "est", "pour", "dans", "qui", "sur", "au", "du", "pas", "ce", "il", "ne"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu",
+      "mit", "sich", "des", "auf", "für", "nicht", "ein", "eine", "als", "auch", "es"),
+    "zh" -> Seq("的", "了", "和", "是", "在", "我", "有", "他", "这", "中",
+      "大", "来", "上", "国", "个", "到", "说", "们", "为", "子"))
+
+  /** Count of tokens present in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    hitCount(tokens(text), stopwords(lang))
+
+  /** Characters outside [a-z0-9 ] (punctuation/symbol mass). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[a-z0-9 ]", ""))
+
+  /** Heuristic doc-quality score in [0,1]: stopword density + sane mean
+    * word length + low symbol noise (the standard cheap pre-filter
+    * stack for LLM corpus cleaning). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val meanWordLen = length(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = (length(text) - punctCount(text)).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val lenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 2.5 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
+    (least(stopRatio * 4.0, lit(1.0)) * 0.4 + wordLenOk * 0.2 +
+      lenOk * 0.2 + punctRatio * 0.2)
+  }
+
+  /** n-gram-heuristic language ID: argmax of per-language stopword hit
+    * counts, deterministic tiebreak by language code; "und" when no
+    * hits at all. One pass over the token array per language — a
+    * narrow, shuffle-free map. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang): max hits, then max lang code —
+    // deterministic. Invert lang for asc tiebreak? Keep max-lang: stable.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the normalized text
+    * (whitespace-collapsed, lowercased). Equal fingerprints ⇒ exact
+    * near-identical content; pairs with equal fingerprint join on a
+    * single long key — the cheapest dedup pre-pass at scale. */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling-window fingerprint (winnowing-style): minimum xxhash64 over
+    * character 8-gram shingles. Robust to small edits anywhere except
+    * around the minimal shingle. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column = {
+    val n = length(text)
+    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_min(transform(starts, i => xxhash64(text.substr(i, lit(k)))))
+  }
+}
