@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Q, TextQueries}
+import graft.queries.{Analytics, CdcQueries, MultimodalQueries, Q, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,11 +14,11 @@ import graft.queries.{Analytics, Q, TextQueries}
 object SparkEntry {
 
   /** All operator-coverage query packs. */
-  def packs: Seq[Q] = Analytics.all ++ TextQueries.all
+  def packs: Seq[Q] = Analytics.all ++ TextQueries.all ++ CdcQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q60_cdc_current_state")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

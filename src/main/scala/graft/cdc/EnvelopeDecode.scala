@@ -76,8 +76,11 @@ object EnvelopeDecode {
           from_json(col(valueCol), Debezium.payloadSchema(rowSchema), parseOpts))
     if (opts.tolerateBroken)
       // PERMISSIVE yields an all-null struct for corrupt input; a real
-      // envelope always carries `op`.
-      parsed.where(col("_env").isNotNull && col("_env.op").isNotNull)
+      // envelope always carries `op`. Referencing ONLY `_env.op` (not
+      // the whole struct) keeps Catalyst's JSON schema pruning
+      // (OptimizeJsonExprs) applicable: a downstream query that reads
+      // two fields parses two fields, not the 20-field envelope.
+      parsed.where(col("_env.op").isNotNull)
     else parsed
   }
 

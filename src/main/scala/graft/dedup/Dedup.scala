@@ -44,8 +44,13 @@ object Dedup {
 
   // ---- shingling -----------------------------------------------------
 
-  /** Distinct word k-gram shingles as an array column. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Distinct word k-gram shingles as an array column (imperative
+    * expression — one pass per row). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.HashFunctions.wordShingles(TextAnalysis.tokens(text), k)
+
+  /** HOF formulation of [[shingles]] — differential-test partner. */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     val nShingles = size(toks) - (k - 1)
     // guard: Spark's sequence(1, n) is DESCENDING for n < 1, not empty
@@ -59,33 +64,34 @@ object Dedup {
 
   /** k-permutation MinHash signature of the shingle set.
     *
-    * One base xxhash64 per shingle, then k affine permutations
-    * `a_i·h + b_i` (odd multipliers from a splitmix of the seed) with
-    * wrap-around arithmetic — the standard single-hash MinHash trick,
-    * so cost is O(shingles + k·shingles cheap int ops), not k string
-    * hashes. */
+    * Production form: the imperative Catalyst expression
+    * [[graft.functions.MinHashSignature]] (one pass, zero intermediate
+    * arrays). */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64,
-                       seed: Long = 42L): Column = {
-    // Fold to 32 bits and use 31-bit odd multipliers so a·h + b stays
-    // below 2^63: Spark 4 runs ANSI mode, where Long wrap-around is an
-    // ARITHMETIC_OVERFLOW error, so the classic mod-2^64 trick is out.
+                       seed: Long = 42L): Column =
+    graft.functions.HashFunctions.minhashSignature(shingleCol, numHashes, seed)
+
+  /** Higher-order-function formulation of [[minhashSignature]] — the
+    * built-ins-only differential-test partner (same hashes, same
+    * coefficients, same results; ~10× slower per row due to
+    * interpreted lambda dispatch). */
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int = 64,
+                          seed: Long = 42L): Column = {
+    // Fold to 32 bits and use 30-bit odd multipliers so a·h + b stays
+    // strictly below 2^63 (max ≈ 2^62 + 2^31): Spark 4 runs ANSI mode,
+    // where Long wrap-around is an ARITHMETIC_OVERFLOW error, so the
+    // classic mod-2^64 trick is out.
     val base = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
     val perHash = (0 until numHashes).map { i =>
-      val a = (mix(seed, 2L * i) & 0x7FFFFFFFL) | 1L  // 31-bit odd multiplier
+      val a = (mix(seed, 2L * i) & 0x3FFFFFFFL) | 1L  // 30-bit odd multiplier
       val b = mix(seed, 2L * i + 1) & 0x7FFFFFFFL
       array_min(transform(base, h => h * lit(a) + lit(b)))
     }
     array(perHash: _*)
   }
 
-  /** Deterministic 64-bit mix (splitmix64 finalizer) — same constants
-    * as the public-domain splitmix64 reference. */
-  private def mix(seed: Long, i: Long): Long = {
-    var z = seed + i * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(seed: Long, i: Long): Long =
+    graft.functions.HashMix.mixAt(seed, i)
 
   /** LSH banding: split the signature into `bands` groups of `rows`
     * hashes; each band hashes to one bucket key. Docs sharing any
@@ -108,24 +114,36 @@ object Dedup {
                    numHashes: Int = 64, numBands: Int = 16,
                    threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val withSig = docs
+    // Shingling is the dominant cost and the frame is consumed three
+    // times (banding + both verify joins) → materialize it once.
+    // MEMORY_AND_DISK: spills instead of OOM at large corpus sizes.
+    val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(bands(col("sig"), numBands, rowsPerBand)))
-      .select(col("id"), col("sh"), col("band.band"), col("band.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // bucket-mate pairs (a.id < b.id), deduped across bands
-    val a = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    // Band rows carry ONLY (id, band, bucket): the 16×-exploded join
+    // input stays a few bytes per row instead of dragging the shingle
+    // and signature arrays through the exchange.
+    // Also persisted: the self-join consumes it twice, and without the
+    // cache each side would recompute the 64-hash signatures.
+    val banded = sh
+      .withColumn("band",
+        explode(bands(minhashSignature(col("sh"), numHashes), numBands, rowsPerBand)))
+      .select(col("id"), col("band.band"), col("band.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // verify stage: fetch shingles once per side via narrow equi-joins
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -137,9 +155,13 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: bit j of the result is 1
     * iff the sum over tokens of ±1 (sign of bit j of the token's
-    * xxhash64) is positive. Pure higher-order-function formulation —
-    * one fold over tokens carrying a 64-wide counter array. */
-  def simhash64(text: Column): Column = {
+    * xxhash64) is positive. Production form: the imperative expression
+    * [[graft.functions.SimHash64]]. */
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextAnalysis.tokens(text))
+
+  /** HOF formulation of [[simhash64]] — differential-test partner. */
+  def simhash64Hof(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     // one literal mask per bit; bit j of h is set iff (h & mask_j) != 0
     val masks = array((0 until 64).map(j => lit(1L << j)): _*)
@@ -164,7 +186,9 @@ object Dedup {
                    textCol: String = "text", maxHamming: Int = 3,
                    numBands: Int = 8): DataFrame = {
     val width = 64 / numBands
+    // persisted: consumed by both sides of the banded self-join
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.withColumn("band", explode(
       array((0 until numBands).map { b =>
         struct(lit(b).as("band"),

@@ -92,23 +92,6 @@ object VectorFunctions {
     * index) via a splitmix-style integer mix — identical on every
     * executor with no broadcast of plane matrices.
     */
-  def hyperplaneSignBits(vec: Column, bits: Int, seed: Long): Column = {
-    require(bits <= 63, "bucket id packs into a signed Long")
-    // plane(b)[i] = mix(seed, b, i) mapped to [-1, 1)
-    val bitCols = (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(lit(seed), lit(b), i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** Deterministic pseudo-random plane component in [-1, 1): a 64-bit
-    * integer mix of (seed, plane, index), scaled. */
-  private def planeComponent(seed: Column, plane: Column, idx: Column): Column = {
-    val h = xxhash64(seed, plane, idx)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
+  def hyperplaneSignBits(vec: Column, bits: Int, seed: Long): Column =
+    HashFunctions.hyperplaneSignBits(vec, bits, seed)
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcSim, DecodeOptions, DeletePolicy, EnvelopeDecode}
+import graft.sources.Tables
+
+/** CDC-pipeline coverage queries — the reference's actual surface
+  * (SURVEY §2.1-2.4, §2.8, §2.10) driven end-to-end through real
+  * envelope JSON synthesized by [[CdcSim]].
+  *
+  * Because the synthesis rules are pure functions of the order key, the
+  * DuckDB oracle recomputes the expected post-pipeline state
+  * *relationally* — so the whole JSON decode → unwrap → delete-policy →
+  * last-writer-wins path is hash-checked against an independent
+  * implementation, not just smoke-tested.
+  */
+object CdcQueries {
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    CdcSim.orderEnvelopesCached(dir, Tables.load(s, dir, "orders"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- flagship §3.1: envelope → decode → unwrap → FINAL dedup -----
+    Q("q60_cdc_current_state",
+      (s, dir) => CdcSim.currentState(env(s, dir))
+        .select("id", "customer_id", "status", "total_amount")
+        .orderBy("id"),
+      Some("""SELECT CAST(o_orderkey AS INTEGER) AS id,
+             |  CAST(o_custkey AS INTEGER) AS customer_id,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN 'updated' ELSE o_orderstatus END AS status,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_amount
+             |FROM orders
+             |WHERE o_orderkey % 7 <> 0
+             |ORDER BY id""".stripMargin)),
+
+    // ---- L1 raw archive / op accounting (S6, T3, decode-only) --------
+    Q("q61_cdc_op_counts",
+      (s, dir) => EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow)
+        .groupBy(col("_env.op").as("op"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("op"),
+      Some("""SELECT 'd' AS op, COUNT(*) AS n FROM orders WHERE o_orderkey % 7 = 0
+             |UNION ALL
+             |SELECT 'r' AS op, COUNT(*) AS n FROM orders
+             |UNION ALL
+             |SELECT 'u' AS op, COUNT(*) AS n FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY op""".stripMargin)),
+
+    // ---- U1 rewrite + U2 masking: deletes kept as flagged rows, PII
+    // ---- blanked (`abcsvb-connector-secure.json:31-37`) --------------
+    Q("q62_cdc_rewrite_masked",
+      (s, dir) => {
+        val opts = DecodeOptions(deletePolicy = DeletePolicy.Rewrite,
+          maskFields = Seq("priority"))
+        EnvelopeDecode.changes(env(s, dir), CdcSim.ordersRow, opts)
+          .groupBy(col("__deleted"), col("priority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("__deleted")
+      },
+      Some("""SELECT false AS __deleted, '' AS priority,
+             |  (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n
+             |UNION ALL
+             |SELECT true AS __deleted, '' AS priority,
+             |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS n
+             |ORDER BY __deleted""".stripMargin)),
+
+    // ---- typed "usable view" cast layer (`clickhouse.sql:70-82`):
+    // ---- strings-first → typed, incl. ISO-Z timestamp + decimal ------
+    Q("q63_cdc_typed_view",
+      (s, dir) => {
+        val cur = CdcSim.currentState(env(s, dir))
+        cur.select(
+          col("id"),
+          col("total_amount").cast("decimal(12,2)").cast("double").as("total_typed"),
+          date_format(EnvelopeDecode.castIsoTimestamp(col("order_date")),
+            "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+          year(EnvelopeDecode.castIsoTimestamp(col("order_date"))).as("order_year"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(o_orderkey AS INTEGER) AS id,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_typed,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+             |  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year
+             |FROM orders
+             |WHERE o_orderkey % 7 <> 0
+             |ORDER BY id""".stripMargin)),
+
+    // ---- analytics over CDC-landed current state joined to dims:
+    // ---- the "ClickHouse for analytics" intent, post-pipeline --------
+    Q("q64_cdc_state_analytics",
+      (s, dir) => {
+        val cur = CdcSim.currentState(env(s, dir))
+        val cust = Tables.load(s, dir, "customer")
+        cur.join(cust, col("customer_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "status")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("total_amount").cast("decimal(12,2)")).cast("double")
+              .as("total_spend"))
+          .orderBy("c_mktsegment", "status")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN 'updated' ELSE o_orderstatus END AS status,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 7 <> 0
+             |GROUP BY c_mktsegment, CASE WHEN o_orderkey % 3 = 0 THEN 'updated' ELSE o_orderstatus END
+             |ORDER BY c_mktsegment, status""".stripMargin))
+  )
+}

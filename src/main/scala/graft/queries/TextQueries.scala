@@ -103,20 +103,20 @@ object TextQueries {
 
     // ---- MinHash+LSH near-dup pairs (rows-only; oracled analog: q37) -
     Q("q35_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.6)
+      (s, dir) => Dedup.minhashPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.6)
         .orderBy("id_a", "id_b"),
       None),
 
     // ---- SimHash near-dup pairs (rows-only) --------------------------
     Q("q36_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+      (s, dir) => Dedup.simhashPairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 6)
         .orderBy("id_a", "id_b"),
       None),
 
     // ---- exact n-gram Jaccard on a bounded slice (oracled O(n²) pass)
     Q("q37_ngram_jaccard",
       (s, dir) => {
-        val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val d = Tables.loadParallel(s, dir, "documents").filter(col("doc_id") < 200)
         Dedup.jaccardPairs(d, threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
@@ -141,7 +141,7 @@ object TextQueries {
     // ---- brute-force cosine top-k (oracled in exact f64) -------------
     Q("q40_embed_topk",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = Tables.loadParallel(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 8)
         Similarity.bruteForceTopK(emb, queries, k = 5)
           .withColumn("cosine", round(col("cosine"), 6))
@@ -159,7 +159,7 @@ object TextQueries {
     // ---- embedding near-dup pairs, bounded brute force (oracled) -----
     Q("q41_embed_neardup",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        val emb = Tables.loadParallel(s, dir, "embeddings").filter(col("vec_id") < 1000)
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
         a.join(b, col("id_a") < col("id_b"))
@@ -179,9 +179,9 @@ object TextQueries {
     // ---- LSH-bucketed ANN (rows-only; recall asserted in SimSpec) ----
     Q("q42_embed_lsh_topk",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = Tables.loadParallel(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 8)
-        Similarity.lshTopK(emb, queries, k = 5, bits = 6, tables = 6)
+        Similarity.lshTopK(emb, queries, k = 5, bits = 4, tables = 8)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },

@@ -28,6 +28,21 @@ object Tables {
     }
   }
 
+  /** Load + spread across the session's default parallelism.
+    *
+    * The harness writes each table as ONE parquet row group, and a row
+    * group is Spark's minimum split unit — so every scan is a single
+    * task no matter what `maxPartitionBytes` says. For scan-bound
+    * queries that is fine (the files are small); for compute-heavy
+    * chains (JSON roundtrips, MinHash, cosine scoring) the explicit
+    * repartition buys full-core parallelism for the price of one tiny
+    * shuffle. On a production cluster the input is already thousands of
+    * splits and this call is a no-op choice. */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

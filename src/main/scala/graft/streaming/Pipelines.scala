@@ -1,0 +1,73 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Named streaming-query registry — the engine's analog of the
+  * reference's materialized views (T1, `CREATE MATERIALIZED VIEW ... TO`
+  * `basic_example/clickhouse.sql:57-68`) with create-or-update
+  * idempotency (O2, `basic_example/connect.txt:1-34`). */
+class PipelineRegistry {
+  private val queries = mutable.Map.empty[String, StreamingQuery]
+
+  /** Start the pipeline if absent (idempotent bootstrap). */
+  def startIfAbsent(name: String)(start: => StreamingQuery): StreamingQuery =
+    synchronized {
+      queries.get(name).filter(_.isActive).getOrElse {
+        val q = start; queries(name) = q; q
+      }
+    }
+
+  def get(name: String): Option[StreamingQuery] = synchronized(queries.get(name))
+  def active: Seq[String] = synchronized(queries.filter(_._2.isActive).keys.toSeq)
+
+  /** O3 clean-slate analog. */
+  def stopAll(): Unit = synchronized {
+    queries.values.filter(_.isActive).foreach(_.stop())
+    queries.clear()
+  }
+}
+
+/** Streaming sinks mirroring the reference's two landing layers. */
+object Sinks {
+
+  /** L1 raw archive (S6 + S4 + S8 + T3 + F2): append raw values with
+    * stream metadata and an ingestion timestamp to parquet, clustered
+    * by (partition, offset) within files — the analog of
+    * `transaction_details_raw_data` (`init_clickhouse_raw_tables.sql:28-48`).
+    *
+    * Exactly-once via the checkpoint + parquet sink's transactional
+    * file manifest (an upgrade over the reference's at-least-once
+    * consumer-group model, SURVEY §2.9). */
+  def rawArchive(raw: DataFrame, path: String, checkpoint: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val projected = raw
+      .where(col("value").isNotNull && col("value") =!= "")     // F2
+      .withColumn("ingestion_time", current_timestamp())        // S8
+    projected.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** L2 versioned-upsert sink (S7/W1): per micro-batch, last-writer-wins
+    * MERGE of decoded change rows into a [[ParquetStateStore]] — the
+    * eager, exact analog of `ReplacingMergeTree(ts_ms) ORDER BY id` +
+    * `FINAL`. The batch is pre-collapsed per key before the merge (the
+    * same map-side reduction Versioned.latestByKey always applies), so
+    * state I/O is O(state + distinct keys in batch). */
+  def versionedUpsert(changes: DataFrame, store: ParquetStateStore,
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

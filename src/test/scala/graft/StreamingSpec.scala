@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.cdc.{CdcSim, DecodeOptions, DeletePolicy, EnvelopeDecode}
+import graft.sources.Tables
+import graft.streaming.{ParquetStateStore, PipelineRegistry, Sinks}
+
+/** Structured-Streaming rendering of the reference MV stack: file-backed
+  * envelope stream → L1 raw archive (S6) and L2 versioned upsert (S7),
+  * with checkpoint-restart (consumer-group analog) — SURVEY §5.2. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val valueSchema = StructType(Seq(StructField("value", StringType)))
+
+  /** Write the synthesized envelope stream as N json files (micro-batch
+    * fodder for the file source). */
+  private def writeEnvelopeFiles(dir: String, parts: Int): Long = {
+    val orders = Tables.load(spark, sfDir, "orders").limit(400)
+    val env = CdcSim.orderEnvelopes(orders).select("value")
+    env.repartition(parts).write.mode("overwrite").json(dir)
+    env.count()
+  }
+
+  test("L1 raw archive sink: append with ingestion_time, exactly-once restart") {
+    val src = tmpDir("graft-src"); val sink = tmpDir("graft-l1")
+    val cp = tmpDir("graft-cp1")
+    val total = writeEnvelopeFiles(src, parts = 4)
+
+    val raw = spark.readStream.schema(valueSchema).json(src)
+    val q = Sinks.rawArchive(raw, s"$sink/data", s"$cp/c")
+    q.awaitTermination()
+
+    val landed = spark.read.parquet(s"$sink/data")
+    assert(landed.count() == total)
+    assert(landed.columns.contains("ingestion_time"))
+
+    // restart with same checkpoint: no new input → no duplicates
+    val q2 = Sinks.rawArchive(spark.readStream.schema(valueSchema).json(src),
+      s"$sink/data", s"$cp/c")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$sink/data").count() == total)
+  }
+
+  test("L2 versioned-upsert sink lands the batch-computed current state") {
+    val src = tmpDir("graft-src2"); val state = tmpDir("graft-l2")
+    val cp = tmpDir("graft-cp2")
+    writeEnvelopeFiles(src, parts = 5)
+
+    val store = new ParquetStateStore(state, keys = Seq("id"),
+      versionCols = Seq("__ts_ms", "__lsn"), deletedCol = Some("__deleted"))
+
+    val raw = spark.readStream.schema(valueSchema).json(src)
+    val changes = EnvelopeDecode.changes(raw, CdcSim.ordersRow,
+      DecodeOptions(deletePolicy = DeletePolicy.Apply))
+    val q = Sinks.versionedUpsert(changes, store, s"$cp/c")
+    q.awaitTermination()
+
+    val got = store.read(spark).get.select("id", "status", "total_amount")
+    val expected = CdcSim.currentState(
+      CdcSim.orderEnvelopes(Tables.load(spark, sfDir, "orders").limit(400)))
+      .select("id", "status", "total_amount")
+    assertSameRows(got, expected)
+  }
+
+  test("pipeline registry is idempotent and stops cleanly (O2/O3)") {
+    val src = tmpDir("graft-src3"); val sink = tmpDir("graft-l3")
+    val cp = tmpDir("graft-cp3")
+    writeEnvelopeFiles(src, parts = 1)
+    val reg = new PipelineRegistry
+    // continuous trigger so the query stays active across both calls
+    def start() = Sinks.rawArchive(
+      spark.readStream.schema(valueSchema).json(src), s"$sink/d", s"$cp/c",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val q1 = reg.startIfAbsent("mv_raw")(start())
+    val q2 = reg.startIfAbsent("mv_raw")(start())
+    assert(q1.id == q2.id)   // second start is a no-op
+    q1.processAllAvailable()
+    reg.stopAll()
+    assert(reg.active.isEmpty)
+  }
+}

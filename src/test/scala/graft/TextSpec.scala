@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{FakeDecoder, Multimodal}
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and BPE-ish counts behave") {
+    val df = Seq("one two three", "hello, world! 42 x").toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.bpeishTokenCount($"text").as("b"))
+      .as[(Int, Int)].collect()
+    assert(got(0) == ((3, 3)))
+    // hello , world ! 42 x → 6 BPE-ish pieces, 4 whitespace tokens
+    assert(got(1) == ((4, 6)))
+  }
+
+  test("langId is deterministic, in-domain, and right on clear-cut text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val preds = docs.select(TextAnalysis.langId($"text").as("p"))
+      .distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "es", "fr", "de", "zh", "und")))
+
+    val clear = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("el gato es un animal y la casa es grande", "es"),
+      ("der Hund ist ein Tier und die Katze auch", "de"),
+      ("的 了 和 是 在 我 有 他", "zh")).toDF("text", "want")
+    val wrong = clear.where(TextAnalysis.langId($"text") =!= $"want").count()
+    assert(wrong == 0)
+  }
+
+  test("fingerprint is whitespace/case-normalized; rolling fp survives suffix edits") {
+    val df = Seq(
+      ("a", "The quick  brown fox"),
+      ("b", "the quick brown fox"),
+      ("c", "the quick brown fox and one tiny suffix change"))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(String, Long)].collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("quality score ranks clean text above junk") {
+    val df = Seq(
+      ("clean", "the cat sat on the mat and it was a good day for all of us"),
+      ("junk", "@@@@ #### !!!! $$$$ %%%% ^^^^ &&&& **** (((( ))))"))
+      .toDF("id", "text")
+    val m = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m("clean") > m("junk"))
+  }
+
+  test("multimodal decode plumbing: deterministic fake, stable schema") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val media = Multimodal.synthesize(docs)
+    val out = Multimodal.decodeAll(media, FakeDecoder, featureDim = 8).toDF()
+    assert(out.count() == 50)
+    // byte accounting matches the source text lengths
+    val mismatch = out.join(docs, out("media_id") === docs("doc_id"))
+      .where(col("n_bytes") =!= length(col("text"))).count()
+    assert(mismatch == 0)
+    // deterministic: run twice, same rows
+    val out2 = Multimodal.decodeAll(media, FakeDecoder, featureDim = 8).toDF()
+    assertSameRows(out.select("media_id", "meta.width", "meta.nFrames"),
+      out2.select("media_id", "meta.width", "meta.nFrames"))
+    // image rows have dims, audio rows have sample rate
+    assert(out.where($"kind" === "image" && $"meta.width" < 64).count() == 0)
+    assert(out.where($"kind" === "audio" && $"meta.sampleRate" < 8000).count() == 0)
+  }
+}
