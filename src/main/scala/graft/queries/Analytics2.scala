@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType, DoubleType}
+
+import graft.sources.Tables
+
+/** Second analytics pack: priority-exists (TPC-H Q4 shape), cube,
+  * exact percentiles, approx-distinct sketches, and the typed-JSON
+  * source path (S3: `JSONEachRow` ≡ `from_json` with declared schema,
+  * `minio_cdc_example/clickhouse_minio.sql:14-26`). */
+object Analytics2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q4 shape: EXISTS-filtered priority counts -------------
+    Q("q04_priority_count",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+            col("o_orderdate").cast("date") < lit("1997-01-01"))
+        val late = t(s, dir, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"), "inner")
+          .where(col("l_shipdate") > col("o_orderdate"))
+          .select("l_orderkey").distinct()
+        ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- CUBE over status × year --------------------------------------
+    Q("q22_cube_orders",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("q22_orders")
+        s.sql("""SELECT o_orderstatus AS status,
+                |  CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+                |FROM q22_orders
+                |GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+                |ORDER BY status ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus AS status,
+             |  CAST(YEAR(o_orderdate) AS INT) AS order_year,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+             |ORDER BY status ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin)),
+
+    // ---- exact interpolated percentiles per group ---------------------
+    Q("q23_price_percentiles",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  COUNT(*) AS n
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- HLL sketch (rows-only: approx result is engine-specific; the
+    // ---- error bound vs exact is asserted in Analytics2Spec) ----------
+    Q("q24_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // ---- S3: typed JSON source (`JSONEachRow` analog) — build a
+    // ---- minio-style message stream, parse with a DECLARED schema ----
+    Q("q65_typed_json_source",
+      (s, dir) => {
+        val msgs = t(s, dir, "events")
+          .select(to_json(struct(
+            col("event_id").as("id"),
+            col("event_type").as("message"),
+            col("value").as("amount"))).as("value"))
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("message", StringType),
+          StructField("amount", DoubleType)))
+        msgs.select(from_json(col("value"), schema).as("m"))
+          .select("m.*")
+          .groupBy("message")
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount").cast("decimal(12,2)")).cast("double").as("total_amount"))
+          .orderBy("message")
+      },
+      Some("""SELECT event_type AS message, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY message""".stripMargin))
+  )
+}

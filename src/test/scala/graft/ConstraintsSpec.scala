@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Constraints
+
+/** F4 (CHECK constraints) and F5 (ON CONFLICT DO NOTHING) write-side
+  * semantics. */
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("check splits valid/rejected with violation labels (F4 + U6 channel)") {
+    val df = Seq((1, 5, 10.0), (2, 0, 5.0), (3, 2, -1.0), (4, -1, -2.0))
+      .toDF("id", "quantity", "unit_price")
+    val (valid, rejected) = Constraints.check(df, Map(
+      "quantity_positive" -> ($"quantity" > 0),
+      "price_nonnegative" -> ($"unit_price" >= 0)))
+    assert(valid.select("id").as[Int].collect().sorted.sameElements(Array(1)))
+    val rej = rejected.select($"id", $"__violations")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(rej(2) == Seq("quantity_positive"))
+    assert(rej(3) == Seq("price_nonnegative"))
+    assert(rej(4).toSet == Set("quantity_positive", "price_nonnegative"))
+  }
+
+  test("insertIfAbsent keeps existing rows on key conflict (F5)") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("id", "v")
+    val batch = Seq((2, "new"), (3, "new"), (3, "new2")).toDF("id", "v")
+    val inserted = Constraints.insertIfAbsent(existing, batch, Seq("id"))
+    // id=2 conflicts → dropped; id=3 deduped within batch → one row
+    assert(inserted.count() == 1)
+    assert(inserted.select("id").as[Int].head() == 3)
+  }
+}

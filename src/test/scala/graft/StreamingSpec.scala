@@ -67,6 +67,42 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("event-time tumbling window with watermark matches batch aggregation") {
+    val src = tmpDir("graft-ev")
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select("event_id", "ts", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(src)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = streamed.writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Append mode emits only CLOSED windows: the final watermark is
+    // max(ts) - 10min, so windows ending after it stay open and are
+    // withheld — that is the contract, so the batch oracle filters the
+    // same way.
+    val got = spark.table("win_agg")
+    val maxTs = spark.read.parquet(src).agg(max(col("ts"))).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val expected = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("window.end") <= lit(horizon))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assertSameRows(got, expected)
+    assert(got.count() > 0)
+  }
+
   test("pipeline registry is idempotent and stops cleanly (O2/O3)") {
     val src = tmpDir("graft-src3"); val sink = tmpDir("graft-l3")
     val cp = tmpDir("graft-cp3")
