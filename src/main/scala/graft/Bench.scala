@@ -21,7 +21,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside any query's timing window
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).count()
+    SparkEntry.warm(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

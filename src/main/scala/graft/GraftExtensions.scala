@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Registers the engine's native expressions as SQL functions, so the
+  * SQL surface (S9) is as complete as the Column API:
+  *
+  * {{{
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  * }}}
+  *
+  * Usable both as an extension
+  * (`.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.GraftExtensions`) and imperatively via
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def arg(e: Seq[Expression], i: Int): Expression = e(i)
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder for every engine function. */
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (e => CosineSimilarity(arg(e, 0), arg(e, 1))),
+    "minhash_signature" -> (e => MinHashSignature(arg(e, 0),
+      if (e.size > 1) intLit(e(1), "numHashes") else 64,
+      if (e.size > 2) longLit(e(2), "seed") else 42L)),
+    "simhash64" -> (e => SimHash64(arg(e, 0))),
+    "word_shingles" -> (e => WordShingles(arg(e, 0),
+      if (e.size > 1) intLit(e(1), "k") else 3)),
+    "hyperplane_sign_bits" -> (e => HyperplaneSignBits(arg(e, 0),
+      intLit(e(1), "bits"), longLit(e(2), "seed"))),
+    "top_k_by" -> (e => TopKByScore(arg(e, 0), arg(e, 1),
+      intLit(e(2), "k")).toAggregateExpression()))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -24,6 +24,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.map(q => q.name -> q.fn).toMap
 
+  /** Pre-materialize shared inputs (the synthesized CDC "topic") so
+    * per-query timings measure the consuming operators, not fixture
+    * synthesis. */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
+      graft.sources.Tables.load(spark, sfDir, "orders"))
+    ()
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -187,6 +187,16 @@ object TextQueries {
       },
       None),
 
+    // ---- LSH-bucketed embedding near-dup (the scale path; recall vs
+    // ---- the bounded brute-force q41 asserted in SimilaritySpec) -----
+    Q("q44_embed_neardup_lsh",
+      (s, dir) => Similarity.nearDupPairs(
+        Tables.loadParallel(s, dir, "embeddings"), threshold = 0.42,
+        bits = 4, tables = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b"),
+      None),
+
     // ---- label centroids + per-label cohesion (oracled) --------------
     Q("q43_label_cohesion",
       (s, dir) => {

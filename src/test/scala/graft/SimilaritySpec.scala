@@ -66,6 +66,35 @@ class SimilaritySpec extends SparkSpec {
     assert(range._1 >= 0L && range._2 < 256L)
   }
 
+  test("approx_count_distinct within documented error of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rows = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("a"),
+        countDistinct($"l_orderkey").as("e"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (_, a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
+    }
+  }
+
+  test("LSH near-dup pairs recall vs bounded brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings").where($"vec_id" < 500)
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", VF.cosine($"va", $"vb").as("c"))
+      .where($"c" >= 0.42).select("id_a", "id_b")
+    val lsh = Similarity.nearDupPairs(emb, threshold = 0.42, bits = 4, tables = 8)
+      .select("id_a", "id_b")
+    // precision is exact by construction (cosine verified); recall bounded
+    assert(lsh.exceptAll(brute).count() == 0)
+    val total = brute.count()
+    if (total > 0) {
+      val recall = lsh.intersect(brute).count().toDouble / total
+      assert(recall >= 0.5, s"near-dup LSH recall $recall")
+    }
+  }
+
   test("topKBy keeps k best with deterministic tiebreak") {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0), (4L, 9.0)).toDF("id", "score")
     val out = df.agg(TopKAgg.topKBy($"score", $"id", 2).as("t"))

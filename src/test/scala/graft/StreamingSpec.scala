@@ -17,6 +17,10 @@ class StreamingSpec extends SparkSpec {
 
   private val valueSchema = StructType(Seq(StructField("value", StringType)))
 
+  private def writeFiles(df: org.apache.spark.sql.DataFrame, dir: String,
+                         parts: Int): Unit =
+    df.repartition(parts).write.mode("overwrite").json(dir)
+
   /** Write the synthesized envelope stream as N json files (micro-batch
     * fodder for the file source). */
   private def writeEnvelopeFiles(dir: String, parts: Int): Long = {
@@ -65,6 +69,55 @@ class StreamingSpec extends SparkSpec {
       CdcSim.orderEnvelopes(Tables.load(spark, sfDir, "orders").limit(400)))
       .select("id", "status", "total_amount")
     assertSameRows(got, expected)
+  }
+
+  test("S1 analog: JDBC-style snapshot then streaming changes land one state") {
+    // snapshot.mode=initial ≡ land the snapshot at version 0, then let
+    // the change stream upsert on top (same store, same keys).
+    val state = tmpDir("graft-s1"); val cp = tmpDir("graft-s1cp")
+    val src = tmpDir("graft-s1src")
+    val orders = Tables.load(spark, sfDir, "orders").limit(300)
+
+    // snapshot: the relational image, stamped before every change event
+    val snapshot = orders.select(
+      col("o_orderkey").cast("int").as("id"),
+      col("o_orderstatus").as("status"),
+      lit(0L).as("__ts_ms"), lit(0L).as("__lsn"), lit(false).as("__deleted"))
+    val store = new ParquetStateStore(state, Seq("id"),
+      Seq("__ts_ms", "__lsn"), Some("__deleted"))
+    store.merge(snapshot)
+
+    // stream the synthesized changes on top
+    writeFiles(CdcSim.orderEnvelopes(orders).select("value"), src, 3)
+    val changes = EnvelopeDecode.changes(
+      spark.readStream.schema(valueSchema).json(src), CdcSim.ordersRow,
+      DecodeOptions(deletePolicy = DeletePolicy.Apply))
+      .select("id", "status", "__ts_ms", "__lsn", "__deleted")
+    Sinks.versionedUpsert(changes, store, s"$cp/c").awaitTermination()
+
+    val got = store.read(spark).get.select("id", "status")
+    val expected = CdcSim.currentState(CdcSim.orderEnvelopes(orders))
+      .select("id", "status")
+    assertSameRows(got, expected)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events") {
+    val src = tmpDir("graft-ddw")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type")
+    // replay every event twice (at-least-once delivery)
+    ev.unionByName(ev).repartition(3).write.mode("overwrite").parquet(src)
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = streamed.writeStream.format("memory").queryName("ddw")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("ddw").count() == ev.count())
   }
 
   test("event-time tumbling window with watermark matches batch aggregation") {
