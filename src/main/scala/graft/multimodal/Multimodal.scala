@@ -99,4 +99,53 @@ object Multimodal {
       }
     }
   }
+
+  /** Image resize: decode → scale metadata to fit (maxW, maxH)
+    * preserving aspect; the re-encoded blob is produced by the decoder
+    * boundary (fake: truncated bytes; native: a real scaler). Returns
+    * (media_id, width, height, bytes). */
+  def resize(media: DataFrame, decoder: MediaDecoder,
+             maxW: Int, maxH: Int): Dataset[ResizedRow] = {
+    implicit val enc = Encoders.product[ResizedRow]
+    implicit val inEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val m = decoder.decode(r.kind, r.bytes)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / math.max(m.width, 1),
+            maxH.toDouble / math.max(m.height, 1)))
+        val w = math.max(1, (m.width * scale).toInt)
+        val h = math.max(1, (m.height * scale).toInt)
+        val outLen = math.max(1, (r.bytes.length * scale * scale).toInt)
+        ResizedRow(r.media_id, w, h,
+          java.util.Arrays.copyOf(r.bytes, math.min(outLen, r.bytes.length)))
+      }
+    }
+  }
+
+  /** Video frame sampling: pick `n` evenly-spaced frame indices from the
+    * decoded frame count and emit one feature vector per sampled frame
+    * (one output row per frame — a generator/flatMap shape). */
+  def frameSample(media: DataFrame, decoder: MediaDecoder, n: Int,
+                  featureDim: Int = 8): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    implicit val inEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val meta = decoder.decode(r.kind, r.bytes)
+        val frames = math.max(meta.nFrames, 1)
+        val step = math.max(frames / n, 1)
+        (0 until math.min(n, frames)).map { i =>
+          val frameIdx = i * step
+          // frame features: decoder features salted by the frame index
+          val f = decoder.features(r.kind, r.bytes, featureDim)
+            .zipWithIndex.map { case (v, j) => v + frameIdx * 0.001f + j * 0f }
+          FrameRow(r.media_id, frameIdx, f)
+        }
+      }
+    }
+  }
 }
+
+case class ResizedRow(media_id: Long, width: Int, height: Int, bytes: Array[Byte])
+case class FrameRow(media_id: Long, frame_idx: Int, features: Array[Float])

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew-salting for hash joins — the fallback when AQE's runtime
+  * skew-join split is unavailable (non-shuffle-join plans, or a hot key
+  * so dominant that even split partitions overwhelm a task).
+  *
+  * `saltedJoin(fact, dim, key, salt = S)`:
+  *  - fact side gets a deterministic salt in [0, S) derived from
+  *    non-key columns' hash (spreads one hot key over S partitions),
+  *  - dim side is replicated S× (one copy per salt value),
+  *  - the join key becomes (key, salt) — same pairs, S-way spread.
+  *
+  * Cost model: dim side grows S×, so use for fact⋈dim with a modest
+  * dim; the fact side — the skewed, huge one — never replicates.
+  */
+object SkewJoin {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salt >= 1)
+    val factCols = fact.columns
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(factCols.filterNot(_ == key).map(col).toIndexedSeq: _*),
+        lit(salt)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Constraints
+import graft.operators.{Constraints, SkewJoin}
 
-/** F4 (CHECK constraints) and F5 (ON CONFLICT DO NOTHING) write-side
-  * semantics. */
+/** F4 (CHECK constraints), F5 (ON CONFLICT DO NOTHING), and manual
+  * skew-salting semantics. */
 class ConstraintsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,5 +30,17 @@ class ConstraintsSpec extends SparkSpec {
     // id=2 conflicts → dropped; id=3 deduped within batch → one row
     assert(inserted.count() == 1)
     assert(inserted.select("id").as[Int].head() == 3)
+  }
+
+  test("salted join == plain join (skew-spread correctness)") {
+    // heavily skewed fact: 90% of rows share one key
+    val fact = spark.range(0, 2000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN CAST(1 AS BIGINT) ELSE id END AS k",
+      "id AS payload")
+    val dim = Seq((1L, "hot"), (7L, "cold"), (13L, "cold2"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salt = 8)
+    assertSameRows(plain, salted)
   }
 }

@@ -57,6 +57,21 @@ class TextSpec extends SparkSpec {
     assert(m("clean") > m("junk"))
   }
 
+  test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val media = Multimodal.synthesize(docs)
+    val images = media.where($"kind" === "image")
+    val resized = Multimodal.resize(images, FakeDecoder, 128, 128).toDF()
+    assert(resized.where($"width" > 128 || $"height" > 128).count() == 0)
+    assert(resized.count() == images.count())
+
+    val videos = media.where($"kind" === "video")
+    val frames = Multimodal.frameSample(videos, FakeDecoder, n = 4).toDF()
+    assert(frames.count() > videos.count())  // >1 frame per video on average
+    val perVideo = frames.groupBy("media_id").count()
+    assert(perVideo.where($"count" > 4).count() == 0)
+  }
+
   test("multimodal decode plumbing: deterministic fake, stable schema") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
     val media = Multimodal.synthesize(docs)
