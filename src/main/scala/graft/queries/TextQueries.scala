@@ -191,8 +191,8 @@ object TextQueries {
     // ---- the bounded brute-force q41 asserted in SimilaritySpec) -----
     Q("q44_embed_neardup_lsh",
       (s, dir) => Similarity.nearDupPairs(
-        Tables.loadParallel(s, dir, "embeddings"), threshold = 0.42,
-        bits = 4, tables = 8)
+        Tables.loadParallel(s, dir, "embeddings"), threshold = 0.45,
+        bits = 6, tables = 8)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b"),
       None),

@@ -79,8 +79,74 @@ object Similarity {
         col("nb.score").as("cosine"), (col("rank0") + 1).cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCentroids` Voronoi cells, search only the `nProbe` cells nearest
+    * each query.
+    *
+    * Centroids are a deterministic corpus sample (every ⌈n/C⌉-th vector
+    * by id — for well-shuffled embeddings a uniform sample; a k-means
+    * refinement would drop in here). Assignment is a broadcast
+    * cross-score + arg-max: the corpus shuffles once on cell id and the
+    * per-query search touches ~nProbe/C of it — the classic IVF
+    * recall/cost dial.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // deterministic hash-sample (no global sort: filter to ~2C rows by
+    // id-hash stride, then a tiny bounded sort picks exactly C)
+    val n = c.count()
+    val stride = math.max(n / (nCentroids * 2L), 1L)
+    val centroids = broadcast(
+      c.where(pmod(xxhash64(col("cid")), lit(stride)) === 0)
+        .orderBy("cid").limit(nCentroids)
+        .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec")))
+
+    // corpus → nearest centroid (cell assignment)
+    val assigned = c.join(centroids)
+      .select(col("cid"), col("cvec"), col("centroid_id"),
+        VF.cosine(col("cvec"), col("centroid_vec")).as("csim"))
+      .groupBy("cid")
+      .agg(max_by(struct(col("centroid_id"), col("cvec")), col("csim")).as("m"))
+      .select(col("cid").as("neighbor_id"), col("m.centroid_id").as("cell"),
+        col("m.cvec").as("c_vec"))
+
+    // query → nProbe nearest centroids
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.join(centroids)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"),
+        VF.cosine(col("q_vec"), col("centroid_vec")).as("csim"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKBy(col("csim"), col("cell"), nProbe).as("cells"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(col("cells")).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("probe.id").as("cell"))
+
+    // search only the probed cells
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKBy(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"), (col("rank0") + 1).cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold` among
-    * LSH bucket-mates (the scale path for embedding-based dedup). */
+    * LSH bucket-mates (the scale path for embedding-based dedup).
+    *
+    * Tuning rule: candidate volume ≈ n²·tables/2^bits, so `bits`
+    * scales with log2(corpus) to hold per-bucket size constant; recall
+    * per table is p_bit^bits with p_bit = 1 - θ/π. For true near-dups
+    * (cosine ≥ 0.9, p_bit ≈ 0.86) 6 bits × 8 tables gives ~0.98
+    * recall; chasing weakly-similar pairs (cosine ≈ 0.45) needs fewer
+    * bits or more tables — that regime is what [[bruteForceTopK]] is
+    * for. */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    bits: Int = 6, tables: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

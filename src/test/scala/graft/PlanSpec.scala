@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Versioned
+import graft.sources.{CdcSource, Tables}
+
+/** Physical-plan property assertions: the scale claims in the Scaladoc
+  * must be visible in `.explain`, not just asserted in prose. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_quantity,48.0)"), p.take(500))
+    // pruned read schema: projected+filter cols only, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q05: dimension joins are broadcast, no cartesian") {
+    val p = SparkEntry.queries("q05_nation_revenue")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("latestByKey aggregates partially before the exchange") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = Versioned.latestByKey(ev, Seq("user_id"), Seq(col("ts")))
+      .queryExecution.explainString(SimpleMode)
+    // partial agg under the shuffle, final above it
+    val iPartial = p.indexOf("partial_max_by")
+    val iExchange = p.indexOf("Exchange hashpartitioning(user_id")
+    val iFinal = p.indexOf("max_by")
+    assert(iPartial >= 0, p.take(800))
+    assert(iExchange >= 0 && iFinal >= 0)
+    assert(iFinal < iExchange && iExchange < iPartial,
+      "expected final-agg / exchange / partial-agg ordering (top-down plan)")
+  }
+
+  test("q01: whole-stage codegen covers the aggregation pipeline") {
+    // AQE's AdaptiveSparkPlan defers physical planning, hiding codegen
+    // subtrees from a pre-execution explain — plan without it here.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      val found = "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(p).map(_.group(1).toInt)
+      assert(found.exists(_ >= 1), p.take(300))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("topic routing contract (S1/S2 naming)") {
+    assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
+    assert(CdcSource.parseTopic("poc.public.products")
+      .contains(CdcSource.TopicRef("poc", "public", "products")))
+    assert(CdcSource.parseTopic("my.prefix.public.orders")
+      .contains(CdcSource.TopicRef("my.prefix", "public", "orders")))
+    assert(CdcSource.parseTopic("bare").isEmpty)
+    val pat = CdcSource.subscribePattern("high_volume_poc",
+      Seq("public.transaction_details"))
+    assert("high_volume_poc.public.transaction_details".matches(pat))
+    assert(!"other.public.transaction_details".matches(pat))
+    val all = CdcSource.subscribePattern("poc")
+    assert("poc.public.anything".matches(all) && !"pocx.public.t".matches(all))
+  }
+}

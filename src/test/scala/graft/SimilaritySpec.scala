@@ -58,6 +58,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k recall vs brute force") {
+    val queries = emb.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(ivf).count().toDouble / bf.count()
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("hyperplane sign bits are deterministic and bounded") {
     val b1 = emb.select(VF.hyperplaneSignBits($"embedding", 8, 1L).as("b"))
     val b2 = emb.select(VF.hyperplaneSignBits($"embedding", 8, 1L).as("b"))
