@@ -89,6 +89,40 @@ object Analytics2 {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- gap-based sessionization (batch form of the
+    // ---- flatMapGroupsWithState operator; streaming↔batch equivalence
+    // ---- asserted in SessionizeSpec) ---------------------------------
+    Q("q25_sessionize",
+      (s, dir) => graft.streaming.Sessionize.batch(
+        t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), s AS (
+             |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+             |  FROM g
+             |)
+             |SELECT user_id,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM s
+             |GROUP BY user_id, seq
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- S3: typed JSON source (`JSONEachRow` analog) — build a
     // ---- minio-style message stream, parse with a DECLARED schema ----
     Q("q65_typed_json_source",

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Write-side layout operators: bucketing for shuffle-free joins and
+  * sort-within-partitions clustering (the `ORDER BY` sort-key analog,
+  * S6 — `init_clickhouse_raw_tables.sql:37`). */
+class StorageLayoutSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // tiny test tables would broadcast; force the sort-merge path the
+    // bucketing exists for (at fact×fact scale broadcast is off the
+    // table anyway)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previous JVM's managed-table location survives catalog drops
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) { 
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located join: no Exchange below the SortMergeJoin
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan.take(600))
+    val below = plan.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      "bucketed join should not reshuffle:\n" + below.take(600))
+
+    // and it computes the right thing
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assertSameRows(joined, expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("sorted clustered write: files are sorted by the cluster key") {
+    val out = tmpDir("graft-cluster")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.repartition(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(out)
+
+    // each file must be internally sorted (min/max stats then skip scans)
+    import spark.implicits._
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f)
+        .select(col("l_orderkey") * 10 + col("l_linenumber"))
+        .as[Long].collect()
+      assert(keys.sameElements(keys.sorted), s"file $f not sorted")
+    }
+  }
+}
