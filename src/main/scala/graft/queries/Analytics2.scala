@@ -89,6 +89,37 @@ object Analytics2 {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- backward as-of join: each error event picks up the user's
+    // ---- latest prior-or-simultaneous purchase (union+window compose;
+    // ---- DuckDB native ASOF JOIN is the oracle) ----------------------
+    Q("q26_asof_prior_purchase",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_event_id"),
+            col("value").as("purchase_value"))
+        graft.operators.AsOfJoin.asofBackward(
+          errors, purchases, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "p_ts",
+          rightValueCols = Seq("purchase_event_id", "purchase_value"),
+          tiebreak = Some("purchase_event_id"))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+            col("purchase_event_id"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.user_id, e.event_id,
+             |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+             |  p.event_id AS purchase_event_id,
+             |  p.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- gap-based sessionization (batch form of the
     // ---- flatMapGroupsWithState operator; streaming↔batch equivalence
     // ---- asserted in SessionizeSpec) ---------------------------------

@@ -81,6 +81,14 @@ class EnvelopeDecodeSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("errors.tolerance=none: FAILFAST raises on broken input (U6)") {
+    val strict = EnvelopeDecode.changes(raw, Debezium.productsRow,
+      DecodeOptions(tolerateBroken = false))
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    assert(e.getMessage.contains("MALFORMED_RECORD") ||
+      e.getCause != null)
+  }
+
   test("typed cast layer: ISO-Z timestamps and micro-timestamps") {
     val df = Seq(("2024-01-01T10:00:00Z", 1704103200000000L)).toDF("iso", "micros")
     val got = df.select(

@@ -156,6 +156,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("state store merge is idempotent under batch replay (at-least-once)") {
+    val state = tmpDir("graft-replay")
+    val store = new ParquetStateStore(state, Seq("id"), Seq("v"), None)
+    import spark.implicits._
+    val b1 = Seq((1, 1L, "a"), (2, 1L, "b")).toDF("id", "v", "payload")
+    store.merge(b1)
+    val once = store.read(spark).get.collect().map(_.toString).sorted
+    store.merge(b1)  // replayed delivery
+    val twice = store.read(spark).get.collect().map(_.toString).sorted
+    assert(once.sameElements(twice))
+    assert(store.currentVersion.contains(1))
+  }
+
+  test("asof edge: equal timestamps are inclusive, no-match yields null") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("k", "lts", "lid")
+    val r = Seq((1L, 100L, 91L), (1L, 40L, 92L))
+      .toDF("k", "rts", "rid")
+    val out = AsOfJoin.asofBackward(l, r, Seq("k"), "lts", "rts",
+      Seq("rid"), tiebreak = Some("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(91L))  // equal ts matches
+    assert(out(11L).contains(92L))  // latest prior
+    assert(out(12L).isEmpty)        // no right row for key 2
+  }
+
   test("pipeline registry is idempotent and stops cleanly (O2/O3)") {
     val src = tmpDir("graft-src3"); val sink = tmpDir("graft-l3")
     val cp = tmpDir("graft-cp3")
