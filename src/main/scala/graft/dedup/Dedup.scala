@@ -8,6 +8,13 @@ import graft.text.TextAnalysis
 /** Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
   * and exact n-gram Jaccard verification.
   *
+  * Algorithms follow the published literature: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * banded LSH (Indyk & Motwani 1998; Leskovec-Rajaraman-Ullman, Mining
+  * of Massive Datasets ch. 3), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", 2002; Manku et al.,
+  * "Detecting near-duplicates for web crawling", 2007).
+  *
   * Scale design (the point of each stage):
   *  - exact: one hash-shuffle on a 16-byte key — the cheapest pass,
   *    always run first.

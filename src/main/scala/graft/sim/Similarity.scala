@@ -7,6 +7,11 @@ import graft.functions.{TopKAgg, VectorFunctions => VF}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
+  * LSH per Charikar 2002 (random-hyperplane signatures); IVF per
+  * Jégou et al., "Product quantization for nearest neighbor search"
+  * (2011) — the coarse-quantizer inverted-file stage, without PQ
+  * compression.
+  *
   * Two paths, per the standard ANN playbook:
   *  - [[bruteForceTopK]] — exact: broadcast the (small) query set
   *    against the corpus, score with the codegen'd cosine expression,
