@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.cdc.{CdcSim, DecodeOptions, EnvelopeDecode}
+import graft.operators.{AsOfJoin, Versioned}
+import graft.streaming.{ParquetStateStore, Sessionize}
+
+/** Single entry point to the engine — what a user of the reference
+  * pipeline programs against after switching to this library.
+  *
+  * {{{
+  * import graft.Graft
+  *
+  * // CDC: raw envelope JSON → typed change rows → current state
+  * val changes = Graft.decodeChanges(rawKafkaValues, productsSchema)
+  * val state   = Graft.currentState(changes, keys = Seq("id"),
+  *                 versionCols = Seq("__ts_ms", "__lsn"))
+  *
+  * // LLM-corpus operators
+  * val dups    = Graft.nearDuplicates(docs)             // MinHash+LSH
+  * val topk    = Graft.similarTopK(corpus, queries, 10) // exact ANN
+  * val scored  = docs.withColumn("quality", Graft.qualityScore($"text"))
+  *
+  * // SQL surface
+  * Graft.registerFunctions(spark)  // cosine_similarity(...), simhash64(...)
+  * }}}
+  */
+object Graft {
+
+  // ---- CDC -----------------------------------------------------------
+
+  /** Envelope JSON → unwrapped change rows (policies via `opts`). */
+  def decodeChanges(raw: DataFrame,
+                    rowSchema: org.apache.spark.sql.types.StructType,
+                    opts: DecodeOptions = DecodeOptions()): DataFrame =
+    EnvelopeDecode.changes(raw, rowSchema, opts)
+
+  /** Last-writer-wins current state of a change set. */
+  def currentState(changes: DataFrame, keys: Seq[String],
+                   versionCols: Seq[String]): DataFrame =
+    Versioned.latestByKey(changes, keys,
+      versionCols.map(org.apache.spark.sql.functions.col))
+
+  /** Keyed, versioned upsert store (parquet; swap in Delta/Iceberg
+    * MERGE on a cluster). */
+  def stateStore(path: String, keys: Seq[String], versionCols: Seq[String],
+                 deletedCol: Option[String] = Some("__deleted")): ParquetStateStore =
+    new ParquetStateStore(path, keys, versionCols, deletedCol)
+
+  // ---- analytics helpers ---------------------------------------------
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightValueCols: Seq[String]): DataFrame =
+    AsOfJoin.asofBackward(left, right, keys, leftTs, rightTs, rightValueCols)
+
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    Sessionize.batch(events, gapMinutes)
+
+  // ---- LLM-corpus operators ------------------------------------------
+
+  /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified. */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    dedup.Dedup.minhashPairs(docs, threshold = threshold)
+
+  /** Exact cosine top-k for each query vector. */
+  def similarTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    sim.Similarity.bruteForceTopK(corpus, queries, k)
+
+  def qualityScore(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
+  def languageOf(text: Column): Column = graft.text.TextAnalysis.langId(text)
+  def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
+  def cosine(a: Column, b: Column): Column = functions.VectorFunctions.cosine(a, b)
+
+  /** Register the engine's native expressions for `spark.sql`. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.register(spark)
+
+  /** The flagship demo pipeline over harness data (see SparkEntry). */
+  def demo(spark: SparkSession, sfDir: String): DataFrame =
+    CdcSim.currentState(CdcSim.orderEnvelopes(
+      sources.Tables.load(spark, sfDir, "orders")))
+}

@@ -46,9 +46,23 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Coerce numeric arrays (e.g. SQL decimal literals) to
+    * array<double>; leave float/double arrays untouched. */
+  private def numericVec(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
+      case ArrayType(_: NumericType, n) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, ArrayType(DoubleType, n))
+      case _ => e // let checkInputDataTypes report it
+    }
+  }
+
   /** name → expression builder for every engine function. */
   val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_similarity" -> (e => CosineSimilarity(arg(e, 0), arg(e, 1))),
+    "cosine_similarity" -> (e =>
+      CosineSimilarity(numericVec(arg(e, 0)), numericVec(arg(e, 1)))),
     "minhash_signature" -> (e => MinHashSignature(arg(e, 0),
       if (e.size > 1) intLit(e(1), "numHashes") else 64,
       if (e.size > 2) longLit(e(2), "seed") else 42L)),

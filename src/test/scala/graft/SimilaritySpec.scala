@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkSpec {
     assert(diff < 1e-12, s"codegen vs HOF diverged by $diff")
   }
 
+  test("cosine accepts array<double> and mixed element types") {
+    val df = spark.sql(
+      """SELECT array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS d,
+        |       array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)) AS f""".stripMargin)
+    val got = df.select(
+      VF.cosine($"d", $"f").as("m"),
+      VF.cosine($"d", $"d").as("dd")).as[(Double, Double)].head()
+    assert(math.abs(got._1 - 0.6) < 1e-7)
+    assert(math.abs(got._2 - 1.0) < 1e-12)
+  }
+
+  test("Graft facade surfaces the core operators") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(Graft.nearDuplicates(docs).count() > 0)
+    val state = Graft.currentState(
+      Tables.load(spark, sfDir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+    assert(state.count() == Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+  }
+
   test("cosine of a vector with itself is 1") {
     val selfSim = emb.select(VF.cosine($"embedding", $"embedding").as("c"))
       .agg(min($"c"), max($"c")).as[(Double, Double)].head()
