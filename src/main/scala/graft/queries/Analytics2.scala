@@ -89,6 +89,41 @@ object Analytics2 {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- pivot: orders count by year × status (oracled via the
+    // ---- equivalent conditional aggregation) -------------------------
+    Q("q27_pivot_status",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("order_year").cast("int").as("order_year"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("order_year"),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders
+             |GROUP BY YEAR(o_orderdate)
+             |ORDER BY order_year""".stripMargin)),
+
+    // ---- generator/explode: corpus word-count top-50 -----------------
+    Q("q28_word_count",
+      (s, dir) => Tables.loadParallel(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+      Some("""SELECT word, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |WHERE word <> ''
+             |GROUP BY word
+             |ORDER BY n DESC, word
+             |LIMIT 50""".stripMargin)),
+
     // ---- backward as-of join: each error event picks up the user's
     // ---- latest prior-or-simultaneous purchase (union+window compose;
     // ---- DuckDB native ASOF JOIN is the oracle) ----------------------
