@@ -89,6 +89,60 @@ object Analytics2 {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- lag/lead: inter-event gaps per user -------------------------
+    Q("q46_event_gaps",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          .groupBy("user_id")
+          .agg(count(col("gap_us")).as("n_gaps"),
+            min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"),
+            sum(col("gap_us")).as("total_gap_us"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  COUNT(gap_us) AS n_gaps,
+             |  MIN(gap_us) AS min_gap_us,
+             |  MAX(gap_us) AS max_gap_us,
+             |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+             |FROM (
+             |  SELECT user_id,
+             |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM events
+             |)
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- correlated-aggregate HAVING: big-spender customers ----------
+    Q("q47_big_spenders",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val spend = ord.groupBy(col("o_custkey"))
+          .agg(sum(dec("o_totalprice")).cast("double").as("lifetime_spend"),
+            max(dec("o_totalprice")).cast("double").as("max_order"))
+          .where(col("lifetime_spend") > 1000000.0)
+        cust.join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("lifetime_spend"), col("max_order"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment, lifetime_spend, max_order
+             |FROM customer
+             |JOIN (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lifetime_spend,
+             |    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_order
+             |  FROM orders
+             |  GROUP BY o_custkey
+             |  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) > 1000000.0
+             |) s ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- pivot: orders count by year × status (oracled via the
     // ---- equivalent conditional aggregation) -------------------------
     Q("q27_pivot_status",
