@@ -1,0 +1,37 @@
+package graft
+
+/** Guards on the driver contract: a duplicate query name would silently
+  * drop a query when the packs fold into a Map. */
+class ContractSpec extends SparkSpec {
+
+  test("query names are unique across packs") {
+    val names = SparkEntry.packs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("every oracle belongs to a declared query") {
+    val qnames = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qnames
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+
+  test("oracles only reference harness tables") {
+    val known = graft.sources.Tables.names.toSet
+    val tableRef = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        // subquery openers and CTE names are fine; flag unknown bare ids
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        assert(known.contains(t) || ctes.contains(t) || t == "(",
+          s"$name references unknown table '$t'")
+      }
+    }
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
