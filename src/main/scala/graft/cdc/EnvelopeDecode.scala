@@ -60,20 +60,43 @@ object EnvelopeDecode {
 
   /** Parse a raw-JSON column (`value`) into an envelope struct column
     * named `_env`. Broken messages become a null `_env` (PERMISSIVE) and
-    * are dropped when `tolerateBroken` (F3), else FAILFAST (U6). */
+    * are dropped when `tolerateBroken` (F3), else FAILFAST (U6).
+    *
+    * `fields` restricts the parse to the named top-level envelope
+    * fields (`before`/`after`/`source`/`ts_ms`/`transaction`; `op` is
+    * always parsed for the broken-record filter). Catalyst's own JSON
+    * pruning is single-level and the whole envelope sits under
+    * `payload`, so this explicit projection is what actually keeps
+    * Jackson from materializing a 20-field struct when a pipeline reads
+    * two fields — at ingest scale the JSON parse IS the bottleneck. */
   def decode(raw: DataFrame, rowSchema: StructType,
              opts: DecodeOptions = DecodeOptions(),
-             valueCol: String = "value"): DataFrame = {
-    val mode = if (opts.tolerateBroken) "PERMISSIVE" else "FAILFAST"
-    val parseOpts = Map("mode" -> mode)
+             valueCol: String = "value",
+             fields: Option[Seq[String]] = None): DataFrame = {
+    val prunedPayload = fields match {
+      case Some(fs) =>
+        val keep = (fs :+ "op").toSet
+        StructType(Debezium.payloadSchema(rowSchema).fields.filter(f =>
+          keep.contains(f.name)))
+      case None => Debezium.payloadSchema(rowSchema)
+    }
+    // PERMISSIVE is from_json's default — and passing ANY explicit
+    // option disables Catalyst's OptimizeJsonExprs schema pruning, so
+    // the permissive path must use empty options (verified by
+    // PlanSpec's pruning assertion).
+    val parseOpts =
+      if (opts.tolerateBroken) Map.empty[String, String]
+      else Map("mode" -> "FAILFAST")
+    val wireSchema =
+      if (opts.wrapped)
+        StructType(Seq(org.apache.spark.sql.types.StructField("payload", prunedPayload)))
+      else prunedPayload
     val parsed =
       if (opts.wrapped)
         raw.withColumn("_env",
-          from_json(col(valueCol), Debezium.wrappedSchema(rowSchema), parseOpts)
-            .getField("payload"))
+          from_json(col(valueCol), wireSchema, parseOpts).getField("payload"))
       else
-        raw.withColumn("_env",
-          from_json(col(valueCol), Debezium.payloadSchema(rowSchema), parseOpts))
+        raw.withColumn("_env", from_json(col(valueCol), wireSchema, parseOpts))
     if (opts.tolerateBroken)
       // PERMISSIVE yields an all-null struct for corrupt input; a real
       // envelope always carries `op`. Referencing ONLY `_env.op` (not

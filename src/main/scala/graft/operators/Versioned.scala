@@ -58,6 +58,37 @@ object Versioned {
     else merged
   }
 
+  /** Pure-streaming keyed current state via `mapGroupsWithState`: one
+    * (version, row) per key held in executor state, updated
+    * last-writer-wins per micro-batch, emitted in update mode.
+    *
+    * Offered for completeness of the W1 surface; production guidance
+    * (SURVEY §7 risk 5) stands: PK-keyed state is unbounded by design,
+    * so for full-table CDC the state belongs in the sink table
+    * ([[graft.streaming.ParquetStateStore]] / Delta MERGE), not
+    * executor memory. This variant fits bounded key spaces (per-device,
+    * per-session state).
+    *
+    * @param version  orders rows; larger wins (ties: keep existing)
+    */
+  def streamingLatestByKey[K: org.apache.spark.sql.Encoder,
+                           V: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[V], key: V => K, version: V => Long)(
+      implicit tupleEnc: org.apache.spark.sql.Encoder[(K, V)])
+      : org.apache.spark.sql.Dataset[(K, V)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(key)
+      .mapGroupsWithState[V, (K, V)](GroupStateTimeout.NoTimeout) {
+        (k: K, rows: Iterator[V], state: GroupState[V]) =>
+          var best = state.getOption
+          rows.foreach { r =>
+            if (best.forall(b => version(r) > version(b))) best = Some(r)
+          }
+          state.update(best.get)
+          (k, best.get)
+      }
+  }
+
   /** A1 (`scenario2:174-179`): correlated scalar-subquery SUM driving an
     * UPDATE — decorrelated Spark-first as partial-agg + broadcast-back
     * merge. `details.groupBy(fk).sum` reduces before the join, so the

@@ -38,7 +38,8 @@ object CdcQueries {
 
     // ---- L1 raw archive / op accounting (S6, T3, decode-only) --------
     Q("q61_cdc_op_counts",
-      (s, dir) => EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow)
+      (s, dir) => EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow,
+          fields = Some(Seq.empty))   // parse only `op`
         .groupBy(col("_env.op").as("op"))
         .agg(count(lit(1)).as("n"))
         .orderBy("op"),

@@ -58,6 +58,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q61: declared field projection narrows the envelope parse") {
+    // Catalyst's JSON pruning is single-level (everything sits under
+    // `payload`), so the engine prunes explicitly via decode(fields=...)
+    val p = SparkEntry.queries("q61_cdc_op_counts")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val fromJson = p.linesIterator.find(_.contains("from_json")).getOrElse("")
+    assert(fromJson.contains("op"), p.take(400))
+    // the wide row fields must NOT survive into the parse schema
+    assert(!fromJson.contains("customer_id") && !fromJson.contains("order_date"),
+      "envelope schema not pruned:\n" + fromJson.take(600))
+  }
+
+  test("partitioned writes prune partitions at scan") {
+    val out = tmpDir("graft-part")
+    graft.sources.Tables.load(spark, sfDir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(out)
+    val q = spark.read.parquet(out).where(col("order_year") === 1997)
+      .select("o_orderkey")
+    val p = q.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("order_year"), p.take(600))
+    assert(q.count() > 0)
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")

@@ -169,6 +169,33 @@ class StreamingSpec extends SparkSpec {
     assert(store.currentVersion.contains(1))
   }
 
+  test("mapGroupsWithState streaming latest-by-key == batch latestByKey") {
+    val src = tmpDir("graft-mgws")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    import graft.streaming.Sessionize.Event
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src).as[Event]
+    val latest = graft.operators.Versioned.streamingLatestByKey[Long, Event](
+      streamed, _.user_id, e => e.ts.getTime * 1000 + e.event_id)
+    val q = latest.toDF().select(col("_1").as("user_id"), col("_2.event_id").as("last_event_id"))
+      .writeStream.format("memory").queryName("mgws")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // update mode re-emits per batch: collapse to the final emission
+    val got = graft.operators.Versioned.latestByKey(
+      spark.table("mgws"), Seq("user_id"), Seq(col("last_event_id")))
+    val expected = graft.operators.Versioned.latestByKey(
+      ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id").as("last_event_id"))
+    assertSameRows(got, expected)
+  }
+
   test("asof edge: equal timestamps are inclusive, no-match yields null") {
     import graft.operators.AsOfJoin
     import spark.implicits._
