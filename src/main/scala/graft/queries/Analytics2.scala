@@ -89,6 +89,34 @@ object Analytics2 {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- range join: price-tier banding (binned equi-join; the naive
+    // ---- nested-loop form is the differential partner in specs) ------
+    Q("q29_price_tiers",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("budget", 0.0, 100000.0), ("mid", 100000.0, 200000.0),
+          ("upper", 200000.0, 300000.0), ("premium", 300000.0, 400000.0),
+          ("luxury", 400000.0, 600000.0))
+          .toDF("tier", "lo", "hi")
+        graft.operators.RangeJoin.binnedRangeJoin(
+          t(s, dir, "orders"), tiers, "o_totalprice", "lo", "hi",
+          binWidth = 50000.0)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec("o_totalprice")).cast("double").as("tier_total"))
+          .orderBy("tier")
+      },
+      Some("""SELECT tier, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tier_total
+             |FROM orders
+             |JOIN (VALUES ('budget', 0.0, 100000.0), ('mid', 100000.0, 200000.0),
+             |             ('upper', 200000.0, 300000.0), ('premium', 300000.0, 400000.0),
+             |             ('luxury', 400000.0, 600000.0)) t(tier, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY tier
+             |ORDER BY tier""".stripMargin)),
+
     // ---- lag/lead: inter-event gaps per user -------------------------
     Q("q46_event_gaps",
       (s, dir) => {

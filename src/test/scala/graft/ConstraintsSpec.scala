@@ -32,6 +32,23 @@ class ConstraintsSpec extends SparkSpec {
     assert(inserted.select("id").as[Int].head() == 3)
   }
 
+  test("binned range join == naive nested-loop range join") {
+    import graft.operators.RangeJoin
+    val facts = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val ranges = Seq(("a", 0.0, 123456.0), ("b", 123456.0, 250000.0),
+      ("c", 250000.0, 600000.0), ("overlap", 100000.0, 300000.0))
+      .toDF("tier", "lo", "hi")
+    val binned = RangeJoin.binnedRangeJoin(facts, ranges,
+      "o_totalprice", "lo", "hi", binWidth = 40000.0)
+      .select("o_orderkey", "tier")
+    val naive = RangeJoin.naiveRangeJoin(facts, ranges,
+      "o_totalprice", "lo", "hi")
+      .select("o_orderkey", "tier")
+    assertSameRows(binned, naive)
+    assert(binned.count() > facts.count())  // overlap band duplicates
+  }
+
   test("salted join == plain join (skew-spread correctness)") {
     // heavily skewed fact: 90% of rows share one key
     val fact = spark.range(0, 2000).selectExpr(
