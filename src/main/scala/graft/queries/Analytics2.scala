@@ -171,6 +171,56 @@ object Analytics2 {
              |) s ON c_custkey = o_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- unpivot (stack): wide → long, the inverse of q27 ------------
+    Q("q49_unpivot_priority",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q49_orders")
+        s.sql("""SELECT order_year, metric, CAST(v AS BIGINT) AS v FROM (
+                |  SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                |    COUNT(*) AS n_orders,
+                |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+                |  FROM q49_orders GROUP BY YEAR(o_orderdate)
+                |) UNPIVOT (v FOR metric IN (n_orders, n_customers))
+                |ORDER BY order_year, metric""".stripMargin)
+      },
+      Some("""SELECT order_year, metric, CAST(v AS BIGINT) AS v FROM (
+             |  SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+             |    COUNT(*) AS n_orders,
+             |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+             |  FROM orders GROUP BY YEAR(o_orderdate)
+             |) UNPIVOT (v FOR metric IN (n_orders, n_customers))
+             |ORDER BY order_year, metric""".stripMargin)),
+
+    // ---- higher-order array functions over vectors, oracle-checked ---
+    Q("q45_vector_stats",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_dim"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_dim"),
+          size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 6) AS min_dim,
+             |  ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_dim,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+             |  CAST(len(embedding) AS INTEGER) AS dim
+             |FROM embeddings
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- exact dedup on NORMALIZED text (case/whitespace-insensitive)
+    Q("q38_normalized_dedup",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY keep_id""".stripMargin)),
+
     // ---- fuzzy matching: near-identical names by edit distance (the
     // ---- record-linkage cousin of text dedup; bounded slice) ---------
     Q("q48_fuzzy_names",
