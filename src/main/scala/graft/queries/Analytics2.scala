@@ -79,7 +79,7 @@ object Analytics2 {
              |ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- HLL sketch (rows-only: approx result is engine-specific; the
-    // ---- error bound vs exact is asserted in Analytics2Spec) ----------
+    // ---- error bound vs exact is asserted in SimilaritySpec) ----------
     Q("q24_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
