@@ -83,14 +83,34 @@ object TextQueries {
              |GROUP BY text
              |ORDER BY keep_id""".stripMargin)),
 
-    // ---- language ID (rows-only: hash/argmax heuristic; determinism +
-    // ---- value-domain asserted in TextSpec) --------------------------
+    // ---- language ID: stopword-argmax heuristic, mirrored in SQL ----
+    // Spark picks max by (hits, lang-code); the CASE below tests langs
+    // in descending code order so ties resolve identically.
     Q("q33_doc_langid",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("lang_declared"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some {
+        def hits(lang: String) = {
+          val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), x -> list_contains([$words], x)))"
+        }
+        val byCodeDesc = TextAnalysis.stopwords.keys.toSeq.sorted.reverse
+        val mx = byCodeDesc.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val caseArms = byCodeDesc.init
+          .map(l => s"WHEN h_$l = $mx THEN '$l'")
+          .mkString(" ")
+        s"""SELECT doc_id, lang AS lang_declared,
+           |  CASE WHEN $mx = 0 THEN 'und' $caseArms
+           |       ELSE '${byCodeDesc.last}' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id, lang, ${TextAnalysis.stopwords.keys.toSeq.sorted
+                .map(l => s"${hits(l)} AS h_$l").mkString(", ")}
+           |  FROM documents
+           |)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- content fingerprints (rows-only: xxhash64 not in DuckDB) ----
     Q("q34_doc_fingerprint",
