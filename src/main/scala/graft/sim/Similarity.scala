@@ -60,16 +60,20 @@ object Similarity {
               bits: Int = 8, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
-    // per-table planes: fold the table index into the seed
-    def bucketedT(df: DataFrame, id: String, vec: String): DataFrame = {
-      val base = df.select(col(idCol).as(id), col(vecCol).as(vec))
-      val tabs = (0 until tables).map { t =>
-        base.withColumn("table", lit(t))
-          .withColumn("bucket",
-            VF.hyperplaneSignBits(col(vec), bits, seed = 0x5EEDL + 7919L * t))
-      }
-      tabs.reduce(_ unionByName _)
-    }
+    // per-table planes: fold the table index into the seed. All tables'
+    // buckets are computed in ONE projection and exploded — a single
+    // corpus scan/shuffle of O(n·tables) narrow rows, not `tables`
+    // unionByName copies (which re-scan and re-partition the corpus per
+    // table). Mirrors Dedup.bands.
+    def bucketedT(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("tb", explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            VF.hyperplaneSignBits(col(vec), bits, seed = 0x5EEDL + 7919L * t)
+              .as("bucket"))
+        }: _*)))
+        .select(col(id), col(vec), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
     val c = bucketedT(corpus, "neighbor_id", "c_vec")
     val q = broadcast(bucketedT(queries, "query_id", "q_vec"))
     val cand = c.join(q, Seq("table", "bucket"))
@@ -155,12 +159,16 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    bits: Int = 6, tables: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = (0 until tables).map { t =>
-      base.withColumn("table", lit(t))
-        .withColumn("bucket",
-          VF.hyperplaneSignBits(col("vec"), bits, seed = 0xD00DL + 104729L * t))
-    }.reduce(_ unionByName _)
+    // single-scan banding: all tables' buckets in one projection + one
+    // explode (see lshTopK) instead of `tables` full corpus scans
+    val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          VF.hyperplaneSignBits(col("vec"), bits, seed = 0xD00DL + 104729L * t)
+            .as("bucket"))
+      }: _*)))
+      .select(col("id"), col("vec"), col("tb.table").as("table"),
+        col("tb.bucket").as("bucket"))
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table", "bucket"))

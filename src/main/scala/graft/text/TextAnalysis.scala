@@ -47,9 +47,11 @@ object TextAnalysis {
   def stopwordCount(text: Column, lang: String = "en"): Column =
     hitCount(tokens(text), stopwords(lang))
 
-  /** Characters outside [a-z0-9 ] (punctuation/symbol mass). */
+  /** Characters outside [a-z0-9 ] (punctuation/symbol mass).
+    * `regexp_replace` deletes the in-class chars, so the remaining
+    * length IS the symbol count. */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[a-z0-9 ]", ""))
+    length(regexp_replace(text, "[a-z0-9 ]", ""))
 
   /** Heuristic doc-quality score in [0,1]: stopword density + sane mean
     * word length + low symbol noise (the standard cheap pre-filter
@@ -58,12 +60,13 @@ object TextAnalysis {
     val nTok = tokenCount(text).cast("double")
     val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
     val meanWordLen = length(text).cast("double") / greatest(nTok, lit(1.0))
-    val punctRatio = (length(text) - punctCount(text)).cast("double") /
+    // fraction of clean (in-class) characters — symbol-heavy junk scores low
+    val cleanRatio = (length(text) - punctCount(text)).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
     val lenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
     val wordLenOk = when(meanWordLen >= 2.5 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
     (least(stopRatio * 4.0, lit(1.0)) * 0.4 + wordLenOk * 0.2 +
-      lenOk * 0.2 + punctRatio * 0.2)
+      lenOk * 0.2 + cleanRatio * 0.2)
   }
 
   /** n-gram-heuristic language ID: argmax of per-language stopword hit

@@ -57,6 +57,22 @@ class TextSpec extends SparkSpec {
     assert(m("clean") > m("junk"))
   }
 
+  test("punctuation alone ranks a junk doc below a clean one") {
+    // identical token counts, stopword hits and length bands; ONLY the
+    // symbol mass differs — catches a sign flip in the punctuation term
+    val df = Seq(
+      ("clean", "the cat sat on the mat and it was fine"),
+      ("noisy", "the $$$cat$$$ sat on the ###mat### and it was fine!!!"))
+      .toDF("id", "text")
+    val m = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m("clean") > m("noisy"))
+    val pc = df.select($"id", TextAnalysis.punctCount($"text").as("p"))
+      .as[(String, Int)].collect().toMap
+    assert(pc("clean") == 0)
+    assert(pc("noisy") == 15)
+  }
+
   test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Multimodal.synthesize(docs)
