@@ -110,9 +110,14 @@ object EnvelopeDecode {
   /** Unwrap `payload.after` into top-level columns (U1 /
     * `ExtractNewRecordState`), applying the delete policy, metadata
     * add-fields, masking and name sanitization. Input: a frame with the
-    * `_env` struct from [[decode]]. */
+    * `_env` struct from [[decode]].
+    *
+    * `fields` restricts the output to that subset of row columns (in
+    * `rowSchema` order) — pair with a [[decode]] whose before/after
+    * structs were pruned to the same subset (see [[changes]]). */
   def unwrap(decoded: DataFrame, rowSchema: StructType,
-             opts: DecodeOptions = DecodeOptions()): DataFrame = {
+             opts: DecodeOptions = DecodeOptions(),
+             fields: Option[Seq[String]] = None): DataFrame = {
     val filtered = opts.deletePolicy match {
       case DeletePolicy.Drop =>
         // F1: `WHERE JSONHas(value,'payload','after')` — also drops
@@ -129,7 +134,11 @@ object EnvelopeDecode {
                   .otherwise(col("_env.after"))
     }
 
-    val base: Seq[Column] = rowSchema.fields.toSeq.map { f =>
+    val keptFields = fields match {
+      case Some(fs) => rowSchema.fields.toSeq.filter(f => fs.contains(f.name))
+      case None => rowSchema.fields.toSeq
+    }
+    val base: Seq[Column] = keptFields.map { f =>
       val c = rowSide.getField(f.name)
       val masked =
         if (opts.maskFields.contains(f.name)) lit("").cast(f.dataType) // U2
@@ -158,11 +167,37 @@ object EnvelopeDecode {
     filtered.select(base ++ meta ++ deleted ++ txn: _*)
   }
 
-  /** decode ∘ unwrap. */
+  /** decode ∘ unwrap.
+    *
+    * With `fields = Some(fs)` the wire parse is pruned end-to-end: the
+    * before/after structs inside the `from_json` schema keep only the
+    * requested row columns, the `before` branch is parsed only when the
+    * delete policy needs it, `source`/`transaction` only when the
+    * options project them — and **masked fields are never parsed at
+    * all** (their output is a constant). q61's decode-only `fields=`
+    * path measured ~3× on this data; this extends the same pruning to
+    * the full unwrap path (q62: one string field parsed instead of the
+    * 9-column row twice plus the 12-field source block). */
   def changes(raw: DataFrame, rowSchema: StructType,
               opts: DecodeOptions = DecodeOptions(),
-              valueCol: String = "value"): DataFrame =
-    unwrap(decode(raw, rowSchema, opts, valueCol), rowSchema, opts)
+              valueCol: String = "value",
+              fields: Option[Seq[String]] = None): DataFrame = fields match {
+    case None =>
+      unwrap(decode(raw, rowSchema, opts, valueCol), rowSchema, opts)
+    case Some(fs) =>
+      // Masked columns become `lit("")` in unwrap — exclude them from the
+      // parse schema entirely.
+      val parseFs = fs.filterNot(opts.maskFields.contains)
+      val prunedRow = StructType(rowSchema.fields.filter(f => parseFs.contains(f.name)))
+      val needRowSide = prunedRow.nonEmpty
+      val envFields =
+        (if (needRowSide || opts.deletePolicy == DeletePolicy.Drop) Seq("after") else Nil) ++
+        (if (needRowSide && opts.deletePolicy != DeletePolicy.Drop) Seq("before") else Nil) ++
+        (if (opts.addMeta) Seq("source") else Nil) ++
+        (if (opts.keepTransaction) Seq("transaction") else Nil)
+      val decoded = decode(raw, prunedRow, opts, valueCol, Some(envFields.distinct))
+      unwrap(decoded, rowSchema, opts, Some(fs))
+  }
 
   /** U3: `sanitize.field.names` — squash anything outside
     * `[A-Za-z0-9_]` to `_` (leading digit prefixed). */

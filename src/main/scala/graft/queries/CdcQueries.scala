@@ -56,7 +56,11 @@ object CdcQueries {
       (s, dir) => {
         val opts = DecodeOptions(deletePolicy = DeletePolicy.Rewrite,
           maskFields = Seq("priority"))
-        EnvelopeDecode.changes(env(s, dir), CdcSim.ordersRow, opts)
+        // fields= prunes the wire parse to what the query reads: priority
+        // is masked (never parsed), so only `op` + the source block hit
+        // Jackson — not the 9-column row structs.
+        EnvelopeDecode.changes(env(s, dir), CdcSim.ordersRow, opts,
+            fields = Some(Seq("priority")))
           .groupBy(col("__deleted"), col("priority"))
           .agg(count(lit(1)).as("n"))
           .orderBy("__deleted")

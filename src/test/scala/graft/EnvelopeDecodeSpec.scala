@@ -99,6 +99,35 @@ class EnvelopeDecodeSpec extends SparkSpec {
     assert(got._2 == 1704103200L)
   }
 
+  test("changes(fields=) matches the full path and prunes the wire parse") {
+    val opts = DecodeOptions(deletePolicy = DeletePolicy.Rewrite,
+      maskFields = Seq("name"))
+    val full = EnvelopeDecode.changes(raw, Debezium.productsRow, opts)
+      .select("id", "name", "price", "__op", "__deleted")
+    val pruned = EnvelopeDecode.changes(raw, Debezium.productsRow, opts,
+      fields = Some(Seq("id", "name", "price")))
+      .select("id", "name", "price", "__op", "__deleted")
+    assert(pruned.collect().toSet == full.collect().toSet)
+    // the pruned parse schema must not mention unselected row fields
+    val plan = pruned.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("stock_quantity"))
+    // masked fields are constants — never parsed off the wire
+    assert(!plan.contains("before.name") && !plan.contains("after.name"))
+  }
+
+  test("changes(fields=) with only masked/meta columns parses no row struct") {
+    val opts = DecodeOptions(deletePolicy = DeletePolicy.Rewrite,
+      maskFields = Seq("price"))
+    val out = EnvelopeDecode.changes(raw, Debezium.productsRow, opts,
+      fields = Some(Seq("price")))
+    assert(out.columns.toSeq == Seq("price", "__op", "__ts_ms", "__source_db",
+      "__source_table", "__lsn", "__deleted"))
+    assert(out.count() == 3)
+    assert(out.where($"__deleted").count() == 1)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("after") && !plan.contains("before"))
+  }
+
   test("transaction metadata surfaces when requested (U5)") {
     val withTxn = Seq(
       envJson("c", "null", rowA, 5000L).replace("\"transaction\":null",
