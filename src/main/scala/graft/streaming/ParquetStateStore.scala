@@ -1,9 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Versioned
@@ -18,50 +19,121 @@ import graft.operators.Versioned
   * SURVEY §7 risk 1). Rows whose latest event has `deletedCol = true`
   * are dropped (DeletePolicy.Apply).
   *
-  * Mechanics: each merge writes a fresh versioned directory then
-  * atomically swaps a pointer file — readers always see a complete
-  * snapshot. On a production cluster this class is replaced by Delta /
-  * Iceberg `MERGE INTO` keyed on the same columns (same semantics, log
-  * instead of pointer file, partial file rewrite instead of full);
-  * the full-rewrite here is O(state) per batch, acceptable for tests
-  * and exactly what the compaction job of the lazy variant would do.
+  * Mechanics — incremental, like the reference's background merges:
+  * state is hash-partitioned into `buckets` fixed buckets by key
+  * (`pmod(xxhash64(keys), buckets)`); a manifest file maps each bucket
+  * to the epoch directory holding its current data. A merge rewrites
+  * ONLY the buckets its batch keys hash into (union prior bucket data +
+  * batch rows, re-run last-writer-wins, write `e{N}/__gbucket={b}`),
+  * then atomically swaps the manifest — clean buckets keep their old
+  * files untouched. Merge I/O is O(dirty-bucket bytes), not O(state):
+  * with B buckets a batch touching K distinct buckets reads/writes
+  * ~K/B of the state. Readers always see a complete snapshot (the
+  * manifest swap is atomic; old epochs are never mutated). On a
+  * production cluster the same layout maps to Delta/Iceberg `MERGE
+  * INTO` (log instead of manifest file); size `buckets` so one bucket
+  * ≈ a few GB at the target scale.
   */
 class ParquetStateStore(
     val path: String,
     val keys: Seq[String],
     val versionCols: Seq[String],
-    val deletedCol: Option[String] = None) extends Serializable {
+    val deletedCol: Option[String] = None,
+    val buckets: Int = 32) extends Serializable {
+  require(buckets > 0, "buckets must be positive")
 
-  private def pointer = Paths.get(path, "_CURRENT")
+  private def pointer = new HPath(path, "_CURRENT")
 
-  def currentVersion: Option[Int] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toInt)
-    else None
+  private def fs(spark: SparkSession): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Manifest: first line the current epoch, then one `bucket epoch`
+    * line per non-empty bucket. */
+  private def readManifest(fs: FileSystem): Option[(Int, Map[Int, Int])] =
+    if (fs.exists(pointer)) {
+      val in = fs.open(pointer)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      val epoch = lines.head.trim.toInt
+      val map = lines.tail.map { l =>
+        val Array(b, e) = l.trim.split("\\s+"); b.toInt -> e.toInt
+      }.toMap
+      Some((epoch, map))
+    } else None
+
+  private def writeManifest(fs: FileSystem, epoch: Int, map: Map[Int, Int]): Unit = {
+    val tmp = new HPath(path, s"_CURRENT.tmp$epoch")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (epoch.toString +: map.toSeq.sorted.map { case (b, e) => s"$b $e" })
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // HDFS/posix rename is atomic; object stores substitute their own
+    // atomic pointer swap here (or a Delta/Iceberg commit).
+    if (!fs.rename(tmp, pointer)) {
+      fs.delete(pointer, false)
+      require(fs.rename(tmp, pointer), s"manifest swap failed for $path")
+    }
+  }
+
+  private def bucketDir(epoch: Int, b: Int) = s"$path/e$epoch/__gbucket=$b"
+
+  private def bucketCol = pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong))
+    .cast("int")
+
+  def currentVersion: Option[Int] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    readManifest(new HPath(path).getFileSystem(conf)).map(_._1)
+  }
 
   def read(spark: SparkSession): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(s"$path/v$v"))
+    readManifest(fs(spark)).map { case (_, map) =>
+      val dirs = map.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
+      if (dirs.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(dirs: _*)
+    }
 
   /** Merge a change-batch into the state (idempotent for replayed
     * batches: last-writer-wins is order-insensitive given distinct
-    * versions). */
+    * versions). Rewrites only the buckets the batch touches. */
   def merge(batch: DataFrame): Unit = synchronized {
     val spark = batch.sparkSession
-    val unioned = read(spark) match {
-      case Some(state) => state.unionByName(batch)
-      case None => batch
+    val hfs = fs(spark)
+    val (prevEpoch, prevMap) = readManifest(hfs).getOrElse((-1, Map.empty[Int, Int]))
+    val epoch = prevEpoch + 1
+
+    val batchB = batch.withColumn("__gbucket", bucketCol)
+    // Metadata-sized driver action: ≤ `buckets` rows (the touched-file
+    // listing a transactional table format would do).
+    val dirty = batchB.select("__gbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val priorDirs = prevMap.collect {
+      case (b, e) if dirty(b) => bucketDir(e, b)
+    }.toSeq.sorted
+    val prior =
+      if (priorDirs.isEmpty) None
+      else Some(spark.read.parquet(priorDirs: _*).withColumn("__gbucket", bucketCol))
+
+    val unioned = prior match {
+      case Some(p) => p.unionByName(batchB)
+      case None => batchB
     }
-    val version = versionCols.map(col)
-    val merged0 = Versioned.latestByKey(unioned, keys, version)
+    val merged0 = Versioned.latestByKey(unioned, keys, versionCols.map(col))
     val merged = deletedCol match {
       case Some(d) => merged0.where(!coalesce(col(d), lit(false)))
       case None => merged0
     }
-    val next = currentVersion.getOrElse(-1) + 1
-    merged.write.mode("overwrite").parquet(s"$path/v$next")
-    val tmp = Paths.get(path, s"_CURRENT.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    merged
+      .repartition(dirty.size.max(1), col("__gbucket"))
+      .write.mode("overwrite").partitionBy("__gbucket")
+      .parquet(s"$path/e$epoch")
+
+    // A dirty bucket whose merged content is empty (every key deleted)
+    // produces no output dir — drop it from the manifest.
+    val written = dirty.filter(b => hfs.exists(new HPath(bucketDir(epoch, b))))
+    val nextMap = (prevMap -- dirty) ++ written.map(_ -> epoch)
+    writeManifest(hfs, epoch, nextMap)
   }
 }
