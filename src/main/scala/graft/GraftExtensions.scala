@@ -71,7 +71,14 @@ object GraftExtensions {
       if (e.size > 1) intLit(e(1), "k") else 3)),
     "hyperplane_sign_bits" -> (e => HyperplaneSignBits(arg(e, 0),
       intLit(e(1), "bits"), longLit(e(2), "seed"))),
-    "top_k_by" -> (e => TopKByScore(arg(e, 0), arg(e, 1),
+    // Cast to the aggregate's native (double, long) exactly as the
+    // Column API does — raw children would pass analysis and throw
+    // ClassCastException executor-side on e.g. decimal literals.
+    "top_k_by" -> (e => TopKByScore(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.LongType),
       intLit(e(2), "k")).toAggregateExpression()))
 
   /** Imperative registration on an existing session. */

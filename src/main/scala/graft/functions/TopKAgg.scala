@@ -85,6 +85,17 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
+
+  // update() downcasts to Double/Long — reject anything else at
+  // analysis time instead of ClassCastException executor-side.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by expects (score: double, id: bigint, k), got " +
+        s"(${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType))))
 

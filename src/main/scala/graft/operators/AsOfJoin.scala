@@ -35,31 +35,36 @@ object AsOfJoin {
       "right value columns must not collide with left columns")
 
     val rightSchema = right.schema
-    def nullOf(c: String): Column =
-      lit(null).cast(rightSchema(c).dataType).as(c)
+    // Carry ONE struct of all right value columns, not N independent
+    // last()s: per-column carry could assemble a "torn" match from
+    // different right rows when some right values are null (DuckDB-style
+    // ASOF attaches one whole row — so do we).
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => rightSchema(c)))
 
     val tb = tiebreak.map(col).getOrElse(lit(0L))
     val lTagged = left.select(
-      (leftCols.map(col) :+
-        col(leftTs).as("_ts") :+ lit(1).as("_side") :+ lit(0L).as("_tb")) ++
-        rightValueCols.map(nullOf): _*)
+      leftCols.map(col) :+
+        col(leftTs).as("_ts") :+ lit(1).as("_side") :+ lit(0L).as("_tb") :+
+        lit(null).cast(rvType).as("_rv"): _*)
     // right rows: key columns from the right (same names required),
     // non-key left columns null
     val rTagged = right.select(
-      (leftCols.map(c =>
+      leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col(rightTs).as("_ts") :+ lit(0).as("_side") :+ tb.cast("long").as("_tb")) ++
-        rightValueCols.map(col): _*)
+        col(rightTs).as("_ts") :+ lit(0).as("_side") :+ tb.cast("long").as("_tb") :+
+        struct(rightValueCols.map(col): _*).as("_rv"): _*)
     val merged = lTagged.unionByName(rTagged)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(merged)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = merged.withColumn("_rv",
+      last(col("_rv"), ignoreNulls = true).over(w))
 
     carried.where(col("_side") === 1)
-      .select((leftCols ++ rightValueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col("_rv").getField(c).as(c)): _*)
   }
 }

@@ -23,14 +23,25 @@ object RangeJoin {
                       loCol: String, hiCol: String, binWidth: Double,
                       joinType: String = "inner"): DataFrame = {
     require(binWidth > 0)
-    val f = facts.withColumn("_bin",
+    // Right/full outer are unsupported: an unmatched range row appears
+    // once PER overlapped bin after the explode, so null-extension would
+    // duplicate it. Left-family types are safe because the fact side
+    // computes exactly one bin — the BETWEEN residual lives INSIDE the
+    // join condition so a candidate that fails it still null-extends
+    // (post-join .where() would silently turn left outer into inner).
+    val jt = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(jt),
+      s"binnedRangeJoin supports inner/left/semi/anti, not $joinType " +
+        "(use naiveRangeJoin for small right-outer cases)")
+    val f = facts.withColumn("_fbin",
       floor(col(valueCol) / binWidth).cast("long"))
-    val r = ranges.withColumn("_bin",
+    val r = ranges.withColumn("_rbin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor((col(hiCol) - 1e-9) / binWidth).cast("long"))))
-    f.join(r, Seq("_bin"), joinType)
-      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
-      .drop("_bin")
+    val cond = col("_fbin") === col("_rbin") &&
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol)
+    f.join(r, cond, joinType).drop("_fbin", "_rbin")
   }
 
   /** Reference formulation (nested-loop) — the differential-test

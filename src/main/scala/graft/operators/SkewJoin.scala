@@ -21,10 +21,26 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
+    // Right/full outer are unsupported: the dim side is replicated
+    // `salt`×, so an unmatched dim row would null-extend once per copy.
+    // Left-family types are safe — each fact row carries exactly one
+    // salt value.
+    val jt = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(jt),
+      s"saltedJoin supports inner/left/semi/anti, not $joinType " +
+        "(the replicated dim side cannot null-extend)")
     val factCols = fact.columns
+    val nonKey = factCols.filterNot(_ == key).map(col).toIndexedSeq
+    // Any salt value joins correctly (the dim carries every value); the
+    // non-key hash just spreads a hot key deterministically. A key-only
+    // fact falls back to a row-id spread — nondeterministic across
+    // retries, which is fine: the salt only picks WHICH dim copy.
+    val saltSrc =
+      if (nonKey.nonEmpty) xxhash64(nonKey: _*)
+      else xxhash64(monotonically_increasing_id())
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(factCols.filterNot(_ == key).map(col).toIndexedSeq: _*),
-        lit(salt)).cast("int"))
+      pmod(saltSrc, lit(salt.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType)

@@ -49,6 +49,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(binned.count() > facts.count())  // overlap band duplicates
   }
 
+  test("binned range join: left outer null-extends unmatched facts") {
+    import graft.operators.RangeJoin
+    val facts = Seq((1, 50.0), (2, 150.0), (3, 9999.0)).toDF("fid", "v")
+    val ranges = Seq(("a", 0.0, 100.0), ("b", 100.0, 200.0))
+      .toDF("tier", "lo", "hi")
+    val out = RangeJoin.binnedRangeJoin(facts, ranges, "v", "lo", "hi",
+      binWidth = 30.0, joinType = "left")
+    // every fact appears exactly once; 9999.0 matches nothing → null tier
+    assert(out.count() == 3)
+    assert(out.where($"fid" === 3).select("tier").collect().head.isNullAt(0))
+    // a candidate sharing the bin but failing BETWEEN must ALSO
+    // null-extend, not drop the fact row (the post-join .where() bug):
+    // bin 3 = [90,120) holds both v=95 and range [100,110) — no match.
+    val f2 = Seq((10, 95.0)).toDF("fid", "v")
+    val r2 = Seq(("x", 100.0, 110.0)).toDF("tier", "lo", "hi")
+    val o2 = RangeJoin.binnedRangeJoin(f2, r2, "v", "lo", "hi", 30.0, "left")
+    assert(o2.count() == 1 && o2.select("tier").collect().head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      RangeJoin.binnedRangeJoin(facts, ranges, "v", "lo", "hi", 30.0, "full_outer")
+    }
+  }
+
   test("salted join == plain join (skew-spread correctness)") {
     // heavily skewed fact: 90% of rows share one key
     val fact = spark.range(0, 2000).selectExpr(
@@ -59,5 +81,18 @@ class ConstraintsSpec extends SparkSpec {
     val plain = fact.join(dim, Seq("k"))
     val salted = SkewJoin.saltedJoin(fact, dim, "k", salt = 8)
     assertSameRows(plain, salted)
+  }
+
+  test("salted join: left outer, key-only fact, and outer-type guard") {
+    val fact = spark.range(0, 100).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN CAST(1 AS BIGINT) ELSE id END AS k")
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    // key-only fact (no non-key columns to hash) must still analyze
+    val out = SkewJoin.saltedJoin(fact, dim, "k", salt = 4, joinType = "left")
+    assert(out.count() == 100)                       // no fact row lost/duplicated
+    assert(out.where($"label".isNull).count() == 49) // odd ids (except 1) unmatched
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", salt = 4, joinType = "right")
+    }
   }
 }

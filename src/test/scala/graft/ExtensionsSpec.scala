@@ -39,6 +39,14 @@ class ExtensionsSpec extends SparkSpec {
         |FROM ext_emb""".stripMargin)
       .select(explode($"t").as("e")).select($"e.id").as[Long].collect()
     assert(topk.length == 3 && topk(0) == topk.max)
+
+    // non-native arg types (decimal score, int id) are cast at analysis
+    // time, not ClassCastException'd executor-side
+    val cast = spark.sql(
+      """SELECT top_k_by(vec_id * 1.5, CAST(vec_id AS INT), 2) AS t
+        |FROM ext_emb""".stripMargin)
+      .select(explode($"t").as("e")).select($"e.id").as[Long].collect()
+    assert(cast.length == 2 && cast(0) == cast.max)
   }
 
   test("extension class injects functions at session build time") {

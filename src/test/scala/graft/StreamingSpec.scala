@@ -258,6 +258,23 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L).isEmpty)        // no right row for key 2
   }
 
+  test("asof attaches one whole right row — no torn match from nulls") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    // two right rows where each has a null in a different value column:
+    // per-column carry-forward would stitch a=1 (from ts=10) with
+    // b=2 (from ts=20) — a row that never existed.
+    val l = Seq((1L, 30L, 100L)).toDF("k", "lts", "lid")
+    val r = Seq(
+      (1L, 10L, Some(1L), Option.empty[Long]),
+      (1L, 20L, Option.empty[Long], Some(2L)))
+      .toDF("k", "rts", "a", "b")
+    val out = AsOfJoin.asofBackward(l, r, Seq("k"), "lts", "rts",
+      Seq("a", "b"))
+      .select($"a", $"b").as[(Option[Long], Option[Long])].head()
+    assert(out == (None, Some(2L)), s"torn match: $out")
+  }
+
   test("pipeline registry is idempotent and stops cleanly (O2/O3)") {
     val src = tmpDir("graft-src3"); val sink = tmpDir("graft-l3")
     val cp = tmpDir("graft-cp3")
