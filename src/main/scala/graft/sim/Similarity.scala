@@ -60,6 +60,7 @@ object Similarity {
               bits: Int = 8, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
+    require(tables > 0, s"lshTopK needs at least one hash table, got $tables")
     // per-table planes: fold the table index into the seed. All tables'
     // buckets are computed in ONE projection and exploded — a single
     // corpus scan/shuffle of O(n·tables) narrow rows, not `tables`
@@ -92,35 +93,60 @@ object Similarity {
     * `nCentroids` Voronoi cells, search only the `nProbe` cells nearest
     * each query.
     *
-    * Centroids are a deterministic corpus sample (every ⌈n/C⌉-th vector
-    * by id — for well-shuffled embeddings a uniform sample; a k-means
-    * refinement would drop in here). Assignment is a broadcast
-    * cross-score + arg-max: the corpus shuffles once on cell id and the
-    * per-query search touches ~nProbe/C of it — the classic IVF
-    * recall/cost dial.
+    * Initial centroids are a deterministic pseudo-random sample — the C
+    * smallest id-hashes via `orderBy(hash).limit(C)`, which Spark plans
+    * as TakeOrderedAndProject (per-partition top-C, no full sort, no
+    * driver-side count). `lloydIters` rounds of k-means refinement
+    * follow: assign → per-cell [[graft.functions.VectorAvg]] mean
+    * (partial-agg, cells×tasks rows over the exchange) → reassign.
+    * Nothing executes until the caller acts on the returned frame.
+    * Assignment is a broadcast cross-score + arg-max: the corpus
+    * shuffles once on cell id and the per-query search touches
+    * ~nProbe/C of it — the classic IVF recall/cost dial.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    // deterministic hash-sample (no global sort: filter to ~2C rows by
-    // id-hash stride, then a tiny bounded sort picks exactly C)
-    val n = c.count()
-    val stride = math.max(n / (nCentroids * 2L), 1L)
-    val centroids = broadcast(
-      c.where(pmod(xxhash64(col("cid")), lit(stride)) === 0)
-        .orderBy("cid").limit(nCentroids)
-        .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec")))
-
-    // corpus → nearest centroid (cell assignment)
-    val assigned = c.join(centroids)
+  /** Nearest-centroid assignment of every corpus vector: one row per
+    * vector with its winning cell, kept vector, and cosine to the
+    * winning centroid. `centroids` must be broadcast-small. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .join(broadcast(centroids))
       .select(col("cid"), col("cvec"), col("centroid_id"),
         VF.cosine(col("cvec"), col("centroid_vec")).as("csim"))
       .groupBy("cid")
-      .agg(max_by(struct(col("centroid_id"), col("cvec")), col("csim")).as("m"))
-      .select(col("cid").as("neighbor_id"), col("m.centroid_id").as("cell"),
-        col("m.cvec").as("c_vec"))
+      .agg(max_by(struct(col("centroid_id"), col("csim"), col("cvec")),
+        col("csim")).as("m"))
+      .select(col("cid"), col("m.centroid_id").as("cell"),
+        col("m.csim").as("csim"), col("m.cvec").as("cvec"))
+
+  /** IVF coarse-quantizer codebook: deterministic pseudo-random init
+    * (the C smallest id-hashes — TakeOrderedAndProject, per-partition
+    * top-C, no full sort, no driver-side action) + `lloydIters` rounds
+    * of spherical k-means (assign → per-cell [[graft.functions.VectorAvg]]
+    * mean → reassign; cosine scoring normalizes, so the un-normalized
+    * mean is the spherical update; empty cells drop out). */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, lloydIters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val init = c.orderBy(xxhash64(col("cid")).asc, col("cid").asc).limit(nCentroids)
+      .select(col("cid").cast("long").as("centroid_id"),
+        col("cvec").as("centroid_vec"))
+    (1 to lloydIters).foldLeft(init) { (cents, _) =>
+      ivfAssign(corpus, cents, idCol, vecCol)
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorAgg.vectorAvg(col("cvec")).as("centroid_vec"))
+        .select(col("cell").as("centroid_id"), col("centroid_vec"))
+    }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true, lloydIters: Int = 2): DataFrame = {
+    val centroids =
+      broadcast(ivfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("cid").as("neighbor_id"), col("cell"), col("cvec").as("c_vec"))
 
     // query → nProbe nearest centroids
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -159,6 +185,7 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    bits: Int = 6, tables: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tables > 0, s"nearDupPairs needs at least one hash table, got $tables")
     // single-scan banding: all tables' buckets in one projection + one
     // explode (see lshTopK) instead of `tables` full corpus scans
     val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))

@@ -47,11 +47,12 @@ object TextAnalysis {
   def stopwordCount(text: Column, lang: String = "en"): Column =
     hitCount(tokens(text), stopwords(lang))
 
-  /** Characters outside [a-z0-9 ] (punctuation/symbol mass).
+  /** Characters outside [a-zA-Z0-9 ] (punctuation/symbol mass).
     * `regexp_replace` deletes the in-class chars, so the remaining
-    * length IS the symbol count. */
+    * length IS the symbol count. Uppercase is in-class: normal
+    * capitalization is not symbol noise. */
   def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[a-z0-9 ]", ""))
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
 
   /** Heuristic doc-quality score in [0,1]: stopword density + sane mean
     * word length + low symbol noise (the standard cheap pre-filter

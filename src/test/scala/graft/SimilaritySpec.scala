@@ -88,6 +88,86 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("vector_avg == posexplode/groupBy/avg (differential over real vectors)") {
+    import graft.functions.VectorAgg
+    val grouped = emb.withColumn("g", pmod($"vec_id", lit(7)))
+    val fast = grouped.groupBy($"g")
+      .agg(VectorAgg.vectorAvg($"embedding").as("m"))
+      .select($"g", posexplode($"m").as(Seq("pos", "v")))
+    val oracle = grouped.select($"g", posexplode($"embedding").as(Seq("pos", "e")))
+      .groupBy($"g", $"pos").agg(avg($"e").as("v"))
+      .select($"g", $"pos", $"v")
+    val joined = fast.withColumnRenamed("v", "vf")
+      .join(oracle, Seq("g", "pos"))
+      .select(abs($"vf" - $"v").as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(joined < 1e-9, s"vector_avg diverged from explode/avg by $joined")
+    assert(fast.count() == oracle.count())
+  }
+
+  test("vector_avg handles double arrays, nulls, and rejects non-arrays") {
+    import graft.functions.VectorAgg
+    val df = Seq(
+      (1, Some(Seq(1.0, 2.0))),
+      (1, Some(Seq(3.0, 6.0))),
+      (1, None)
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(VectorAgg.vectorAvg($"v").as("m"))
+      .select($"m").as[Seq[Double]].head()
+    assert(got == Seq(2.0, 4.0))
+    val empty = df.where($"g" === 99)
+      .agg(VectorAgg.vectorAvg($"v").as("m")).select($"m").head()
+    assert(empty.isNullAt(0), "empty/all-null group must yield null mean")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(VectorAgg.vectorAvg($"g").as("m")).collect()
+    }
+  }
+
+  test("ivfTopK plan construction launches no Spark jobs") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // drain events from earlier tests
+      counter.set(0)
+      val plan = Similarity.ivfTopK(emb, emb.where($"vec_id" < 4), k = 3)
+      Thread.sleep(300) // let any job-start events surface
+      assert(counter.get() == 0,
+        s"ivfTopK ran ${counter.get()} jobs during plan construction")
+      assert(plan.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("Lloyd refinement improves the spherical k-means objective") {
+    // Each Lloyd step is non-decreasing in the mean cosine of a vector
+    // to its assigned centroid (the spherical k-means objective) — the
+    // guaranteed property; recall gains depend on cluster structure.
+    def objective(iters: Int): Double = {
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 8, lloydIters = iters)
+      Similarity.ivfAssign(emb, cents)
+        .agg(avg($"csim")).as[Double].head()
+    }
+    val raw = objective(0)
+    val refined = objective(2)
+    assert(refined >= raw - 1e-9,
+      s"Lloyd worsened the quantization objective: $raw -> $refined")
+    assert(refined > raw + 1e-4,
+      s"Lloyd made no measurable progress: $raw -> $refined")
+  }
+
+  test("lshTopK and nearDupPairs reject tables <= 0") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, emb.limit(1), k = 1, tables = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, threshold = 0.9, tables = 0)
+    }
+  }
+
   test("hyperplane sign bits are deterministic and bounded") {
     val b1 = emb.select(VF.hyperplaneSignBits($"embedding", 8, 1L).as("b"))
     val b2 = emb.select(VF.hyperplaneSignBits($"embedding", 8, 1L).as("b"))

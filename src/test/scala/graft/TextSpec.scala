@@ -73,6 +73,17 @@ class TextSpec extends SparkSpec {
     assert(pc("noisy") == 15)
   }
 
+  test("capitalization is not symbol noise") {
+    val df = Seq(
+      ("lower", "the cat sat on the mat and it was fine"),
+      ("caps", "The Cat Sat On The Mat And It Was Fine"))
+      .toDF("id", "text")
+    val pc = df.select($"id", TextAnalysis.punctCount($"text").as("p"))
+      .as[(String, Int)].collect().toMap
+    assert(pc("caps") == 0, s"uppercase chars counted as symbols: ${pc("caps")}")
+    assert(pc("lower") == pc("caps"))
+  }
+
   test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Multimodal.synthesize(docs)
