@@ -213,6 +213,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ---- fuzzy matching (bounded edit distance, FastSS blocking) -------
+
+  /** Candidate pairs for edit distance ≤ `maxDist`: records whose
+    * FastSS deletion neighborhoods intersect, found by an equi-join on
+    * [[graft.functions.DeletionHashes]] variant hashes.
+    *
+    * COMPLETE blocking — every true pair within `maxDist` shares a
+    * deletion variant, so nothing is lost before the verify; the only
+    * extras are same-variant coincidences, which
+    * [[fuzzyPairs]]' exact `levenshtein` removes. Cost:
+    * O(n·C(len,≤maxDist)) narrow (hash, id) rows shuffled — linear in
+    * n, never the n² of an unblocked inequality self-join. */
+  def editCandidates(recs: DataFrame, maxDist: Int = 2,
+                     idCol: String = "id", strCol: String = "name"): DataFrame = {
+    val vars = recs.select(col(idCol).as("id"),
+        explode(graft.functions.HashFunctions.deletionHashes(col(strCol), maxDist))
+          .as("vh"))
+    vars.select(col("vh"), col("id").as("id_a"))
+      .join(vars.select(col("vh"), col("id").as("id_b")), Seq("vh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Record pairs within `maxDist` edit distance: FastSS-blocked
+    * candidate generation ([[editCandidates]]) + exact `levenshtein`
+    * verify. Returns (id_a, id_b, dist) with id_a < id_b — identical
+    * rows to the O(n²) cartesian formulation, at O(n) shuffle cost. */
+  def fuzzyPairs(recs: DataFrame, maxDist: Int = 2,
+                 idCol: String = "id", strCol: String = "name"): DataFrame = {
+    val base = recs.select(col(idCol).as("id"), col(strCol).as("s"))
+    editCandidates(base, maxDist, "id", "s")
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ---- exact n-gram Jaccard (bounded verification pass) --------------
 
   /** Exact word-k-gram Jaccard over all pairs of `docs` — O(n²) in the

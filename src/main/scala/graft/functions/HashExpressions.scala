@@ -184,6 +184,77 @@ object WordShingles {
   private val SPACE = UTF8String.fromString(" ")
 }
 
+/** Distinct xxhash64 hashes of every variant of a string obtainable by
+  * deleting up to `maxDeletions` code points — the FastSS deletion
+  * neighborhood (Bocek et al., "Fast Similarity Search in Large
+  * Dictionaries", 2007), including the 0-deletion variant (the string
+  * itself).
+  *
+  * Two strings with edit distance ≤ d always share a variant: walk an
+  * optimal alignment and delete the edited position(s) from whichever
+  * side carries them — both sides reduce to the common subsequence with
+  * ≤ d deletions each. So an equi-join on these hashes is a COMPLETE
+  * blocking key for bounded edit distance (no false negatives; hash
+  * collisions and unrelated shared variants are removed by the exact
+  * `levenshtein` verify). Emitting the 8-byte hash instead of the
+  * variant string keeps the exploded join input narrow.
+  *
+  * Neighborhood size is C(len, ≤ maxDeletions) — sized for short
+  * record-linkage keys (names, titles, codes), not documents; for long
+  * text use the MinHash/SimHash paths. */
+case class DeletionHashes(child: Expression, maxDeletions: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxDeletions >= 0 && maxDeletions <= 3,
+    s"deletion_hashes supports 0..3 deletions (C(len,d) variants per row), got $maxDeletions")
+
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deletion_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(n)
+    val del = new Array[Int](math.max(maxDeletions, 1))
+
+    def emit(nDel: Int): Unit = {
+      sb.setLength(0)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        if (j < nDel && del(j) == i) j += 1
+        else sb.appendCodePoint(cps(i))
+        i += 1
+      }
+      out.add(HashMix.hashString(UTF8String.fromString(sb.toString)))
+    }
+
+    // all ascending position combinations of size k, then emit
+    def choose(start: Int, k: Int, filled: Int): Unit =
+      if (k == 0) emit(filled)
+      else {
+        var p = start
+        while (p <= n - k) {
+          del(filled) = p
+          choose(p + 1, k - 1, filled + 1)
+          p += 1
+        }
+      }
+
+    var d = 0
+    val dMax = math.min(maxDeletions, n)
+    while (d <= dMax) { choose(0, d, 0); d += 1 }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue; i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
   def wordShingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
@@ -196,4 +267,7 @@ object HashFunctions {
 
   def hyperplaneSignBits(vec: Column, bits: Int, seed: Long): Column =
     ColumnBridge.column(HyperplaneSignBits(ColumnBridge.expression(vec), bits, seed))
+
+  def deletionHashes(str: Column, maxDeletions: Int): Column =
+    ColumnBridge.column(DeletionHashes(ColumnBridge.expression(str), maxDeletions))
 }

@@ -221,24 +221,21 @@ object Analytics2 {
              |GROUP BY 1
              |ORDER BY keep_id""".stripMargin)),
 
-    // ---- fuzzy matching: near-identical names by edit distance (the
-    // ---- record-linkage cousin of text dedup; bounded slice) ---------
+    // ---- fuzzy matching: near-identical names by edit distance, via
+    // ---- FastSS deletion-neighborhood blocking + levenshtein verify
+    // ---- (linear candidate generation — the cartesian formulation is
+    // ---- the differential partner in DedupSpec) ----------------------
     Q("q48_fuzzy_names",
       (s, dir) => {
-        val c = t(s, dir, "customer").filter(col("c_custkey") <= 150)
+        val c = t(s, dir, "customer").filter(col("c_custkey") <= 1500)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
-        val a = c.select(col("id").as("id_a"), col("name").as("name_a"))
-        val b = c.select(col("id").as("id_b"), col("name").as("name_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-          .where(col("dist") <= 2)
-          .select("id_a", "id_b", "dist")
+        graft.dedup.Dedup.fuzzyPairs(c, maxDist = 2)
           .orderBy("id_a", "id_b")
       },
       Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
              |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
              |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-             |WHERE a.c_custkey <= 150 AND b.c_custkey <= 150
+             |WHERE a.c_custkey <= 1500 AND b.c_custkey <= 1500
              |  AND levenshtein(a.c_name, b.c_name) <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 

@@ -45,6 +45,69 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12)
   }
 
+  test("FastSS fuzzy pairs == cartesian levenshtein (differential, real names)") {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    val blocked = Dedup.fuzzyPairs(c, maxDist = 2)
+    val a = c.select($"id".as("id_a"), $"name".as("name_a"))
+    val b = c.select($"id".as("id_b"), $"name".as("name_b"))
+    val cartesian = a.join(b, $"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .where($"dist" <= 2)
+      .select("id_a", "id_b", "dist")
+    assertSameRows(blocked, cartesian)
+    assert(blocked.count() > 0, "fixture should contain fuzzy-near names")
+  }
+
+  test("FastSS candidate volume tracks true-pair volume, not n^2") {
+    // TPC-H names are a worst case for ANY complete blocker: 9-digit
+    // zero-padded keys make most pairs genuinely near — so the honest
+    // measure here is blocking precision (candidates vs true pairs).
+    val c = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    val candidates = Dedup.editCandidates(c, maxDist = 2).count()
+    val truePairs = Dedup.fuzzyPairs(c, maxDist = 2).count()
+    assert(truePairs > 0)
+    assert(candidates < 2 * truePairs,
+      s"blocking precision collapsed: $candidates candidates for $truePairs true pairs")
+  }
+
+  test("FastSS candidate volume is far below n^2 on diverse strings") {
+    // diverse keys (hex digests) with planted near-dups: the planted
+    // pairs must all surface while candidates stay ~linear
+    val diverse = (0 until 300).map(i => (i.toLong,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rec$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)))
+    val planted = (0 until 10).map(i => (1000L + i, diverse(i)._2.dropRight(1) + "!"))
+    val df = (diverse ++ planted).toDF("id", "name")
+    val n = diverse.size + planted.size
+    val candidates = Dedup.editCandidates(df, maxDist = 2).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(candidates < allPairs / 20,
+      s"blocking did not prune: $candidates candidates vs $allPairs pairs")
+    val found = Dedup.fuzzyPairs(df, maxDist = 2)
+      .where($"id_b" >= 1000L && $"id_a" === $"id_b" - 1000L).count()
+    assert(found == 10L, s"only $found/10 planted near-dups surfaced")
+  }
+
+  test("deletion neighborhood: size, intersection, and bounds") {
+    import graft.functions.HashFunctions.deletionHashes
+    val df = Seq(("abc", "axc"), ("", "")).toDF("s1", "s2")
+    val sizes = df.select(size(deletionHashes($"s1", 1)).as("n1"),
+      size(deletionHashes($"s2", 1)).as("n2"),
+      size(array_intersect(deletionHashes($"s1", 1), deletionHashes($"s2", 1)))
+        .as("shared"))
+      .as[(Int, Int, Int)].collect()
+    // "abc" with <=1 deletion: {abc, bc, ac, ab}; "" only {""}
+    assert(sizes(0)._1 == 4)
+    assert(sizes(1)._1 == 1 && sizes(1)._2 == 1)
+    // ed("abc","axc") = 1 => neighborhoods must intersect (share "ac")
+    assert(sizes(0)._3 >= 1, "distance-1 pair must share a deletion variant")
+    intercept[IllegalArgumentException] {
+      df.select(deletionHashes($"s1", 4)).collect()
+    }
+  }
+
   test("expression shingles == HOF shingles") {
     val diff = docs.limit(200).select(
       Dedup.shingles($"text", 3).as("a"), Dedup.shinglesHof($"text", 3).as("b"))
