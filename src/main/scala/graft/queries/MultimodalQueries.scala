@@ -33,15 +33,35 @@ object MultimodalQueries {
              |GROUP BY 1
              |ORDER BY kind""".stripMargin)),
 
-    // ---- batched decode → metadata + features (rows-only; exactness
-    // ---- asserted in MultimodalSpec against the fake decoder) --------
+    // ---- batched decode → plumbing + per-kind metadata validity,
+    // ---- oracled row-by-row (decode VALUES are splitmix functions of
+    // ---- the bytes — engine-specific, asserted exactly in
+    // ---- MultimodalSpec; the oracle checks ids, kinds, byte counts,
+    // ---- feature arity, and that every decode landed in its kind's
+    // ---- legal metadata range) ---------------------------------------
     Q("q51_media_decode",
       (s, dir) => Multimodal.decodeAll(media(s, dir), FakeDecoder)
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("meta.width"), col("meta.height"), col("meta.sampleRate"),
-          col("meta.nFrames"), element_at(col("features"), 1).as("f0"))
+          (col("meta.ok") && when(col("kind") === "image",
+              col("meta.width").between(64, 1023) &&
+                col("meta.height").between(64, 1023) &&
+                col("meta.sampleRate") === 0 && col("meta.nFrames") === 1)
+            .when(col("kind") === "audio",
+              col("meta.width") === 0 && col("meta.height") === 0 &&
+                col("meta.sampleRate").between(8000, 47999) &&
+                col("meta.nFrames") === 0)
+            .otherwise(col("meta.width") === 0 && col("meta.height") === 0 &&
+              col("meta.sampleRate") === 0 &&
+              col("meta.nFrames").between(1, 3000))).as("decode_ok"),
+          size(col("features")).as("n_features"))
         .orderBy("media_id"),
-      None)
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+             |  TRUE AS decode_ok,
+             |  CAST(8 AS INTEGER) AS n_features
+             |FROM documents
+             |ORDER BY media_id""".stripMargin))
   )
 }

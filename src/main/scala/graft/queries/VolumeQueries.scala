@@ -21,12 +21,19 @@ object VolumeQueries {
     * + S6 ordering columns (`init_clickhouse_raw_tables.sql:28-48`). */
   private def rawArchive(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.loadParallel(s, dir, "lineitem")
+    // The payload is rendered with explicit concat + DECIMAL(12,2)
+    // formatting rather than to_json: engines disagree on float/JSON
+    // text rendering, and a byte-exact payload is what lets the archive
+    // accounting (q66) be oracled instead of rows-only. Still plain
+    // JSON — q68 parses it back with from_json.
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(12,2)").cast("string")
     li.select(
-      to_json(struct(
-        col("l_orderkey").as("transaction_id"),
-        col("l_linenumber").as("line_no"),
-        col("l_quantity").as("quantity"),
-        col("l_extendedprice").as("line_total"))).as("value_json"),
+      concat(lit("{\"transaction_id\":"), col("l_orderkey").cast("string"),
+        lit(",\"line_no\":"), col("l_linenumber").cast("string"),
+        lit(",\"quantity\":"), dec(col("l_quantity")),
+        lit(",\"line_total\":"), dec(col("l_extendedprice")),
+        lit("}")).as("value_json"),
       pmod(col("l_orderkey"), lit(8)).cast("int").as("partition_num"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("offset_num"))
       .where(col("value_json").isNotNull && col("value_json") =!= "")
@@ -43,12 +50,22 @@ object VolumeQueries {
           max(col("offset_num")).as("max_offset"),
           sum(length(col("value_json"))).cast("long").as("payload_bytes"))
         .orderBy("partition_num"),
-      // The oracle rebuilds the same message payloads with DuckDB's JSON
-      // writer? No — JSON text differs between engines, so byte totals
-      // are engine-specific. Account on structure instead: counts and
-      // offsets are pure arithmetic, byte length is replaced by a
-      // deterministic recomputation of the same offsets.
-      None),
+      // Byte-exact oracle: the payload is deterministic concat-rendered
+      // JSON (DECIMAL(12,2) money fields), so DuckDB rebuilds the very
+      // same strings and the byte totals match to the digit.
+      Some("""SELECT CAST(l_orderkey % 8 AS INTEGER) AS partition_num,
+             |  COUNT(*) AS n_messages,
+             |  MIN(l_orderkey * 10 + l_linenumber) AS min_offset,
+             |  MAX(l_orderkey * 10 + l_linenumber) AS max_offset,
+             |  CAST(SUM(LENGTH(
+             |    '{"transaction_id":' || CAST(l_orderkey AS VARCHAR)
+             |    || ',"line_no":' || CAST(l_linenumber AS VARCHAR)
+             |    || ',"quantity":' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+             |    || ',"line_total":' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+             |    || '}')) AS BIGINT) AS payload_bytes
+             |FROM lineitem
+             |GROUP BY l_orderkey % 8
+             |ORDER BY partition_num""".stripMargin)),
 
     // ---- archive accounting, oracle-safe form (no JSON text) ----------
     Q("q67_volume_offsets",
