@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types._
@@ -33,6 +33,26 @@ private[graft] object HashMix {
   }
 }
 
+/** Codegen bridge for the imperative hash kernels: `doGenCode` emits a
+  * call to the expression's typed `compute` method through a reference
+  * object, so the operator PARTICIPATES in whole-stage codegen (no
+  * CodegenFallback — fusion with surrounding projections/filters is
+  * preserved) while the tight loops stay in compiled Scala. This is the
+  * same shape Spark's own StaticInvoke-backed expressions use: the JIT
+  * sees one monomorphic call site per kernel. */
+private[functions] trait HashKernelCodegen extends UnaryExpression {
+  /** Java source type of `compute`'s return value. */
+  private def javaResultType: String = dataType match {
+    case LongType => "long"
+    case _ => classOf[ArrayData].getName
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ($javaResultType) $ref.compute($c);")
+  }
+}
+
 /** MinHash signature of an array<string> shingle set, as ONE imperative
   * pass per row.
   *
@@ -46,7 +66,7 @@ private[graft] object HashMix {
   * 30-bit odd multipliers — ANSI-safe, no Long overflow).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with HashKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
@@ -58,8 +78,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i =>
     HashMix.mixAt(seed, 2L * i + 1) & 0x7FFFFFFFL)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -75,6 +94,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     }
     new GenericArrayData(mins)
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -83,14 +103,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * hash each token (xxhash64, seed 42 — same as the built-in), ±1 each
   * of 64 bit counters, sign → bit. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with HashKernelCodegen {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](64)
     var i = 0
@@ -106,8 +125,9 @@ case class SimHash64(child: Expression)
     var sig = 0L
     var j = 0
     while (j < 64) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -117,15 +137,14 @@ case class SimHash64(child: Expression)
   * (plane components from splitmix of (seed, bit, dim) — regenerated
   * on the fly, no plane matrix broadcast). */
 case class HyperplaneSignBits(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with HashKernelCodegen {
   require(bits >= 1 && bits <= 63)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_sign_bits"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     var bucket = 0L
     var b = 0
@@ -140,8 +159,9 @@ case class HyperplaneSignBits(child: Expression, bits: Int, seed: Long)
       if (dot >= 0) bucket |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(bucket)
+    bucket
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -151,15 +171,14 @@ case class HyperplaneSignBits(child: Expression, bits: Int, seed: Long)
   * array_distinct — pays four interpreted passes and O(n·k) temp
   * arrays per row). */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with HashKernelCodegen {
   require(k >= 1)
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -176,6 +195,7 @@ case class WordShingles(child: Expression, k: Int)
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -203,7 +223,7 @@ object WordShingles {
   * record-linkage keys (names, titles, codes), not documents; for long
   * text use the MinHash/SimHash paths. */
 case class DeletionHashes(child: Expression, maxDeletions: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with HashKernelCodegen {
   require(maxDeletions >= 0 && maxDeletions <= 3,
     s"deletion_hashes supports 0..3 deletions (C(len,d) variants per row), got $maxDeletions")
 
@@ -211,8 +231,8 @@ case class DeletionHashes(child: Expression, maxDeletions: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "deletion_hashes"
 
-  override def nullSafeEval(v: Any): Any = {
-    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+  def compute(v: UTF8String): ArrayData = {
+    val cps = v.toString.codePoints().toArray
     val n = cps.length
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder(n)
@@ -251,6 +271,7 @@ case class DeletionHashes(child: Expression, maxDeletions: Int)
     while (it.hasNext) { arr(i) = it.next().longValue; i += 1 }
     new GenericArrayData(arr)
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

