@@ -78,16 +78,27 @@ object Analytics2 {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
-    // ---- HLL sketch (rows-only: approx result is engine-specific; the
-    // ---- error bound vs exact is asserted in SimilaritySpec) ----------
+    // ---- HLL sketch, oracled: the raw estimate is engine-specific, so
+    // ---- the hash-checked columns are the exact count plus a flag that
+    // ---- the estimate landed within the documented rsd bound (a broken
+    // ---- sketch fails the hash-match; exact values also asserted in
+    // ---- SimilaritySpec) ---------------------------------------------
     Q("q24_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+            col("exact_orders") < 0.1).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS approx_ok
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- range join: price-tier banding (binned equi-join; the naive
     // ---- nested-loop form is the differential partner in specs) ------

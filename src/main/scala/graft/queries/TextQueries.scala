@@ -207,6 +207,19 @@ object TextQueries {
       },
       None),
 
+    // ---- IVF ANN with Lloyd-refined coarse quantizer (rows-only:
+    // ---- approximate by design; recall + k-means objective asserted
+    // ---- in SimilaritySpec) ------------------------------------------
+    Q("q39_embed_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.loadParallel(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 4)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- LSH-bucketed embedding near-dup (the scale path; recall vs
     // ---- the bounded brute-force q41 asserted in SimilaritySpec) -----
     Q("q44_embed_neardup_lsh",
