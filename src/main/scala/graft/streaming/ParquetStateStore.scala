@@ -136,4 +136,48 @@ class ParquetStateStore(
     val nextMap = (prevMap -- dirty) ++ written.map(_ -> epoch)
     writeManifest(hfs, epoch, nextMap)
   }
+
+  /** Delete storage the current manifest no longer references:
+    * superseded bucket copies from old epochs and orphans left by a
+    * merge that crashed before its manifest swap. Readers of the
+    * current snapshot are unaffected (live bucket dirs are never
+    * touched; epochs newer than the manifest are left alone). Call
+    * periodically between merges — without it, state storage grows by
+    * the dirty-bucket bytes of every merge, forever (the analog of
+    * Delta/Iceberg VACUUM / expire_snapshots). Returns the number of
+    * bucket directories deleted. */
+  def vacuum(spark: SparkSession): Int = synchronized {
+    val hfs = fs(spark)
+    readManifest(hfs) match {
+      case None => 0
+      case Some((epoch, map)) =>
+        // via toSeq: mapping the Map directly would re-key by epoch and
+        // collapse every bucket sharing an epoch into one entry
+        val live = map.toSeq.map { case (b, e) => (e, b) }.toSet
+        var deleted = 0
+        hfs.listStatus(new HPath(path))
+          .filter(s => s.isDirectory && s.getPath.getName.matches("e\\d+"))
+          .foreach { ed =>
+            val e = ed.getPath.getName.drop(1).toInt
+            if (e <= epoch) {
+              hfs.listStatus(ed.getPath)
+                .filter(s => s.isDirectory &&
+                  s.getPath.getName.startsWith("__gbucket="))
+                .foreach { bd =>
+                  val b = bd.getPath.getName.stripPrefix("__gbucket=").toInt
+                  if (!live((e, b))) {
+                    hfs.delete(bd.getPath, true); deleted += 1
+                  }
+                }
+              // drop the epoch dir once no bucket dirs remain (only
+              // write markers like _SUCCESS — note bucket dirs also
+              // start with "_", so test for them explicitly)
+              if (!hfs.listStatus(ed.getPath)
+                  .exists(_.getPath.getName.startsWith("__gbucket=")))
+                hfs.delete(ed.getPath, true)
+            }
+          }
+        deleted
+    }
+  }
 }

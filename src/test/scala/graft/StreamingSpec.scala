@@ -198,6 +198,35 @@ class StreamingSpec extends SparkSpec {
     assert(store.currentVersion.contains(1))
   }
 
+  test("state store vacuum reclaims superseded buckets, snapshot unchanged") {
+    val state = tmpDir("graft-vacuum")
+    val store = new ParquetStateStore(state, Seq("id"), Seq("v"), None,
+      buckets = 4)
+    import spark.implicits._
+    store.merge((1 to 100).map(i => (i, 1L, s"p$i")).toDF("id", "v", "payload"))
+    store.merge((1 to 100).map(i => (i, 2L, s"q$i")).toDF("id", "v", "payload"))
+    // an orphan from a "crashed merge": epoch dir past the manifest must
+    // survive vacuum (it may belong to an in-flight writer)
+    Files.createDirectories(Paths.get(state, "e99", "__gbucket=0"))
+
+    val before = store.read(spark).get.orderBy("id").collect()
+    // every e0 bucket was superseded by e1 (all keys rewritten)
+    val reclaimed = store.vacuum(spark)
+    assert(reclaimed == 4, s"expected 4 superseded buckets, got $reclaimed")
+    assert(!Files.exists(Paths.get(state, "e0")), "empty epoch dir not dropped")
+    assert(Files.exists(Paths.get(state, "e99", "__gbucket=0")),
+      "vacuum must not touch epochs beyond the manifest")
+
+    val after = store.read(spark).get.orderBy("id").collect()
+    assert(after.sameElements(before), "vacuum changed the visible snapshot")
+    assert(store.vacuum(spark) == 0, "second vacuum should be a no-op")
+
+    // the store keeps working after vacuum
+    store.merge(Seq((1, 3L, "final")).toDF("id", "v", "payload"))
+    assert(store.read(spark).get.where($"id" === 1)
+      .select("payload").as[String].head() == "final")
+  }
+
   test("state store deletes can empty a bucket") {
     val state = tmpDir("graft-delbkt")
     val store = new ParquetStateStore(state, Seq("id"), Seq("v"),
