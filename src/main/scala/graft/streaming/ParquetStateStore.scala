@@ -17,7 +17,11 @@ import graft.operators.Versioned
   * Semantics: eager, deterministic last-writer-wins by `versionCols`
   * (strictly stronger than the reference's lazy background-merge dedup,
   * SURVEY §7 risk 1). Rows whose latest event has `deletedCol = true`
-  * are dropped (DeletePolicy.Apply).
+  * are hidden from [[read]] but RETAINED in state as tombstones: a
+  * delete arriving in an early micro-batch must still out-version an
+  * older update arriving later (at-least-once sources reorder across
+  * batches), exactly why ClickHouse's ReplacingMergeTree keeps
+  * `is_deleted` rows until an explicit `CLEANUP` merge.
   *
   * Mechanics — incremental, like the reference's background merges:
   * state is hash-partitioned into `buckets` fixed buckets by key
@@ -91,6 +95,22 @@ class ParquetStateStore(
     readManifest(fs(spark)).map { case (_, map) =>
       val dirs = map.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
       if (dirs.isEmpty) spark.emptyDataFrame
+      else {
+        val df = spark.read.parquet(dirs: _*)
+        // tombstones stay in state (late-arrival protection) but are
+        // not part of the visible current state
+        deletedCol match {
+          case Some(d) => df.where(!coalesce(col(d), lit(false))).drop(d)
+          case None => df
+        }
+      }
+    }
+
+  /** Raw state including tombstones — for maintenance/debug. */
+  def readWithTombstones(spark: SparkSession): Option[DataFrame] =
+    readManifest(fs(spark)).map { case (_, map) =>
+      val dirs = map.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
+      if (dirs.isEmpty) spark.emptyDataFrame
       else spark.read.parquet(dirs: _*)
     }
 
@@ -120,11 +140,10 @@ class ParquetStateStore(
       case Some(p) => p.unionByName(batchB)
       case None => batchB
     }
-    val merged0 = Versioned.latestByKey(unioned, keys, versionCols.map(col))
-    val merged = deletedCol match {
-      case Some(d) => merged0.where(!coalesce(col(d), lit(false)))
-      case None => merged0
-    }
+    // NOTE: tombstones (latest event deleted) are kept, not filtered —
+    // dropping them here would let an older update arriving in a later
+    // batch resurrect the row. read() hides them.
+    val merged = Versioned.latestByKey(unioned, keys, versionCols.map(col))
     merged
       .repartition(dirty.size.max(1), col("__gbucket"))
       .write.mode("overwrite").partitionBy("__gbucket")

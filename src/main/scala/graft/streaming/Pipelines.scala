@@ -64,9 +64,19 @@ object Sinks {
     * state I/O is O(state + distinct keys in batch). */
   def versionedUpsert(changes: DataFrame, store: ParquetStateStore,
                       checkpoint: String,
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      vacuumEvery: Int = 16): StreamingQuery =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.merge(batch)
+        // reclaim superseded bucket files periodically so state storage
+        // stays O(live state), not O(merge history); safe against
+        // replayed batch ids (vacuum never touches the live snapshot)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1) {
+          store.vacuum(batch.sparkSession)
+          ()
+        }
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -71,6 +71,39 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expected)
   }
 
+  test("L2 sink with per-batch vacuum keeps storage at live state only") {
+    val src = tmpDir("graft-srcv"); val state = tmpDir("graft-l2v")
+    val cp = tmpDir("graft-cpv")
+    writeEnvelopeFiles(src, parts = 5)
+
+    val store = new ParquetStateStore(state, keys = Seq("id"),
+      versionCols = Seq("__ts_ms", "__lsn"), deletedCol = Some("__deleted"))
+    val raw = spark.readStream.schema(valueSchema)
+      .option("maxFilesPerTrigger", 2).json(src)  // force multiple batches
+    val changes = EnvelopeDecode.changes(raw, CdcSim.ordersRow,
+      DecodeOptions(deletePolicy = DeletePolicy.Apply))
+    Sinks.versionedUpsert(changes, store, s"$cp/c", vacuumEvery = 1)
+      .awaitTermination()
+
+    // content identical to the non-vacuuming sink
+    val got = store.read(spark).get.select("id", "status", "total_amount")
+    val expected = CdcSim.currentState(
+      CdcSim.orderEnvelopes(Tables.load(spark, sfDir, "orders").limit(400)))
+      .select("id", "status", "total_amount")
+    assertSameRows(got, expected)
+
+    // storage: every on-disk bucket dir is referenced by the manifest
+    import scala.jdk.CollectionConverters._
+    val onDisk = Files.walk(Paths.get(state)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__gbucket="))
+      .size
+    val live = scala.io.Source.fromFile(s"$state/_CURRENT").getLines()
+      .drop(1).count(_.nonEmpty)
+    assert(onDisk == live,
+      s"$onDisk bucket dirs on disk but only $live referenced — vacuum missed")
+  }
+
   test("S1 analog: JDBC-style snapshot then streaming changes land one state") {
     // snapshot.mode=initial ≡ land the snapshot at version 0, then let
     // the change stream upsert on top (same store, same keys).
@@ -227,7 +260,7 @@ class StreamingSpec extends SparkSpec {
       .select("payload").as[String].head() == "final")
   }
 
-  test("state store deletes can empty a bucket") {
+  test("state store deletes hide rows but tombstones block resurrection") {
     val state = tmpDir("graft-delbkt")
     val store = new ParquetStateStore(state, Seq("id"), Seq("v"),
       Some("__deleted"), buckets = 4)
@@ -235,14 +268,20 @@ class StreamingSpec extends SparkSpec {
     store.merge(Seq((1, 1L, false), (2, 1L, false))
       .toDF("id", "v", "__deleted"))
     assert(store.read(spark).get.count() == 2)
-    // delete both keys — buckets they occupied go empty
-    store.merge(Seq((1, 2L, true), (2, 2L, true)).toDF("id", "v", "__deleted"))
+    store.merge(Seq((1, 3L, true), (2, 3L, true)).toDF("id", "v", "__deleted"))
     assert(store.read(spark).get.count() == 0)
-    // replaying the first (older) batch must not resurrect them… it does
-    // under pure LWW-with-apply (tombstones are physically dropped), but
-    // the *same-batch* replay contract holds:
-    store.merge(Seq((1, 2L, true), (2, 2L, true)).toDF("id", "v", "__deleted"))
+    // tombstones are retained (not physically dropped) …
+    assert(store.readWithTombstones(spark).get.count() == 2)
+    // … so an OLDER update arriving in a later batch cannot resurrect
+    store.merge(Seq((1, 2L, false), (2, 2L, false)).toDF("id", "v", "__deleted"))
+    assert(store.read(spark).get.count() == 0,
+      "late out-of-order update resurrected a deleted key")
+    // idempotent delete replay still holds
+    store.merge(Seq((1, 3L, true), (2, 3L, true)).toDF("id", "v", "__deleted"))
     assert(store.read(spark).get.count() == 0)
+    // and a genuinely NEWER write revives the key
+    store.merge(Seq((1, 4L, false)).toDF("id", "v", "__deleted"))
+    assert(store.read(spark).get.select("id").as[Int].collect().toSeq == Seq(1))
   }
 
   test("mapGroupsWithState streaming latest-by-key == batch latestByKey") {
