@@ -68,6 +68,19 @@ object Graft {
   def similarTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     sim.Similarity.bruteForceTopK(corpus, queries, k)
 
+  /** Approximate cosine top-k via an IVF index with Lloyd-refined
+    * centroids (the scale path; recall dialed by nProbe/nCentroids). */
+  def similarTopKApprox(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    sim.Similarity.ivfTopK(corpus, queries, k, nCentroids, nProbe)
+
+  /** Record pairs within `maxDist` edit distance — FastSS
+    * deletion-neighborhood blocking + exact levenshtein verify (linear
+    * candidate volume; for short keys like names/titles/codes). */
+  def fuzzyMatches(recs: DataFrame, maxDist: Int = 2,
+                   idCol: String = "id", strCol: String = "name"): DataFrame =
+    dedup.Dedup.fuzzyPairs(recs, maxDist, idCol, strCol)
+
   def qualityScore(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def languageOf(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)

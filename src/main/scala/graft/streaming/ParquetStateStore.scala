@@ -156,6 +156,37 @@ class ParquetStateStore(
     writeManifest(hfs, epoch, nextMap)
   }
 
+  /** Physically drop tombstones `safeToForget` marks as past the replay
+    * horizon — the ClickHouse `OPTIMIZE ... CLEANUP` analog. Retained
+    * tombstones guard against out-of-order replays resurrecting deleted
+    * keys, so only purge ones older than any event the source can still
+    * redeliver (e.g. `col("__ts_ms") < lit(horizon)`). Explicit O(state)
+    * maintenance: every bucket is rewritten into a fresh epoch (run
+    * [[vacuum]] after to reclaim the superseded copies). No-op for
+    * stores without a `deletedCol`. */
+  def purgeTombstones(spark: SparkSession,
+                      safeToForget: org.apache.spark.sql.Column): Unit =
+    synchronized {
+      deletedCol.foreach { d =>
+        val hfs = fs(spark)
+        readManifest(hfs).foreach { case (prevEpoch, prevMap) =>
+          if (prevMap.nonEmpty) {
+            val epoch = prevEpoch + 1
+            val dirs = prevMap.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
+            spark.read.parquet(dirs: _*)
+              .where(!(coalesce(col(d), lit(false)) && safeToForget))
+              .withColumn("__gbucket", bucketCol)
+              .repartition(buckets.min(prevMap.size.max(1)), col("__gbucket"))
+              .write.mode("overwrite").partitionBy("__gbucket")
+              .parquet(s"$path/e$epoch")
+            val written = (0 until buckets)
+              .filter(b => hfs.exists(new HPath(bucketDir(epoch, b))))
+            writeManifest(hfs, epoch, written.map(_ -> epoch).toMap)
+          }
+        }
+      }
+    }
+
   /** Delete storage the current manifest no longer references:
     * superseded bucket copies from old epochs and orphans left by a
     * merge that crashed before its manifest swap. Readers of the

@@ -284,6 +284,35 @@ class StreamingSpec extends SparkSpec {
     assert(store.read(spark).get.select("id").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("tombstone purge honors the replay horizon") {
+    val state = tmpDir("graft-purge")
+    val store = new ParquetStateStore(state, Seq("id"), Seq("v"),
+      Some("__deleted"), buckets = 4)
+    import spark.implicits._
+    store.merge(Seq((1, 1L, false), (2, 1L, false), (3, 1L, false))
+      .toDF("id", "v", "__deleted"))
+    store.merge(Seq((1, 5L, true), (2, 2L, true)).toDF("id", "v", "__deleted"))
+    assert(store.read(spark).get.count() == 1)
+    assert(store.readWithTombstones(spark).get.count() == 3)
+
+    // horizon v<3: only key 2's tombstone (v=2) is safe to forget
+    store.purgeTombstones(spark, $"v" < 3)
+    assert(store.readWithTombstones(spark).get.count() == 2,
+      "purge removed a tombstone inside the replay horizon")
+    assert(store.read(spark).get.count() == 1, "purge changed visible state")
+
+    // key 1's tombstone (v=5) still blocks an older replayed update …
+    store.merge(Seq((1, 4L, false)).toDF("id", "v", "__deleted"))
+    assert(store.read(spark).get.count() == 1)
+    // … while key 2, purged past the horizon, accepts fresh writes
+    store.merge(Seq((2, 6L, false)).toDF("id", "v", "__deleted"))
+    assert(store.read(spark).get.select("id").as[Int].collect().sorted
+      .toSeq == Seq(2, 3))
+    // vacuum after purge reclaims the superseded epochs
+    assert(store.vacuum(spark) > 0)
+    assert(store.read(spark).get.count() == 2)
+  }
+
   test("mapGroupsWithState streaming latest-by-key == batch latestByKey") {
     val src = tmpDir("graft-mgws")
     val ev = Tables.load(spark, sfDir, "events")
