@@ -58,4 +58,35 @@ object CdcSource {
     spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .json(path)
+
+  /** JDBC initial snapshot (S1, `snapshot.mode=initial`,
+    * `basic_example/debezium-pg-connector.json:3-20`): the relational
+    * image a migrating deployment lands at version 0 before the change
+    * stream upserts on top (see the StreamingSpec S1 analog for the
+    * stamp-then-merge pattern against [[graft.streaming.ParquetStateStore]]).
+    *
+    * `partitionColumn` + bounds split the snapshot into `numPartitions`
+    * parallel range reads — mandatory at scale; an unpartitioned JDBC
+    * read funnels the whole table through one task. Requires the
+    * database's JDBC driver jar on the classpath (not bundled in this
+    * build environment — the parquet snapshot in the S1 spec is the
+    * hermetic equivalent; schema resolution happens eagerly at `load()`,
+    * so without a driver this fails fast with "No suitable driver"). */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   props: Map[String, String] = Map.empty,
+                   partitionColumn: Option[String] = None,
+                   lowerBound: Long = 0L, upperBound: Long = 0L,
+                   numPartitions: Int = 32): DataFrame = {
+    val base = props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (b, (k, v)) => b.option(k, v)
+    }
+    (partitionColumn match {
+      case Some(c) => base.option("partitionColumn", c)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+      case None => base
+    }).load()
+  }
 }

@@ -31,6 +31,19 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("jdbcSnapshot fails fast without a driver (documented boundary)") {
+    // No JDBC driver ships in this environment; the wrapper must fail at
+    // load() with a driver-resolution error, not hang or half-construct.
+    val e = intercept[Exception] {
+      graft.sources.CdcSource.jdbcSnapshot(spark,
+        "jdbc:postgresql://localhost:5432/nope", "public.orders")
+    }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("driver") || msg.contains("jdbc"),
+      s"unexpected failure mode: ${e.getClass.getName}: ${e.getMessage}")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
