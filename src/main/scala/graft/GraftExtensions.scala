@@ -71,6 +71,10 @@ object GraftExtensions {
       if (e.size > 1) intLit(e(1), "k") else 3)),
     "hyperplane_sign_bits" -> (e => HyperplaneSignBits(arg(e, 0),
       intLit(e(1), "bits"), longLit(e(2), "seed"))),
+    "deletion_hashes" -> (e => DeletionHashes(arg(e, 0),
+      if (e.size > 1) intLit(e(1), "maxDeletions") else 2)),
+    "vector_avg" -> (e =>
+      VectorAvg(numericVec(arg(e, 0))).toAggregateExpression()),
     // Cast to the aggregate's native (double, long) exactly as the
     // Column API does — raw children would pass analysis and throw
     // ClassCastException executor-side on e.g. decimal literals.

@@ -141,7 +141,13 @@ object EnvelopeDecode {
     val base: Seq[Column] = keptFields.map { f =>
       val c = rowSide.getField(f.name)
       val masked =
-        if (opts.maskFields.contains(f.name)) lit("").cast(f.dataType) // U2
+        if (opts.maskFields.contains(f.name)) f.dataType match {
+          // U2 — Debezium's MaskField blanks string fields; for any
+          // other type the mask is null ("" cast to a numeric type is
+          // an ANSI runtime error, not a mask)
+          case org.apache.spark.sql.types.StringType => lit("")
+          case dt => lit(null).cast(dt)
+        }
         else c
       masked.as(if (opts.sanitizeNames) sanitize(f.name) else f.name)
     }

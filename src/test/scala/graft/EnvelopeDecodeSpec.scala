@@ -66,6 +66,14 @@ class EnvelopeDecodeSpec extends SparkSpec {
     assert(out.select("category").as[String].collect().forall(_ == "tech"))
   }
 
+  test("masking a non-string field yields null, not an ANSI cast error (U2)") {
+    val out = EnvelopeDecode.changes(raw, Debezium.productsRow,
+      DecodeOptions(maskFields = Seq("stock_quantity")))
+    assert(out.select("stock_quantity").collect().forall(_.isNullAt(0)))
+    assert(out.schema("stock_quantity").dataType ==
+      Debezium.productsRow("stock_quantity").dataType)
+  }
+
   test("field-name sanitization (U3)") {
     assert(EnvelopeDecode.sanitize("weird field-name!") == "weird_field_name_")
     assert(EnvelopeDecode.sanitize("9lives") == "_9lives")

@@ -49,6 +49,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(cast.length == 2 && cast(0) == cast.max)
   }
 
+  test("deletion_hashes and vector_avg are SQL-callable") {
+    GraftExtensions.register(spark)
+    // "abc" with <=1 deletion: {abc, bc, ac, ab}
+    val n = spark.sql("SELECT size(deletion_hashes('abc', 1)) AS n")
+      .head().getInt(0)
+    assert(n == 4)
+    val m = spark.sql(
+      """SELECT vector_avg(v) AS m FROM VALUES
+        |(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))),
+        |(array(CAST(3.0 AS DOUBLE), CAST(6.0 AS DOUBLE))) AS t(v)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(m == Seq(2.0, 4.0))
+  }
+
   test("extension class injects functions at session build time") {
     // separate session from the shared one, extension-configured
     val s2 = SparkEnv.builder("local[2]", 2)
