@@ -213,6 +213,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ---- near-dup clustering (pairs → components → keep-one) -----------
+
+  /** Connected components over an undirected pair list: returns one
+    * `(id, cluster_id)` row per endpoint, `cluster_id` = the smallest id
+    * in the component. This is the step that turns near-dup PAIRS into a
+    * deduplicatable partition of the corpus (transitive closure: if A~B
+    * and B~C, all three are one duplicate group even when A~C was never
+    * emitted).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round takes the min label over direct neighbors; fixpoint after
+    * `diameter` rounds. The driver loop runs one distributed
+    * join+aggregate per round and a metadata-sized convergence count —
+    * iteration count is bounded by the largest cluster's DIAMETER (small
+    * for near-dup clusters), never by corpus size. `localCheckpoint`
+    * truncates lineage each round (swap for `checkpoint` on a cluster).
+    * Throws if `maxIter` rounds don't converge — silently-wrong labels
+    * are worse than a loud failure. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dcomp")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a duplicate cluster has a larger diameter; raise maxIter")
+    labels
+  }
+
+  /** Corpus dedup by near-dup clusters: keep the smallest-id member of
+    * every duplicate group, pass through documents in no group. */
+  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- fuzzy matching (bounded edit distance, FastSS blocking) -------
 
   /** Candidate pairs for edit distance ≤ `maxDist`: records whose

@@ -158,6 +158,44 @@ object TextQueries {
              |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- near-dup clustering: pairs → connected components (the
+    // ---- transitive-closure step that makes pairs deduplicatable;
+    // ---- oracled via a DuckDB recursive CTE over the same exact
+    // ---- Jaccard edge list as q37) -----------------------------------
+    Q("q52_neardup_clusters",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents").filter(col("doc_id") < 200)
+        Dedup.connectedComponents(Dedup.jaccardPairs(d, threshold = 0.5))
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
+             |    SELECT doc_id,
+             |      list_distinct([array_to_string(toks[i:i+2], ' ')
+             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 200)
+             |  ) WHERE len(sl) > 0
+             |), inv AS (
+             |  SELECT id, n, unnest(sh) AS shingle FROM sh
+             |), pairs AS (
+             |  SELECT x.id AS id_a, y.id AS id_b
+             |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+             |  GROUP BY x.id, y.id
+             |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), cc(id, comp) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+             |)
+             |SELECT id AS doc_id, MIN(comp) AS cluster_id
+             |FROM cc GROUP BY id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- brute-force cosine top-k (oracled in exact f64) -------------
     Q("q40_embed_topk",
       (s, dir) => {

@@ -45,6 +45,41 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12)
   }
 
+  test("connected components: transitive closure, chains, isolation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // a 31-node path exercises convergence over the full diameter
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain)
+      .select("comp").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L), s"chain split into components $comps")
+  }
+
+  test("keepOnePerCluster keeps min id per group, passes isolated docs") {
+    val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepOnePerCluster(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("components cover every near-dup pair endpoint consistently") {
+    val mh = Dedup.minhashPairs(docs, threshold = 0.6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cc = Dedup.connectedComponents(mh)
+      // both endpoints of every pair must land in the same cluster
+      val split = mh
+        .join(cc.select($"id".as("id_a"), $"comp".as("ca")), Seq("id_a"))
+        .join(cc.select($"id".as("id_b"), $"comp".as("cb")), Seq("id_b"))
+        .where($"ca" =!= $"cb").count()
+      assert(split == 0, s"$split pairs split across clusters")
+    } finally { mh.unpersist(); () }
+  }
+
   test("FastSS fuzzy pairs == cartesian levenshtein (differential, real names)") {
     val c = Tables.load(spark, sfDir, "customer")
       .select($"c_custkey".as("id"), $"c_name".as("name"))
