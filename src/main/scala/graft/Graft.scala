@@ -64,6 +64,12 @@ object Graft {
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame =
     dedup.Dedup.minhashPairs(docs, threshold = threshold)
 
+  /** End-to-end corpus dedup: near-dup pairs → connected components →
+    * keep the smallest-id member of each duplicate group. */
+  def dedupNearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    dedup.Dedup.keepOnePerCluster(docs,
+      dedup.Dedup.minhashPairs(docs, threshold = threshold))
+
   /** Exact cosine top-k for each query vector. */
   def similarTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     sim.Similarity.bruteForceTopK(corpus, queries, k)
