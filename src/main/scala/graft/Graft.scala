@@ -80,6 +80,16 @@ object Graft {
                         nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
     sim.Similarity.ivfTopK(corpus, queries, k, nCentroids, nProbe)
 
+  /** Product-quantization codebooks + codes for an embedding column —
+    * the memory-side ANN scale path (m small ints per vector instead of
+    * 4·dim bytes); score codes with
+    * [[sim.ProductQuantization.adcTopK]]. */
+  def pqIndex(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16)
+      : (DataFrame, DataFrame) = {
+    val cb = sim.ProductQuantization.trainCodebooks(corpus, dim, m, k)
+    (cb, sim.ProductQuantization.encode(corpus, cb, dim, m))
+  }
+
   /** Record pairs within `maxDist` edit distance — FastSS
     * deletion-neighborhood blocking + exact levenshtein verify (linear
     * candidate volume; for short keys like names/titles/codes). */

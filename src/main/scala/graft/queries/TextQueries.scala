@@ -112,14 +112,25 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
-    // ---- content fingerprints (rows-only: xxhash64 not in DuckDB) ----
+    // ---- content fingerprints, oracled on equivalence structure: the
+    // ---- raw xxhash64 values are engine-specific (spec-asserted in
+    // ---- TextSpec), but fingerprint equality MUST partition the corpus
+    // ---- exactly like normalized-text equality — DuckDB recomputes the
+    // ---- same groups via md5 of the same normalization ---------------
     Q("q34_doc_fingerprint",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
-        .orderBy("doc_id"),
-      None),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(TextAnalysis.fingerprint(col("text")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), min(col("doc_id")).over(w).as("fp_keep_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  MIN(doc_id) OVER (
+             |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |  ) AS fp_keep_id
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- MinHash+LSH near-dup pairs (rows-only; oracled analog: q37) -
     Q("q35_minhash_pairs",
@@ -254,6 +265,25 @@ object TextQueries {
         val queries = emb.filter(col("vec_id") < 8)
         Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 16, nProbe = 4)
           .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- PQ/ADC ANN: train per-subspace codebooks, encode the corpus
+    // ---- to m-byte codes, score via LUT lookups (rows-only:
+    // ---- approximate by design; kernel exactness, monotone objective
+    // ---- and recall asserted in PQSpec) ------------------------------
+    Q("q53_embed_pq_topk",
+      (s, dir) => {
+        val emb = Tables.loadParallel(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        val cb = graft.sim.ProductQuantization
+          .trainCodebooks(emb, dim = 64, m = 16, k = 64, lloydIters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val codes = graft.sim.ProductQuantization.encode(emb, cb, dim = 64, m = 16)
+        graft.sim.ProductQuantization
+          .adcTopK(codes, cb, queries, topK = 5, dim = 64, m = 16, k = 64)
+          .withColumn("adc_score", round(col("adc_score"), 6))
           .orderBy("query_id", "rank")
       },
       None),

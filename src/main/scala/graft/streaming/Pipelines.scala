@@ -60,8 +60,9 @@ object Sinks {
     * MERGE of decoded change rows into a [[ParquetStateStore]] — the
     * eager, exact analog of `ReplacingMergeTree(ts_ms) ORDER BY id` +
     * `FINAL`. The batch is pre-collapsed per key before the merge (the
-    * same map-side reduction Versioned.latestByKey always applies), so
-    * state I/O is O(state + distinct keys in batch). */
+    * same map-side reduction Versioned.latestByKey always applies), and
+    * the store rewrites only the hash buckets the batch touches, so
+    * merge I/O is O(dirty-bucket bytes), not O(state). */
   def versionedUpsert(changes: DataFrame, store: ParquetStateStore,
                       checkpoint: String,
                       trigger: Trigger = Trigger.AvailableNow(),
