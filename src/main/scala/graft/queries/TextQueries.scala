@@ -277,12 +277,13 @@ object TextQueries {
       (s, dir) => {
         val emb = Tables.loadParallel(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 8)
+        // codebooks come back localCheckpoint-materialized (training is
+        // eager by design) — no extra persist needed
         val cb = graft.sim.ProductQuantization
-          .trainCodebooks(emb, dim = 64, m = 16, k = 64, lloydIters = 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val codes = graft.sim.ProductQuantization.encode(emb, cb, dim = 64, m = 16)
+          .trainCodebooks(emb, dim = 64, m = 8, k = 32, lloydIters = 1)
+        val codes = graft.sim.ProductQuantization.encode(emb, cb, dim = 64, m = 8)
         graft.sim.ProductQuantization
-          .adcTopK(codes, cb, queries, topK = 5, dim = 64, m = 16, k = 64)
+          .adcTopK(codes, cb, queries, topK = 5, dim = 64, m = 8, k = 32)
           .withColumn("adc_score", round(col("adc_score"), 6))
           .orderBy("query_id", "rank")
       },

@@ -40,23 +40,26 @@ object ProductQuantization {
       }: _*)))
       .select(col("id"), col("ss.s").as("s"), col("ss.sv").as("sv"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // codegen'd kernels — these run n·m·k times per Lloyd round; the HOF
+  // aggregate(zip_with) formulation is interpreted and ~10× slower here
+  private def dot(a: Column, b: Column): Column = VF.dot(a, b)
 
-  private def sqnorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+  private def sqnorm(a: Column): Column = VF.dot(a, a)
 
-  /** Euclidean nearest-codeword assignment of every (id, s, sv) row:
-    * argmin ||x-c||² ≡ argmax (2·x·c − ||c||²). `codebooks` must carry
-    * (s, code, cvec) and be broadcast-small (m·k rows). */
+  /** Euclidean nearest-codeword assignment of every (id, s, sv) row →
+    * (id, s, code): argmin ||x-c||² ≡ argmax (2·x·c − ||c||²).
+    * `codebooks` must carry (s, code, cvec) and be broadcast-small
+    * (m·k rows). ||c||² is precomputed once per codeword (m·k rows),
+    * not per scored pair (n·m·k of them), and the per-group aggregate
+    * carries only the scalar code — callers that need the subvector
+    * re-join the narrow (id, s) keys against their cached input. */
   private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame =
-    sub.join(broadcast(codebooks), Seq("s"))
-      .select(col("id"), col("s"), col("sv"), col("code"),
-        (dot(col("sv"), col("cvec")) * 2.0 - sqnorm(col("cvec"))).as("score"))
+    sub.join(broadcast(
+        codebooks.withColumn("cnorm2", sqnorm(col("cvec")))), Seq("s"))
+      .select(col("id"), col("s"), col("code"),
+        (dot(col("sv"), col("cvec")) * 2.0 - col("cnorm2")).as("score"))
       .groupBy("id", "s")
-      .agg(max_by(struct(col("code"), col("sv")), col("score")).as("m"))
-      .select(col("id"), col("s"), col("m.code").as("code"),
-        col("m.sv").as("sv"))
+      .agg(max_by(col("code"), col("score")).as("code"))
 
   /** Train one k-means codebook per subspace: deterministic hash-sample
     * init (k subvectors per subspace), `lloydIters` rounds of
@@ -80,17 +83,26 @@ object ProductQuantization {
       .where(col("rn") <= k)
       .select(col("s"), (col("rn") - 1).cast("int").as("code"),
         col("sv").as("cvec"))
-    val trained = (1 to lloydIters).foldLeft(init) { (cb, _) =>
-      assign(sub, cb)
+    // Training is EAGER by design: each Lloyd round materializes its
+    // m·k-row codebook (localCheckpoint) so round N+1 is one job over
+    // the cached subvectors instead of a plan that re-executes every
+    // earlier round — iterative refinement over a shared cached input,
+    // the same shape as connectedComponents.
+    var cb = init.localCheckpoint()
+    (1 to lloydIters).foreach { _ =>
+      cb = assign(sub, cb)
+        .join(sub, Seq("id", "s"))
         .groupBy(col("s"), col("code"))
         .agg(VectorAgg.vectorAvg(col("sv")).as("cvec"))
+        .localCheckpoint()
     }
     // dense renumber (cells can empty out during Lloyd)
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("s")).orderBy(col("code"))
-    val out = trained
+    val out = cb
       .withColumn("code", (row_number().over(wd) - 1).cast("int"))
       .select(col("s"), col("code"), col("cvec"))
+      .localCheckpoint()
     sub.unpersist()
     out
   }
@@ -100,12 +112,15 @@ object ProductQuantization {
     * one double. */
   def quantizationError(corpus: DataFrame, codebooks: DataFrame, dim: Int,
                         m: Int, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame =
-    assign(subspaced(corpus, m, dim / m, idCol, vecCol), codebooks)
+                        vecCol: String = "embedding"): DataFrame = {
+    val sub = subspaced(corpus, m, dim / m, idCol, vecCol)
+    assign(sub, codebooks)
+      .join(sub, Seq("id", "s"))
       .join(broadcast(codebooks), Seq("s", "code"))
       .select(aggregate(zip_with(col("sv"), col("cvec"),
         (x, c) => (x - c) * (x - c)), lit(0.0), (acc, v) => acc + v).as("se"))
       .agg(avg(col("se")).as("mse"))
+  }
 
   /** Encode every corpus vector as m codewords: (id, codes array<int>),
     * codes[s] = nearest codeword of subspace s. */
