@@ -58,6 +58,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q48: FastSS blocking plans as equi-joins, never a cartesian") {
+    val p = planOf("q48_fuzzy_names")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match fell back to an all-pairs join:\n" + p.take(600))
+    // candidate generation joins on the deletion-variant hash
+    assert(p.contains("deletion_hashes"), p.take(400))
+  }
+
+  test("q39: IVF probes and centroids broadcast; corpus never cross-joins") {
+    val p = planOf("q39_embed_ivf_topk")
+    assert(p.contains("BroadcastExchange"),
+      "IVF centroid/probe side not broadcast:\n" + p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("hash kernels participate in whole-stage codegen (no fallback)") {
     // CodegenFallback expressions eject their operator from
     // WholeStageCodegen; the kernels must instead appear INSIDE a
