@@ -66,6 +66,31 @@ class EnvelopeDecodeSpec extends SparkSpec {
     assert(out.select("category").as[String].collect().forall(_ == "tech"))
   }
 
+  test("schema evolution: old events parse under an added column, extra wire fields drop") {
+    // Debezium emits whatever the source table looks like NOW; the
+    // declared rowSchema is the reader's contract. Forward: a reader
+    // that adds `warehouse` sees null for events captured before the
+    // column existed. Backward: a reader that dropped a column simply
+    // never parses it — no failure either way.
+    import org.apache.spark.sql.types._
+    val evolved = StructType(Debezium.productsRow.fields :+
+      StructField("warehouse", StringType))
+    val out = EnvelopeDecode.changes(raw, evolved,
+      DecodeOptions(deletePolicy = DeletePolicy.Drop))
+    assert(out.columns.contains("warehouse"))
+    assert(out.select("warehouse").collect().forall(_.isNullAt(0)),
+      "pre-evolution events must read the new column as null")
+    assert(out.count() == 2)
+
+    // narrowed reader: declares only 3 of the wire's 8 row fields
+    val narrowed = StructType(Debezium.productsRow.fields
+      .filter(f => Set("id", "name", "price").contains(f.name)))
+    val slim = EnvelopeDecode.changes(raw, narrowed,
+      DecodeOptions(deletePolicy = DeletePolicy.Drop))
+    assert(slim.columns.count(!_.startsWith("__")) == 3)
+    assert(slim.where($"id" === 19).count() == 2)
+  }
+
   test("masking a non-string field yields null, not an ANSI cast error (U2)") {
     val out = EnvelopeDecode.changes(raw, Debezium.productsRow,
       DecodeOptions(maskFields = Seq("stock_quantity")))
