@@ -106,6 +106,55 @@ object Sessionize {
       }
   }
 
+  /** Event-time variant of [[streaming]]: idle keys flush when the
+    * WATERMARK passes `session end + gap`, so the output is identical
+    * on replay at any processing speed — the reprocessing-correct form
+    * (the processing-time timeout flushes on wall-clock, which differs
+    * between live and catch-up runs). The input stream must carry a
+    * watermark on `ts` (`withWatermark`) or Spark rejects the
+    * EventTimeTimeout at analysis. */
+  def streamingEventTime(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => close(userId, s)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastTs <= gapUs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value, e.event_id))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value, e.event_id))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once the watermark passes the gap horizon; the
+              // timestamp must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max((s.lastTs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   private def close(userId: Long, s: SessionState): Session =
     Session(userId, fromMicros(s.startTs), fromMicros(s.lastTs), s.n, s.total)
 }

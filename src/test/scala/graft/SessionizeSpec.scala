@@ -49,4 +49,56 @@ class SessionizeSpec extends SparkSpec {
     assertSameRows(got, expected)
     assert(got.count() > 0)
   }
+
+  test("event-time timeout: watermark flushes idle sessions deterministically") {
+    val src = tmpDir("graft-sess-et")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // time-ranged files arriving in ascending order (FileStreamSource
+    // orders by modification time, so each quartile is written as its
+    // own job): the watermark contract assumes bounded out-of-orderness
+    // — randomly ordered batches would make most events late, and late
+    // rows are dropped by design
+    val w4 = Window.orderBy($"ts", $"event_id")
+    val tiled = ev.withColumn("_tile", ntile(4).over(w4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 to 4).foreach { tile =>
+      tiled.where($"_tile" === tile).drop("_tile")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(300)
+    }
+    tiled.unpersist()
+
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)   // several batches → watermark advances
+      .parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.Event]
+    val q = Sessionize.streamingEventTime(streamed, gapMinutes = 30)
+      .toDF()
+      .writeStream.format("memory").queryName("sess_et")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"session_start", $"session_end", $"n_events",
+        round($"total_value", 2).as("total_value"))
+    val got = norm(spark.table("sess_et"))
+    val all = norm(Sessionize.batch(ev, gapMinutes = 30))
+    val w = Window.partitionBy($"user_id").orderBy($"session_start".desc)
+    val nonFinal = norm(Sessionize.batch(ev, gapMinutes = 30)
+      .withColumn("_rn", row_number().over(w)).where($"_rn" =!= 1))
+
+    // sound: nothing emitted that batch doesn't produce
+    assert(got.exceptAll(all).count() == 0, "streaming emitted a non-batch session")
+    // complete up to the watermark: every gap-closed session emitted
+    // (final-open sessions may ALSO flush once the watermark passes them
+    // — that's the point of the event-time timeout)
+    assert(nonFinal.exceptAll(got).count() == 0,
+      "a gap-closed session was never flushed")
+    assert(got.count() >= nonFinal.count() && got.count() > 0)
+  }
 }
