@@ -28,8 +28,12 @@ object SparkEntry {
     * per-query timings measure the consuming operators, not fixture
     * synthesis. */
   def warm(spark: SparkSession, sfDir: String): Unit = {
-    graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
+    // The CDC precondition queries assume: the topic exists (envelope
+    // stream) and the MV has landed the current-state table (ingest-time
+    // decode, as in the reference's MV → ReplacingMergeTree split).
+    val env = graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
       graft.sources.Tables.load(spark, sfDir, "orders"))
+    graft.cdc.CdcSim.currentStateCached(sfDir, env)
     ()
   }
 

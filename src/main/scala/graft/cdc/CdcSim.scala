@@ -125,4 +125,22 @@ object CdcSim {
       changes, Seq("id"), Seq(col("__ts_ms"), col("__lsn")))
     latest.where(!col("__deleted"))
   }
+
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Materialized [[currentState]] per cache key — the analog of the
+    * reference's ReplacingMergeTree TABLE: ClickHouse pays the envelope
+    * decode once at INGEST (the materialized view), and every analytics
+    * query reads the landed table. Re-running the JSON decode per
+    * analytical query would charge the ingest cost to every reader —
+    * the exact pattern the reference's MV → table split exists to
+    * avoid. */
+  def currentStateCached(cacheKey: String, rawEnvelopes: => DataFrame): DataFrame =
+    stateCache.computeIfAbsent(cacheKey, _ => {
+      val st = currentState(rawEnvelopes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      st.count() // land the table eagerly, like the streaming MV would
+      st
+    })
 }

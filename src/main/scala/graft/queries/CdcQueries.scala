@@ -21,11 +21,17 @@ object CdcQueries {
   private def env(s: SparkSession, dir: String): DataFrame =
     CdcSim.orderEnvelopesCached(dir, Tables.load(s, dir, "orders"))
 
+  /** The landed current-state table (decode paid once at ingest, like
+    * the reference's MV → ReplacingMergeTree split; the DuckDB oracle
+    * likewise recomputes state relationally, never per-query JSON). */
+  private def state(s: SparkSession, dir: String): DataFrame =
+    CdcSim.currentStateCached(dir, env(s, dir))
+
   val all: Seq[Q] = Seq(
 
     // ---- flagship §3.1: envelope → decode → unwrap → FINAL dedup -----
     Q("q60_cdc_current_state",
-      (s, dir) => CdcSim.currentState(env(s, dir))
+      (s, dir) => state(s, dir)
         .select("id", "customer_id", "status", "total_amount")
         .orderBy("id"),
       Some("""SELECT CAST(o_orderkey AS INTEGER) AS id,
@@ -76,7 +82,7 @@ object CdcQueries {
     // ---- strings-first → typed, incl. ISO-Z timestamp + decimal ------
     Q("q63_cdc_typed_view",
       (s, dir) => {
-        val cur = CdcSim.currentState(env(s, dir))
+        val cur = state(s, dir)
         cur.select(
           col("id"),
           col("total_amount").cast("decimal(12,2)").cast("double").as("total_typed"),
@@ -97,7 +103,7 @@ object CdcQueries {
     // ---- the "ClickHouse for analytics" intent, post-pipeline --------
     Q("q64_cdc_state_analytics",
       (s, dir) => {
-        val cur = CdcSim.currentState(env(s, dir))
+        val cur = state(s, dir)
         val cust = Tables.load(s, dir, "customer")
         cur.join(cust, col("customer_id") === col("c_custkey"))
           .groupBy("c_mktsegment", "status")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{Corpus, TextAnalysis}
 
 /** LLM-training-data pipeline surface: text analysis, dedup, similarity
   * search over the `documents` / `embeddings` tables.
@@ -313,6 +313,116 @@ object TextQueries {
              |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
              |FROM embeddings
              |GROUP BY label
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // ---- reproducible train/val/test split: hash-of-id assignment
+    // ---- (cross-engine arithmetic mixer — the oracle recomputes the
+    // ---- identical buckets, which is the whole point of the operator:
+    // ---- the split is a pure function of the id, not of a run) -------
+    Q("q54_doc_split",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Corpus.hashBucket(col("doc_id"), 100).as("bucket"),
+          Corpus.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+      Some {
+        val b = Corpus.hashBucketSql("doc_id", 100)
+        s"""SELECT doc_id, $b AS bucket,
+           |  CASE WHEN $b < 80 THEN 'train'
+           |       WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- Gopher-shaped quality rule filter: per-rule booleans + the
+    // ---- conjunction, all single-division doubles (oracle-exact) -----
+    Q("q55_quality_filter",
+      (s, dir) => {
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("double")
+        val meanLen = length(col("text")).cast("double") / greatest(nTok, lit(1.0))
+        // strip alnum+space → what remains is symbol/punctuation mass
+        val symRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          .cast("double") / greatest(length(col("text")).cast("double"), lit(1.0))
+        val stopHits = TextAnalysis.hitCount(TextAnalysis.tokens(col("text")), enStop)
+        val rLen = nTok >= 5.0 && nTok <= 5000.0
+        val rWordLen = meanLen >= 2.0 && meanLen <= 12.0
+        val rSym = symRatio < 0.2
+        val rStop = stopHits >= 1
+        t(s, dir, "documents")
+          .select(col("doc_id"), rLen.as("r_len"), rWordLen.as("r_wordlen"),
+            rSym.as("r_sym"), rStop.as("r_stop"),
+            (rLen && rWordLen && rSym && rStop).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, r_len, r_wordlen, r_sym, r_stop,
+              |  (r_len AND r_wordlen AND r_sym AND r_stop) AS kept
+              |FROM (
+              |  SELECT doc_id,
+              |    n_tok >= 5.0 AND n_tok <= 5000.0 AS r_len,
+              |    mean_len >= 2.0 AND mean_len <= 12.0 AS r_wordlen,
+              |    sym_ratio < 0.2 AS r_sym,
+              |    stop_hits >= 1 AS r_stop
+              |  FROM (
+              |    SELECT doc_id,
+              |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              |      CAST(length(text) AS DOUBLE)
+              |        / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_len,
+              |      CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS sym_ratio,
+              |      len(list_filter(string_split(text, ' '), x -> list_contains([$enStopSql], x))) AS stop_hits
+              |    FROM documents
+              |  )
+              |)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- concat-and-chunk sequence packing per source shard: window
+    // ---- cumsum → start-offset chunking (oracle mirrors the window) --
+    Q("q56_seq_packing",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Corpus.packSequences(d, "doc_id", "n_tokens", capacity = 512,
+            stratumCol = "source")
+          .groupBy("source", "seq_no")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source", "seq_no")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d
+             |)
+             |SELECT source, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS seq_no,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+             |  MIN(doc_id) AS first_doc
+             |FROM c
+             |GROUP BY source, seq_no
+             |ORDER BY source, seq_no""".stripMargin)),
+
+    // ---- deterministic k-per-stratum sample (same mixer as q54; the
+    // ---- sample is a stable prefix of the hash order, so growing k
+    // ---- keeps every previously-sampled doc) -------------------------
+    Q("q57_stratified_sample",
+      (s, dir) => Corpus.sampleStratified(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          idCol = "doc_id", stratumCol = "lang", k = 5)
+        .orderBy("lang", "doc_id"),
+      Some {
+        val b = Corpus.hashBucketSql("doc_id", 1 << 20)
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rk
+           |  FROM documents
+           |) WHERE rk <= 5
+           |ORDER BY lang, doc_id""".stripMargin
+      })
   )
 }

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline needs on top of
+  * scoring/dedup: reproducible splits, stratified sampling, and
+  * sequence packing. All three are deliberately expressed in arithmetic
+  * every SQL engine evaluates identically, so the very same assignment
+  * is recomputable downstream (in the trainer, in DuckDB, in a
+  * different cluster) without shipping an assignment table.
+  *
+  * Scale notes: [[hashBucket]] is a narrow per-row projection (no
+  * shuffle); [[splitAssign]]/[[sampleStratified]] ride on it.
+  * [[packSequences]] shuffles once on the stratum key and runs one
+  * window scan per stratum — pack per source/shard (as real pipelines
+  * do) rather than globally, so no single ordering bottlenecks the job.
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, buckets) from a non-negative id —
+    * a multiplicative xor-shift mixer (Knuth/murmur-finalizer shaped,
+    * public-domain constants) built only from `*`, `%`, `^`, `>>` so
+    * DuckDB/Postgres/Spark all reproduce it bit-for-bit. Stays inside
+    * ANSI BIGINT range for ids < 2^31 (the multiplies are bounded by
+    * pre-reducing mod 2^32 / 2^31 — no Long wraparound, which Spark's
+    * ANSI mode rejects).
+    */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b1 = pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    val b2 = b1.bitwiseXOR(shiftright(b1, 16))
+    val b3 = pmod(pmod(b2, lit(2147483648L)) * lit(2246822519L), lit(4294967296L))
+    val b4 = b3.bitwiseXOR(shiftright(b3, 13))
+    pmod(b4, lit(buckets.toLong))
+  }
+
+  /** The same mixer as DuckDB SQL text, kept adjacent so the two can't
+    * drift (oracle parity for the split/sample queries). */
+  def hashBucketSql(id: String, buckets: Int): String = {
+    val b1 = s"(($id * 2654435761) % 4294967296)"
+    val b2 = s"xor($b1, $b1 >> 16)"
+    val b3 = s"((($b2 % 2147483648) * 2246822519) % 4294967296)"
+    val b4 = s"xor($b3, $b3 >> 13)"
+    s"($b4 % $buckets)"
+  }
+
+  /** Reproducible train/val/test assignment by id hash: the split a
+    * document lands in never changes as the corpus grows (unlike
+    * `randomSplit`, which reassigns on every re-run and leaks val into
+    * train across pipeline versions). */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split ($trainPct/$valPct)")
+    val b = hashBucket(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic k-per-stratum sample: rank ids inside each stratum by
+    * their hash bucket (id as tiebreak) and keep the first k. One
+    * shuffle on the stratum key; resampling with a different k keeps
+    * every previously-sampled row (the order is stable), which is what
+    * makes grow-the-eval-set workflows reproducible. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), 1 << 20), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Concat-and-chunk sequence packing: within each stratum (source /
+    * shard), documents are laid out in `idCol` order and cut into
+    * training sequences of ~`capacity` tokens — a document starts in
+    * the sequence its cumulative start-offset falls into. Returns the
+    * input plus (seq_no, cum_tokens). Real pipelines pack per shard
+    * precisely so the window never orders the whole corpus on one node.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    capacity: Int, stratumCol: String): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol)).over(w)
+    df.withColumn("cum_tokens", cum)
+      .withColumn("seq_no",
+        floor((col("cum_tokens") - col(tokenCol)) / lit(capacity.toLong))
+          .cast("long"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{Corpus, TextAnalysis}
+
+/** Corpus-preparation operators: reproducible splits, stable stratified
+  * sampling, concat-and-chunk sequence packing. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("splitAssign: deterministic, total, and roughly proportioned") {
+    val d = docs.select(col("doc_id"),
+      Corpus.splitAssign(col("doc_id")).as("split"))
+    val counts = d.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9,
+      s"train fraction off: $counts")
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // pure function of the id: re-evaluation is identical
+    assertSameRows(d, docs.select(col("doc_id"),
+      Corpus.splitAssign(col("doc_id")).as("split")))
+  }
+
+  test("hashBucket mixes: no bucket starves on sequential ids") {
+    val b = spark.range(0, 10000)
+      .select(Corpus.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.keySet == (0L until 10L).toSet, s"missing buckets: ${b.keySet}")
+    assert(b.values.min > 500 && b.values.max < 2000,
+      s"sequential ids skewed the mixer: $b")
+  }
+
+  test("sampleStratified: k per stratum, and a k=3 sample is a prefix of k=5") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    val s5 = Corpus.sampleStratified(base, "doc_id", "lang", k = 5)
+    val s3 = Corpus.sampleStratified(base, "doc_id", "lang", k = 3)
+    val per = s5.groupBy("lang").count().collect()
+    per.foreach(r => assert(r.getLong(1) <= 5, s"stratum overflow: $r"))
+    assert(s5.count() > 0)
+    // stability: growing k keeps every previously-sampled row
+    assert(s3.exceptAll(s5).count() == 0, "k=3 sample not contained in k=5")
+  }
+
+  test("packSequences matches a local re-pack and conserves tokens") {
+    val d = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val capacity = 512
+    val packed = Corpus.packSequences(d, "doc_id", "n_tokens", capacity, "source")
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "seq_no")
+
+    val rows = packed.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // differential: greedy local re-pack per source in doc_id order
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, id, tok, gotCum, gotSeq) =>
+        val start = cum
+        cum += tok
+        assert(gotCum == cum, s"cum mismatch at $src/$id")
+        assert(gotSeq == start / capacity, s"seq mismatch at $src/$id")
+      }
+    }
+    // conservation: packed token mass == input token mass
+    val total = d.agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == total)
+  }
+}
