@@ -35,6 +35,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // Single-node sizing (the ClickHouse-settings analog, not library
+      // defaults — SparkEnv keeps cluster-safe values):
+      // round-robin repartition pre-sorts rows for retry determinism;
+      // one JVM has no fetch failures, so skip the sort.
+      .config("spark.sql.execution.sortBeforeRepartition", "false")
+      // 128 GiB heap, facts ≤ a few hundred MB: let the planner
+      // broadcast dimension-and-mid-size sides instead of shuffling
+      // both (at cluster scale stats/AQE make this call per-join).
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside any query's timing window

@@ -354,7 +354,9 @@ object Analytics2 {
     // ---- minio-style message stream, parse with a DECLARED schema ----
     Q("q65_typed_json_source",
       (s, dir) => {
-        val msgs = t(s, dir, "events")
+        // JSON encode/decode is the compute: spread it across cores (the
+        // harness file is a single split; see Tables.loadParallel)
+        val msgs = Tables.loadParallel(s, dir, "events")
           .select(to_json(struct(
             col("event_id").as("id"),
             col("event_type").as("message"),

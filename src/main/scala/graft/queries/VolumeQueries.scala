@@ -36,7 +36,15 @@ object VolumeQueries {
         lit("}")).as("value_json"),
       pmod(col("l_orderkey"), lit(8)).cast("int").as("partition_num"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("offset_num"))
-      .where(col("value_json").isNotNull && col("value_json") =!= "")
+      // F2 guard expressed over the INPUTS (the rendered payload is null
+      // iff an input is null, and never empty — it carries literal
+      // braces): a guard written against value_json gets predicate-
+      // pushed below the repartition exchange WITH the whole concat/
+      // decimal render substituted into it, so the render would run in
+      // the row-group-bound scan stage (3 tasks here) and then again in
+      // the projection — measured 4× slower at sf0.1.
+      .where(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull &&
+        col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
   }
 
   val all: Seq[Q] = Seq(
