@@ -40,10 +40,10 @@ object Bench {
       // round-robin repartition pre-sorts rows for retry determinism;
       // one JVM has no fetch failures, so skip the sort.
       .config("spark.sql.execution.sortBeforeRepartition", "false")
-      // 128 GiB heap, facts ≤ a few hundred MB: let the planner
-      // broadcast dimension-and-mid-size sides instead of shuffling
-      // both (at cluster scale stats/AQE make this call per-join).
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // NOTE measured, not assumed: raising autoBroadcastJoinThreshold
+      // to 64MB made q03/q04 ~1.5× SLOWER here — the single-threaded
+      // broadcast build of a ~150k-row side loses to a 32-way shuffle
+      // join. Dimension tables broadcast fine under the 10MB default.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside any query's timing window

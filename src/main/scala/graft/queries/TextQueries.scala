@@ -407,6 +407,57 @@ object TextQueries {
              |GROUP BY source, seq_no
              |ORDER BY source, seq_no""".stripMargin)),
 
+    // ---- repetition removal (the Gopher-rules repetition signals,
+    // ---- Rae et al. 2021 §A1.1, over a corpus without line breaks):
+    // ---- duplicate-token fraction as a per-row scalar; top-bigram
+    // ---- fraction via explode → count → max/sum, the shape that
+    // ---- distributes (no per-row frequency maps through the shuffle) -
+    Q("q58_repetition_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
+        val dup = d.select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")).cast("double")).as("dup_token_frac"))
+        val bigrams = d.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("bg"))
+        val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+            .as("top_bigram_frac"))
+        dup.join(top, "doc_id")
+          .select(col("doc_id"), col("dup_token_frac"), col("top_bigram_frac"),
+            (col("top_bigram_frac") < 0.18 && col("dup_token_frac") < 0.9)
+              .as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2
+             |), u AS (
+             |  SELECT doc_id,
+             |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+             |        / CAST(len(toks) AS DOUBLE) AS dup_token_frac
+             |  FROM t
+             |), b AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 1)) AS i
+             |  FROM t
+             |), c AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, COUNT(*) AS c
+             |  FROM b GROUP BY doc_id, bg
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+             |  FROM c GROUP BY doc_id
+             |)
+             |SELECT u.doc_id, u.dup_token_frac, m.top_bigram_frac,
+             |  (m.top_bigram_frac < 0.18 AND u.dup_token_frac < 0.9) AS kept
+             |FROM u JOIN m ON u.doc_id = m.doc_id
+             |ORDER BY u.doc_id""".stripMargin)),
+
     // ---- deterministic k-per-stratum sample (same mixer as q54; the
     // ---- sample is a stable prefix of the hash order, so growing k
     // ---- keeps every previously-sampled doc) -------------------------
