@@ -102,6 +102,34 @@ object Graft {
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)
   def cosine(a: Column, b: Column): Column = functions.VectorFunctions.cosine(a, b)
 
+  // ---- corpus preparation --------------------------------------------
+
+  /** Reproducible train/val/test assignment — a pure function of the id
+    * (stable as the corpus grows, recomputable by any engine). */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    text.Corpus.splitAssign(id, trainPct, valPct)
+
+  /** Deterministic k-per-stratum sample with grow-k stability. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       k: Int): DataFrame =
+    text.Corpus.sampleStratified(df, idCol, stratumCol, k)
+
+  /** Concat-and-chunk sequence packing per shard (adds seq_no). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    capacity: Int, stratumCol: String): DataFrame =
+    text.Corpus.packSequences(df, idCol, tokenCol, capacity, stratumCol)
+
+  // ---- storage maintenance -------------------------------------------
+
+  /** Background small-file compaction for a streaming parquet archive
+    * (ClickHouse background-merge analog): fold committed micro-batch
+    * files into clustered target-size parts without touching the sink's
+    * transaction log; read through [[streaming.ArchiveCompactor.read]].
+    */
+  def archiveCompactor(archivePath: String, compactPath: String,
+                       clusterCols: Seq[String] = Nil): streaming.ArchiveCompactor =
+    new streaming.ArchiveCompactor(archivePath, compactPath, clusterCols)
+
   /** Register the engine's native expressions for `spark.sql`. */
   def registerFunctions(spark: SparkSession): Unit =
     GraftExtensions.register(spark)
