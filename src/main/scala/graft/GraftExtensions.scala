@@ -83,7 +83,13 @@ object GraftExtensions {
         arg(e, 0), org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 1), org.apache.spark.sql.types.LongType),
-      intLit(e(2), "k")).toAggregateExpression()))
+      intLit(e(2), "k")).toAggregateExpression()),
+    "approx_top_k" -> (e => ApproxTopK(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.StringType),
+      intLit(e(1), "k"),
+      if (e.size > 2) intLit(e(2), "capacity") else 1024)
+      .toAggregateExpression()))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

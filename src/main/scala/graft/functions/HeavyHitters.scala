@@ -1,0 +1,170 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch (Metwally, Agrawal, El Abbadi 2005
+  * — the algorithm behind ClickHouse's `topK`/`topKWeighted` family).
+  *
+  * Invariants: with capacity c over n items, every item with true count
+  * > n/c is guaranteed present, and each reported count overestimates
+  * its true count by at most the tracked `err`. When the distinct-item
+  * count never exceeds c the sketch is EXACT (all errors 0) — which is
+  * what lets the query layer oracle it against exact SQL counts while
+  * the same operator degrades gracefully on an unbounded vocabulary.
+  *
+  * Merge (Agarwal et al., "Mergeability of Summaries"): counts add for
+  * shared keys; a key absent from one side is credited that side's
+  * eviction floor (its maximum possible uncounted occurrences), then
+  * the union is pruned back to capacity, raising the floor to the
+  * largest pruned count. The floor is the sketch-wide error bound.
+  */
+final class SpaceSaving(val capacity: Int) {
+  val counts = mutable.HashMap.empty[String, (Long, Long)] // item -> (count, err)
+  var floor: Long = 0L                                     // max evicted/pruned count
+
+  def add(item: String): Unit = counts.get(item) match {
+    case Some((c, e)) => counts(item) = (c + 1, e)
+    case None if counts.size < capacity => counts(item) = (1L, 0L)
+    case None =>
+      val (mItem, (mCnt, _)) = counts.minBy { case (i, (c, _)) => (c, i) }
+      counts.remove(mItem)
+      if (mCnt > floor) floor = mCnt
+      counts(item) = (mCnt + 1, mCnt)
+  }
+
+  def mergeFrom(o: SpaceSaving): SpaceSaving = {
+    val keys = counts.keySet ++ o.counts.keySet
+    val merged = keys.iterator.map { k =>
+      val (ca, ea) = counts.getOrElse(k, (floor, floor))
+      val (cb, eb) = o.counts.getOrElse(k, (o.floor, o.floor))
+      k -> (ca + cb, ea + eb)
+    }.toSeq
+    counts.clear()
+    floor += o.floor
+    val kept =
+      if (merged.size <= capacity) merged
+      else {
+        val sorted = merged.sortBy { case (i, (c, _)) => (-c, i) }
+        val dropped = sorted.drop(capacity)
+        val dropMax = dropped.iterator.map(_._2._1).max
+        if (dropMax > floor) floor = dropMax
+        sorted.take(capacity)
+      }
+    kept.foreach { case (k, ce) => counts(k) = ce }
+    this
+  }
+
+  /** (item, count, err) by count desc then item asc (deterministic). */
+  def sorted: Array[(String, Long, Long)] =
+    counts.iterator.map { case (i, (c, e)) => (i, c, e) }.toArray
+      .sortBy { case (i, c, _) => (-c, i) }
+}
+
+/** `approx_top_k(item, k, capacity)` — heavy-hitters aggregate returning
+  * the k most frequent items as `array<struct<item,cnt,err>>`.
+  *
+  * Scale shape: a `TypedImperativeAggregate`, so each task reduces its
+  * partition to a capacity-bounded sketch BEFORE the shuffle — only
+  * O(capacity) entries per task cross the exchange, vs a full
+  * (group, item) count table for the exact groupBy formulation. At
+  * corpus scale the vocabulary is unbounded; the sketch is the operator
+  * that survives it. */
+case class ApproxTopK(
+    itemExpr: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving] {
+  require(k > 0 && capacity >= k, s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def children: Seq[Expression] = Seq(itemExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (itemExpr.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"approx_top_k expects a string item, got ${itemExpr.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("cnt", LongType),
+    StructField("err", LongType))))
+
+  override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(capacity)
+
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = itemExpr.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSaving, other: SpaceSaving): SpaceSaving =
+    buf.mergeFrom(other)
+
+  override def eval(buf: SpaceSaving): Any = {
+    val rows = buf.sorted.take(k).map { case (i, c, e) =>
+      InternalRow(UTF8String.fromString(i), c, e)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: SpaceSaving): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity); out.writeLong(buf.floor)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (i, (c, e)) =>
+      val b = i.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSaving = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSaving(in.readInt())
+    buf.floor = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+      val item = new String(b, StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
+      buf.counts(item) = (c, e)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(itemExpr = newChildren(0))
+  override def prettyName: String = "approx_top_k"
+}
+
+object HeavyHitters {
+  /** Column API: `approxTopK(item, k, capacity)` →
+    * array<struct<item,cnt,err>> by count desc, item asc. */
+  def approxTopK(item: Column, k: Int, capacity: Int = 1024): Column =
+    ColumnBridge.column(
+      ApproxTopK(ColumnBridge.expression(item.cast("string")), k, capacity)
+        .toAggregateExpression())
+}

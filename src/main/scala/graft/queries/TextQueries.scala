@@ -458,6 +458,31 @@ object TextQueries {
              |FROM u JOIN m ON u.doc_id = m.doc_id
              |ORDER BY u.doc_id""".stripMargin)),
 
+    // ---- vocabulary heavy hitters per language: SpaceSaving sketch
+    // ---- (ClickHouse topK analog). Exact here because the synthetic
+    // ---- vocabulary fits the sketch capacity — the DuckDB oracle
+    // ---- recomputes the same counts exactly; on an unbounded corpus
+    // ---- the same operator degrades to the (count, err) guarantee ----
+    Q("q59_token_topk",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang")
+        .agg(graft.functions.HeavyHitters.approxTopK(col("token"), 5, 1024)
+          .as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.item").as("token"), col("col.cnt").as("cnt"))
+        .orderBy("lang", "rank"),
+      Some("""SELECT lang, CAST(rk AS INTEGER) AS rank, token, cnt FROM (
+             |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY COUNT(*) DESC, token) AS rk
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  GROUP BY lang, token
+             |) WHERE rk <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
     // ---- deterministic k-per-stratum sample (same mixer as q54; the
     // ---- sample is a stable prefix of the hash order, so growing k
     // ---- keeps every previously-sampled doc) -------------------------

@@ -49,6 +49,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(cast.length == 2 && cast(0) == cast.max)
   }
 
+  test("approx_top_k is SQL-callable and matches the Column API") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT t.item, t.cnt FROM (
+        |  SELECT explode(approx_top_k(token, 5, 1024)) AS t FROM (
+        |    SELECT explode(split(text, ' ')) AS token FROM ext_docs2))""".stripMargin)
+    val viaCol = Tables.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .agg(graft.functions.HeavyHitters.approxTopK($"token", 5, 1024).as("tk"))
+      .select(explode($"tk").as("t")).select($"t.item", $"t.cnt")
+    assertSameRows(viaSql, viaCol)
+  }
+
   test("deletion_hashes and vector_avg are SQL-callable") {
     GraftExtensions.register(spark)
     // "abc" with <=1 deletion: {abc, bc, ac, ab}
