@@ -90,6 +90,12 @@ object Graft {
     (cb, sim.ProductQuantization.encode(corpus, cb, dim, m))
   }
 
+  /** Drop training docs sharing ≥ `minOverlap` word shingles with the
+    * (small, broadcast) eval set — benchmark decontamination. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    minOverlap: Int = 5): DataFrame =
+    dedup.Dedup.decontaminate(train, evalSet, minOverlap = minOverlap)
+
   /** Record pairs within `maxDist` edit distance — FastSS
     * deletion-neighborhood blocking + exact levenshtein verify (linear
     * candidate volume; for short keys like names/titles/codes). */

@@ -338,4 +338,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
     pairs.select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // ---- decontamination (train ∩ eval overlap) ------------------------
+
+  /** Train/eval contamination pairs: training docs sharing at least
+    * `minOverlap` distinct word-k-gram shingles with an eval doc —
+    * the decontamination check every training corpus runs against its
+    * benchmark sets.
+    *
+    * Scale shape: the eval side is tiny (thousands of docs) next to the
+    * corpus, so its exploded shingle index is `broadcast` — the check
+    * is one broadcast hash join over the corpus shingles, never a
+    * corpus-sized shuffle, and nothing pairs train×train. */
+  def contamination(train: DataFrame, evalSet: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleK: Int = 3, minOverlap: Int = 1): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    def inv(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col(as), explode(col("sh")).as("shingle"))
+    inv(train, "train_id")
+      .join(broadcast(inv(evalSet, "eval_id")), Seq("shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))      // shingles are distinct per doc
+      .where(col("n_shared") >= minOverlap)
+  }
+
+  /** Drop every training doc contaminated against `evalSet` (left-anti
+    * on the [[contamination]] hits). */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleK: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val hits = contamination(train, evalSet, idCol, textCol, shingleK, minOverlap)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -458,6 +458,40 @@ object TextQueries {
              |FROM u JOIN m ON u.doc_id = m.doc_id
              |ORDER BY u.doc_id""".stripMargin)),
 
+    // ---- decontamination: train docs sharing >= 5 distinct trigrams
+    // ---- with any doc of a held-out eval slice (broadcast inverted
+    // ---- index over the small side — the benchmark-overlap check a
+    // ---- training corpus runs before release) ------------------------
+    Q("q69_decontamination",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.contamination(
+            train = d.where(pmod(col("doc_id"), lit(50)) =!= 0),
+            evalSet = d.where(pmod(col("doc_id"), lit(50)) === 0),
+            shingleK = 3, minOverlap = 5)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, sl FROM (
+             |    SELECT doc_id,
+             |      list_distinct([array_to_string(toks[i:i+2], ' ')
+             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents)
+             |  ) WHERE len(sl) > 0
+             |), tri AS (
+             |  SELECT doc_id AS train_id, unnest(sl) AS shingle FROM sh
+             |  WHERE train_id % 50 <> 0
+             |), evi AS (
+             |  SELECT doc_id AS eval_id, unnest(sl) AS shingle FROM sh
+             |  WHERE eval_id % 50 = 0
+             |)
+             |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM tri JOIN evi ON tri.shingle = evi.shingle
+             |GROUP BY train_id, eval_id
+             |HAVING COUNT(*) >= 5
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
     // ---- vocabulary heavy hitters per language: SpaceSaving sketch
     // ---- (ClickHouse topK analog). Exact here because the synthetic
     // ---- vocabulary fits the sketch capacity — the DuckDB oracle
