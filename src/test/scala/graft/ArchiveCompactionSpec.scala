@@ -67,6 +67,26 @@ class ArchiveCompactionSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(c.compactPath, "p2")))
   }
 
+  test("crash between part write and manifest swap self-heals") {
+    val src = tmpDir("graft-ax-src"); val sink = tmpDir("graft-ax-sink") + "/data"
+    val cp = tmpDir("graft-ax-cp")
+    writeBatch(src, 0, 300, parts = 4); drain(src, sink, cp)
+    val raw = spark.read.parquet(sink)
+
+    val c = new ArchiveCompactor(sink, tmpDir("graft-ax-z"),
+      clusterCols = Seq("value"), targetBytes = 1L << 30)
+    // simulate a compact() that died after writing its part but before
+    // the manifest swap: the next-epoch dir exists with garbage content
+    spark.range(5).selectExpr("CAST(id AS STRING) AS value",
+        "current_timestamp() AS ingestion_time")
+      .write.parquet(c.compactPath + "/p0")
+
+    // a real run overwrites the orphan and commits — no double counting,
+    // no garbage rows
+    assert(c.compact(spark, smallBytes = 1L << 30) == parquetFiles(sink).size)
+    assertSameRows(c.read(spark), raw)
+  }
+
   test("expire reclaims superseded originals; mergeParts bounds part count") {
     val src = tmpDir("graft-ae-src"); val sink = tmpDir("graft-ae-sink") + "/data"
     val cp = tmpDir("graft-ae-cp")
