@@ -74,6 +74,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("q59: heavy-hitter sketch partially aggregates before the exchange") {
+    val p = SparkEntry.queries("q59_token_topk")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // the capacity-bounded sketch must cross the shuffle, not raw tokens
+    val iPartial = p.indexOf("partial_approx_top_k")
+    val iExchange = p.indexOf("Exchange hashpartitioning(lang")
+    assert(iPartial >= 0, "no partial sketch aggregation:\n" + p.take(800))
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "expected exchange above the partial sketch (top-down plan)")
+  }
+
+  test("q69: decontamination broadcasts the eval index, never self-pairs") {
+    val p = planOf("q69_decontamination")
+    assert(p.contains("BroadcastExchange"),
+      "eval shingle index not broadcast:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("hash kernels participate in whole-stage codegen (no fallback)") {
     // CodegenFallback expressions eject their operator from
     // WholeStageCodegen; the kernels must instead appear INSIDE a
