@@ -84,6 +84,15 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 1), org.apache.spark.sql.types.LongType),
       intLit(e(2), "k")).toAggregateExpression()),
+    // window_funnel(ts, bits, window, steps) — ts/bits are expressions,
+    // window/steps must be literals (they parameterize the aggregate)
+    "window_funnel" -> (e => WindowFunnel(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.IntegerType),
+      longLit(e(2), "window"),
+      intLit(e(3), "steps")).toAggregateExpression()),
     "approx_top_k" -> (e => ApproxTopK(
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 0), org.apache.spark.sql.types.StringType),

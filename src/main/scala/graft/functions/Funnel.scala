@@ -1,0 +1,200 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Growable (timestamp, stepBits) event buffer for funnel evaluation.
+  * Only rows matching at least one funnel step are ever inserted
+  * (update() drops bits==0), so per-key memory is O(step events), not
+  * O(all events) — the same bound ClickHouse's windowFunnel state has.
+  */
+final class FunnelBuffer(initialCapacity: Int = 16) {
+  var ts = new Array[Long](initialCapacity)
+  var bits = new Array[Int](initialCapacity)
+  var n = 0
+
+  def add(t: Long, b: Int): Unit = {
+    if (n == ts.length) {
+      ts = java.util.Arrays.copyOf(ts, n * 2)
+      bits = java.util.Arrays.copyOf(bits, n * 2)
+    }
+    ts(n) = t; bits(n) = b; n += 1
+  }
+
+  def mergeFrom(o: FunnelBuffer): FunnelBuffer = {
+    var i = 0
+    while (i < o.n) { add(o.ts(i), o.bits(i)); i += 1 }
+    this
+  }
+
+  /** Deepest funnel level reached (0..steps) under the anchored-greedy
+    * strict-increase semantics documented on [[WindowFunnel]]. */
+  def level(window: Long, steps: Int): Int = {
+    if (n == 0) return 0
+    // sort events by timestamp (bits is the tiebreak only for
+    // determinism of the sort itself; with strict `>` chaining,
+    // same-timestamp events can never chain, so the order among
+    // equal timestamps does not affect the result)
+    val order = Array.range(0, n).sortBy(i => (ts(i), bits(i)))
+    var lvl = 0
+    var anchor = 0L // timestamp of the first step-1 event
+    var cur = 0L    // timestamp of the last chained event
+    var j = 0
+    while (j < n && lvl < steps) {
+      val i = order(j)
+      val t = ts(i); val b = bits(i)
+      if (lvl == 0) {
+        if ((b & 1) != 0) { anchor = t; cur = t; lvl = 1 }
+      } else if ((b & (1 << lvl)) != 0 && t > cur && t <= anchor + window) {
+        cur = t; lvl += 1
+      }
+      j += 1
+    }
+    lvl
+  }
+}
+
+/** `window_funnel(ts, bits, window, steps)` — deepest step of an
+  * ordered event chain completed within `window` of the chain's first
+  * event; the one-shuffle funnel-depth aggregate (ClickHouse
+  * `windowFunnel` analog; the reference stack exposes ClickHouse's
+  * aggregate surface, see SURVEY.md §2.5).
+  *
+  * Semantics (anchored greedy, strict increase — deterministic and
+  * SQL-expressible, which is what makes q70 oracle-able):
+  *  - t₁ = MIN ts among step-1 events (the anchor);
+  *  - tᵢ₊₁ = MIN ts among step-(i+1) events with ts > tᵢ and
+  *    ts ≤ t₁ + window;
+  *  - result = deepest level assigned (0 when no step-1 event).
+  *
+  * This differs from ClickHouse's base `windowFunnel` mode in two
+  * documented ways: the anchor is the *earliest* step-1 event
+  * (ClickHouse re-anchors on every later step-1 occurrence, an
+  * order-sensitive heuristic) and chaining requires strictly
+  * increasing timestamps (ClickHouse's `strict_increase` mode). Both
+  * choices make the result a pure function of the event *set* —
+  * permutation-invariant, hence safe under Spark's nondeterministic
+  * partial-aggregation merge order.
+  *
+  * Scale shape: `TypedImperativeAggregate` with map-side partials —
+  * each task buffers only its partition's *step* events (bits==0 rows
+  * are dropped in update), so the shuffle carries one (ts,bits) pair
+  * per matching event, grouped by key, and the sort happens once per
+  * key at eval. The declarative alternative (one filtered-min
+  * aggregation + join back per step) costs `steps` shuffles of the
+  * whole key space; this is one.
+  */
+case class WindowFunnel(
+    tsExpr: Expression,
+    bitsExpr: Expression,
+    window: Long,
+    steps: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FunnelBuffer] {
+
+  require(steps >= 1 && steps <= 30, s"window_funnel supports 1..30 steps, got $steps")
+  require(window >= 0, s"window_funnel window must be >= 0, got $window")
+
+  override def children: Seq[Expression] = Seq(tsExpr, bitsExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tsExpr.dataType == LongType && bitsExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_funnel expects (ts: bigint, bits: int), got " +
+        s"(${tsExpr.dataType.simpleString}, ${bitsExpr.dataType.simpleString})")
+
+  override def dataType: DataType = IntegerType
+
+  override def createAggregationBuffer(): FunnelBuffer = new FunnelBuffer()
+
+  override def update(buf: FunnelBuffer, input: InternalRow): FunnelBuffer = {
+    val t = tsExpr.eval(input)
+    val b = bitsExpr.eval(input)
+    if (t != null && b != null) {
+      val bi = b.asInstanceOf[Int]
+      if (bi != 0) buf.add(t.asInstanceOf[Long], bi)
+    }
+    buf
+  }
+
+  override def merge(buf: FunnelBuffer, other: FunnelBuffer): FunnelBuffer =
+    buf.mergeFrom(other)
+
+  override def eval(buf: FunnelBuffer): Any = buf.level(window, steps)
+
+  override def serialize(buf: FunnelBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.n)
+    var i = 0
+    while (i < buf.n) { out.writeLong(buf.ts(i)); out.writeInt(buf.bits(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FunnelBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new FunnelBuffer(math.max(n, 1))
+    var i = 0
+    while (i < n) { val t = in.readLong(); val b = in.readInt(); buf.add(t, b); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WindowFunnel =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WindowFunnel =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), bitsExpr = newChildren(1))
+  override def prettyName: String = "window_funnel"
+}
+
+/** Column-API entry points for funnel/retention analytics. */
+object Funnel {
+
+  /** Bitmask column: bit i set ⇔ `conds(i)` holds. Computed in the
+    * (codegen'd) projection feeding the aggregate, so the aggregate's
+    * input is two narrow columns. */
+  def stepBits(conds: Seq[Column]): Column = {
+    require(conds.nonEmpty && conds.size <= 30,
+      s"funnel supports 1..30 steps, got ${conds.size}")
+    conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** `windowFunnel(tsMicros, windowMicros, step1, step2, ...)` —
+    * deepest funnel level per group; see [[WindowFunnel]] for exact
+    * semantics. `ts` is any monotone long (µs since epoch by
+    * convention, matching `unix_micros`). */
+  def windowFunnel(tsMicros: Column, windowMicros: Long, conds: Seq[Column]): Column =
+    ColumnBridge.column(WindowFunnel(
+      ColumnBridge.expression(tsMicros.cast("long")),
+      ColumnBridge.expression(stepBits(conds).cast("int")),
+      windowMicros, conds.size).toAggregateExpression())
+
+  /** Retention flags (ClickHouse `retention` analog): flag 1 is "the
+    * anchor condition ever held"; flag i>1 is "the anchor AND
+    * condition i both held" (co-occurrence, no ordering — exactly the
+    * ClickHouse contract). Use inside `.agg(...)`: each returned
+    * column is an aggregate expression; sum the flags across groups
+    * for the cohort report. */
+  def retentionFlags(conds: Seq[Column]): Seq[Column] = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val anchor = max(when(conds.head, 1).otherwise(0))
+    anchor +: conds.tail.map(c =>
+      least(anchor, max(when(c, 1).otherwise(0))))
+  }
+}

@@ -376,6 +376,98 @@ object Analytics2 {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
              |FROM events
              |GROUP BY event_type
-             |ORDER BY message""".stripMargin))
+             |ORDER BY message""".stripMargin)),
+
+    // ---- funnel depth per user (ClickHouse windowFunnel analog): one
+    // ---- shuffle via the WindowFunnel TypedImperativeAggregate; the
+    // ---- oracle mirrors the anchored-greedy strict-increase semantics
+    // ---- as a chain of filtered-min CTEs (see functions/Funnel.scala) -
+    Q("q70_window_funnel",
+      (s, dir) => {
+        val week = 7L * 86400 * 1000000 // µs
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(graft.functions.Funnel.windowFunnel(
+            unix_micros(col("ts")), week,
+            Seq(col("event_type") === "signup", col("event_type") === "view",
+              col("event_type") === "click", col("event_type") === "purchase"))
+            .as("level"))
+          .where(col("level") >= 1)
+          .groupBy("level")
+          .agg(count(lit(1)).as("users"))
+          .orderBy("level")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |t1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+             |       WHERE event_type='signup' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, MIN(e.tus) AS t2 FROM ev e JOIN t1 USING (user_id)
+             |       WHERE e.event_type='view' AND e.tus > t1.t1
+             |         AND e.tus <= t1.t1 + 604800000000 GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, MIN(e.tus) AS t3
+             |       FROM ev e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+             |       WHERE e.event_type='click' AND e.tus > t2.t2
+             |         AND e.tus <= t1.t1 + 604800000000 GROUP BY e.user_id),
+             |t4 AS (SELECT e.user_id, MIN(e.tus) AS t4
+             |       FROM ev e JOIN t1 USING (user_id) JOIN t3 USING (user_id)
+             |       WHERE e.event_type='purchase' AND e.tus > t3.t3
+             |         AND e.tus <= t1.t1 + 604800000000 GROUP BY e.user_id)
+             |SELECT CASE WHEN t4.user_id IS NOT NULL THEN 4
+             |            WHEN t3.user_id IS NOT NULL THEN 3
+             |            WHEN t2.user_id IS NOT NULL THEN 2 ELSE 1 END AS level,
+             |       CAST(COUNT(*) AS BIGINT) AS users
+             |FROM t1 LEFT JOIN t2 ON t1.user_id=t2.user_id
+             |        LEFT JOIN t3 ON t1.user_id=t3.user_id
+             |        LEFT JOIN t4 ON t1.user_id=t4.user_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- retention cohort (ClickHouse retention analog): anchor
+    // ---- condition + co-occurrence flags, two narrow aggregations ----
+    Q("q71_retention",
+      (s, dir) => {
+        val flags = graft.functions.Funnel.retentionFlags(Seq(
+          col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(flags(0).as("r1"), flags(1).as("r2"), flags(2).as("r3"))
+          .agg(sum(col("r1")).as("signed_up"),
+            sum(col("r2")).as("clicked"),
+            sum(col("r3")).as("purchased"))
+      },
+      Some("""SELECT CAST(SUM(r1) AS BIGINT) AS signed_up,
+             |  CAST(SUM(LEAST(r1, c2)) AS BIGINT) AS clicked,
+             |  CAST(SUM(LEAST(r1, c3)) AS BIGINT) AS purchased
+             |FROM (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS r1,
+             |    MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c2,
+             |    MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS c3
+             |  FROM events GROUP BY user_id
+             |)""".stripMargin)),
+
+    // ---- approximate quantiles (ClickHouse quantile() is approximate
+    // ---- by default): oracled like q24 — exact values hash-checked,
+    // ---- plus a flag that the sketch landed within tolerance ---------
+    Q("q72_approx_quantiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          expr("percentile(l_extendedprice, 0.99)").as("ex99"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
+        .select(col("l_returnflag"),
+          round(col("ex50"), 4).as("p50"), round(col("ex99"), 4).as("p99"),
+          (abs(col("ap50") - col("ex50")) / col("ex50") < 0.005 &&
+            abs(col("ap99") - col("ex99")) / col("ex99") < 0.005).as("approx_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+             |  TRUE AS approx_ok
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

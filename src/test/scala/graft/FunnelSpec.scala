@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funnel
+import graft.sources.Tables
+
+/** WindowFunnel aggregate: differential vs an in-memory reference
+  * implementation of the documented anchored-greedy strict-increase
+  * semantics, boundary behavior, partial-agg merge invariance, the SQL
+  * registration, and the retention flags. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val week = 7L * 86400 * 1000000
+
+  private val steps = Seq("signup", "view", "click", "purchase")
+
+  /** Plain-Scala reference: t1 = min step-1 ts; t_{i+1} = min step-(i+1)
+    * ts with ts > t_i and ts <= t1 + window. */
+  private def refLevel(events: Seq[(Long, String)], window: Long): Int = {
+    val t1 = events.collect { case (t, e) if e == steps.head => t }
+      .minOption.getOrElse(return 0)
+    var lvl = 1
+    var cur = t1
+    var advanced = true
+    while (lvl < steps.size && advanced) {
+      val next = events.collect {
+        case (t, e) if e == steps(lvl) && t > cur && t <= t1 + window => t
+      }.minOption
+      next match {
+        case Some(t) => cur = t; lvl += 1
+        case None => advanced = false
+      }
+    }
+    lvl
+  }
+
+  private def funnelOf(df: DataFrame, window: Long): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(Funnel.windowFunnel(col("tus"), window,
+        steps.map(col("event_type") === _)).as("level"))
+
+  test("differential vs reference semantics on the events table") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val got = funnelOf(ev, week).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level")).toMap
+
+    val raw = ev.collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("tus"), r.getAs[String]("event_type"))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).toSeq }
+    val want = raw.map { case (u, evs) => u -> refLevel(evs, week) }
+
+    assert(got == want)
+  }
+
+  test("merge invariance: level is a pure function of the event set") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val base = funnelOf(ev, week)
+    for (parts <- Seq(1, 7)) {
+      assertSameRows(base, funnelOf(ev.repartition(parts), week))
+    }
+  }
+
+  test("boundaries: window end inclusive, strict increase, no anchor") {
+    def lvl(rows: (Long, Long, String)*): Map[Long, Int] =
+      funnelOf(rows.toSeq.toDF("user_id", "tus", "event_type"), 100L)
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level"))
+        .toMap
+
+    val got = lvl(
+      // u1: step2 exactly at anchor+window → counts (<=)
+      (1L, 0L, "signup"), (1L, 100L, "view"),
+      // u2: step2 just past the window → level stays 1
+      (2L, 0L, "signup"), (2L, 101L, "view"),
+      // u3: same timestamp cannot chain (strict >)
+      (3L, 50L, "signup"), (3L, 50L, "view"),
+      // u4: no step-1 event at all → 0
+      (4L, 10L, "view"), (4L, 20L, "click"),
+      // u5: anchor is the EARLIEST signup; the later signup at t=90
+      //     does not re-anchor, so the view at t=150 is out of window
+      (5L, 0L, "signup"), (5L, 90L, "signup"), (5L, 150L, "view"),
+      // u6: steps may interleave with noise and later steps before
+      //     earlier ones are ignored
+      (6L, 0L, "click"), (6L, 10L, "signup"), (6L, 11L, "error"),
+      (6L, 20L, "view"), (6L, 30L, "click"), (6L, 40L, "purchase"))
+
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 4))
+  }
+
+  test("SQL registration: window_funnel(ts, bits, window, steps)") {
+    GraftExtensions.register(spark)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    ev.createOrReplaceTempView("funnel_events")
+    val bits = steps.zipWithIndex.map { case (e, i) =>
+      s"IF(event_type = '$e', ${1 << i}, 0)"
+    }.mkString(" | ")
+    val viaSql = spark.sql(
+      s"""SELECT user_id, window_funnel(tus, $bits, ${week}L, 4) AS level
+         |FROM funnel_events GROUP BY user_id""".stripMargin)
+    assertSameRows(viaSql, funnelOf(ev, week))
+  }
+
+  test("retention flags: anchor + co-occurrence, not ordering") {
+    val rows = Seq(
+      // u1: anchor + both conditions
+      (1L, "signup"), (1L, "click"), (1L, "purchase"),
+      // u2: purchase BEFORE signup still counts (co-occurrence)
+      (2L, "purchase"), (2L, "signup"),
+      // u3: no anchor → all flags 0 even though conditions fired
+      (3L, "click"), (3L, "purchase"),
+      // u4: anchor only
+      (4L, "signup"))
+      .toDF("user_id", "event_type")
+    val flags = Funnel.retentionFlags(Seq(
+      col("event_type") === "signup",
+      col("event_type") === "click",
+      col("event_type") === "purchase"))
+    val got = rows.groupBy("user_id")
+      .agg(flags(0).as("r1"), flags(1).as("r2"), flags(2).as("r3"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("r1"), r.getAs[Int]("r2"), r.getAs[Int]("r3"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1, 1, 1)), 2L -> ((1, 0, 1)), 3L -> ((0, 0, 0)),
+      4L -> ((1, 0, 0))))
+  }
+}
