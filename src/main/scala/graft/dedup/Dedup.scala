@@ -264,6 +264,89 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — public algorithm). Same output contract as
+    * [[connectedComponents]]: one `(id, comp)` row per node, `comp` =
+    * smallest id in the component.
+    *
+    * Why a second implementation: label propagation needs one
+    * join+aggregate round per unit of cluster DIAMETER; star
+    * contraction converges in O(log² n) rounds regardless of diameter
+    * (in practice ~log d). For near-dup clusters (diameter ≲ 4) both
+    * are cheap, but chain-shaped graphs — fuzzy-match chains, entity
+    * resolution — make propagation linear-round while this stays
+    * logarithmic. Each round is two self-contained groupBy/aggregate
+    * passes over the edge list, so the shuffle unit is edges, not
+    * labels ⋈ edges.
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood — long chains fold toward
+    *    their minimum in halving hops;
+    *  - small-star: every node and its ≤-neighbors re-hang on that
+    *    minimum — flattens partial trees into stars.
+    *
+    * Fixpoint when the edge set stops changing; the surviving edges
+    * (child → root) ARE the labels. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+                              bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // canonical parent-pointer edges (big, small), self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // ---- large-star: u's closed-neighborhood min adopts u's larger
+      // neighbors. Directions: for each undirected edge emit both
+      // orientations, group by center, min over neighbors ∪ self.
+      val both = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = both.groupBy("c")
+        .agg(least(min(col("n")), first(col("c"))).as("m"))
+      val afterLarge = both.join(mins, Seq("c"))
+        .where(col("n") > col("c")) // larger neighbors re-hang on m
+        .select(col("n").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .unionByName( // smaller-or-equal neighbors keep their edge
+          both.where(col("n") < col("c"))
+            .select(col("c").as("u"), col("n").as("v")))
+        .distinct()
+
+      // ---- small-star: group by the larger endpoint; that node and
+      // all its smaller neighbors re-hang on the neighborhood min.
+      val byBig = afterLarge // already oriented u (big) → v (small)
+      val smallMin = byBig.groupBy("u").agg(min(col("v")).as("m"))
+      val next = byBig.join(smallMin, Seq("u"))
+        .select(col("u"), col("v"), col("m"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(greatest(col("e.a"), col("e.b")).as("u"),
+          least(col("e.a"), col("e.b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // stars: every remaining edge is child → component-min root
+    nodes.join(edges.select(col("u").as("id"), col("v").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Corpus dedup by near-dup clusters: keep the smallest-id member of
     * every duplicate group, pass through documents in no group. */
   def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,

@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(comps == Seq(0L), s"chain split into components $comps")
   }
 
+  test("star contraction == label propagation (differential, random graphs)") {
+    val rnd = new scala.util.Random(42)
+    val redges = (1 to 150).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(redges).as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(redges).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("star contraction handles a diameter-100 path within its round budget") {
+    // label propagation would need 100 rounds here (> its default maxIter);
+    // star contraction folds the chain logarithmically
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
   test("keepOnePerCluster keeps min id per group, passes isolated docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
