@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.sources.Tables
-import graft.text.{Corpus, TextAnalysis}
+import graft.text.{Corpus, Pii, Relevance, TextAnalysis}
 
 /** LLM-training-data pipeline surface: text analysis, dedup, similarity
   * search over the `documents` / `embeddings` tables.
@@ -24,6 +24,10 @@ object TextQueries {
   // stopword list shared with the oracle SQL below
   private val enStop = TextAnalysis.stopwords("en")
   private def enStopSql = enStop.map(w => s"'$w'").mkString(", ")
+
+  /** q74's query — shared between the Spark side and the SQL mirror.
+    * Defined before [[all]]: object vals initialize in source order. */
+  private val bm25Terms = Seq("customer", "query", "window", "stream")
 
   val all: Seq[Q] = Seq(
 
@@ -533,6 +537,113 @@ object TextQueries {
            |  FROM documents
            |) WHERE rk <= 5
            |ORDER BY lang, doc_id""".stripMargin
-      })
+      }),
+
+    // ---- TF-IDF characteristic terms (oracled: scores rounded to 6
+    // ---- decimals in BOTH engines — ln is the one non-exactly-rounded
+    // ---- op, so ranking and output go through the rounded value) -----
+    Q("q73_tfidf_topterms",
+      (s, dir) => Relevance.topTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "term"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  WHERE term <> '' GROUP BY doc_id, term
+             |), dfreq AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+             |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+             |SELECT doc_id, term, tf, df, score FROM (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    round(CAST(tf.tf AS DOUBLE) *
+             |          ln(CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY round(CAST(tf.tf AS DOUBLE) *
+             |        ln(CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC,
+             |        tf.term) AS rn
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+             |) WHERE rn <= 3
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // ---- BM25 keyword search (fixed-order per-term sum — see
+    // ---- Relevance.bm25 determinism contract) ------------------------
+    Q("q74_bm25_search",
+      (s, dir) => Relevance.bm25(t(s, dir, "documents"), bm25Terms)
+        .select(col("doc_id"), round(col("bm25"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
+      Some {
+        val tfDefs = bm25Terms.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$term')) AS DOUBLE) AS tf_$i"
+        }.mkString(",\n             |    ")
+        val dfDefs = bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")
+          .mkString(", ")
+        // mirrors Relevance.bm25 operation-for-operation: scala folds
+        // (1.0 - b) to 0.25 and (k1 + 1.0) to 2.2 before building the
+        // Column, so those constants appear pre-folded here too
+        val terms = bm25Terms.indices.map { i =>
+          s"""(ln(CAST(1.0 AS DOUBLE) + ((n_docs - df_$i) + 0.5) / (df_$i + 0.5)) *
+             |      (tf_$i * CAST(2.2 AS DOUBLE)) /
+             |      (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avg_dl)))""".stripMargin
+        }.mkString(" +\n    ")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+           |    $tfDefs
+           |  FROM documents
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl, $dfDefs
+           |  FROM base)
+           |SELECT doc_id, round($terms, 6) AS score
+           |FROM base CROSS JOIN stats
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // ---- PII scrub over realistic contact-bearing text (derived from
+    // ---- customer columns — the documents corpus is synthetic word
+    // ---- salad with no PII shapes in it) -----------------------------
+    Q("q75_pii_redaction",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        // contact-card text: the phone is synthesized from the keys in
+        // TPC-H's 2-3-3-4 wire shape (the table ships no phone column)
+        val phone = format_string("%02d-%03d-%03d-%04d",
+          col("c_nationkey") + 10, col("c_custkey") % 1000,
+          (col("c_custkey") * 7) % 1000, col("c_custkey") % 10000)
+        val txt = concat_ws(" ", lower(col("c_name")), lit("email"),
+          concat(lower(col("c_name")), lit("@example.com")),
+          lit("phone"), phone,
+          lit("host"),
+          concat(lit("10.0."), (col("c_custkey") % 256).cast("string"), lit(".1")),
+          col("c_mktsegment"))
+        c.select(col("c_custkey"), txt.as("txt"))
+          .select(col("c_custkey"),
+            Pii.emailCount(col("txt")).as("n_emails"),
+            Pii.phoneCount(col("txt")).as("n_phones"),
+            Pii.ipv4Count(col("txt")).as("n_ips"),
+            Pii.redact(col("txt")).as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    concat_ws(' ', lower(c_name), 'email',
+             |      lower(c_name) || '@example.com', 'phone',
+             |      printf('%02d-%03d-%03d-%04d', c_nationkey + 10,
+             |             c_custkey % 1000, (c_custkey * 7) % 1000,
+             |             c_custkey % 10000), 'host',
+             |      '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1',
+             |      c_mktsegment) AS txt
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(txt, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+             |  CAST(len(regexp_extract_all(txt, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ips,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+             |FROM base
+             |ORDER BY c_custkey""".stripMargin))
   )
 }
