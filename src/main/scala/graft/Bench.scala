@@ -57,15 +57,22 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
+    def render(short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        s"\"" + key + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full query names go to the file; the stdout line uses the qNN short
+    // keys so the whole line (~1.1 KB at 75 queries) fits inside the
+    // driver's bounded tail capture — a full-name line is ~2.6 KB and got
+    // truncated mid-JSON in past rounds ("parsed": null).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    try Files.write(Paths.get(out), (render(short = false) + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
-    println(line)
+    println(render(short = true))
   }
 }

@@ -135,12 +135,29 @@ object CdcSim {
     * query reads the landed table. Re-running the JSON decode per
     * analytical query would charge the ingest cost to every reader —
     * the exact pattern the reference's MV → table split exists to
-    * avoid. */
-  def currentStateCached(cacheKey: String, rawEnvelopes: => DataFrame): DataFrame =
-    stateCache.computeIfAbsent(cacheKey, _ => {
-      val st = currentState(rawEnvelopes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      st.count() // land the table eagerly, like the streaming MV would
-      st
+    * avoid.
+    *
+    * A cached plan is bound to the SparkSession that built it, so the
+    * internal key includes the owning context: a session restart in the
+    * same JVM (tests) recomputes instead of serving a frame whose
+    * context is stopped, and entries from dead contexts are dropped
+    * (their persisted blocks died with the context). */
+  def currentStateCached(cacheKey: String, rawEnvelopes: => DataFrame): DataFrame = {
+    stateCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    val st = currentState(rawEnvelopes)
+    val fullKey = s"${st.sparkSession.sparkContext.applicationId}:$cacheKey"
+    stateCache.computeIfAbsent(fullKey, _ => {
+      val persisted = st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // land the table eagerly, like the streaming MV would
+      persisted
     })
+  }
+
+  /** Drop all cached states, unpersisting live ones (test hook). */
+  def clearStateCache(): Unit = {
+    stateCache.values.forEach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    stateCache.clear()
+  }
 }

@@ -227,6 +227,15 @@ case class DeletionHashes(child: Expression, maxDeletions: Int)
   require(maxDeletions >= 0 && maxDeletions <= 3,
     s"deletion_hashes supports 0..3 deletions (C(len,d) variants per row), got $maxDeletions")
 
+  // analysis-time check: the SQL registration passes the argument raw,
+  // so without this a non-string input would pass analysis and throw
+  // ClassCastException executor-side
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deletion_hashes requires a string argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "deletion_hashes"

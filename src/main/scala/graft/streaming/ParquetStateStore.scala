@@ -86,10 +86,15 @@ class ParquetStateStore(
   private def bucketCol = pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong))
     .cast("int")
 
-  def currentVersion: Option[Int] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    readManifest(new HPath(path).getFileSystem(conf)).map(_._1)
-  }
+  /** Current manifest epoch, resolved against `spark`'s Hadoop conf
+    * (matching read/merge/vacuum, which all take the session). */
+  def currentVersion(spark: SparkSession): Option[Int] =
+    readManifest(fs(spark)).map(_._1)
+
+  /** Convenience overload using `SparkSession.active`; throws when no
+    * session is active — prefer [[currentVersion(spark*]] in multi-
+    * session JVMs (tests), where "active" may be the wrong session. */
+  def currentVersion: Option[Int] = currentVersion(SparkSession.active)
 
   def read(spark: SparkSession): Option[DataFrame] =
     readManifest(fs(spark)).map { case (_, map) =>
@@ -195,8 +200,18 @@ class ParquetStateStore(
     * periodically between merges — without it, state storage grows by
     * the dirty-bucket bytes of every merge, forever (the analog of
     * Delta/Iceberg VACUUM / expire_snapshots). Returns the number of
-    * bucket directories deleted. */
-  def vacuum(spark: SparkSession): Int = synchronized {
+    * bucket directories deleted.
+    *
+    * `graceMs` keeps recently-superseded copies alive: a bucket copy is
+    * deleted only if the live copy that superseded it (or, for buckets
+    * dropped from the manifest, the manifest itself) is older than
+    * `graceMs`. An out-of-process reader that resolved the previous
+    * manifest — or holds an unexecuted read() plan — can otherwise hit
+    * FileNotFoundException mid-scan; size it above the longest reader
+    * scan, as Delta's `deletedFileRetentionDuration` does. The default
+    * 0 is for single-process use where the store's lock serializes
+    * readers and vacuums. */
+  def vacuum(spark: SparkSession, graceMs: Long = 0L): Int = synchronized {
     val hfs = fs(spark)
     readManifest(hfs) match {
       case None => 0
@@ -204,6 +219,23 @@ class ParquetStateStore(
         // via toSeq: mapping the Map directly would re-key by epoch and
         // collapse every bucket sharing an epoch into one entry
         val live = map.toSeq.map { case (b, e) => (e, b) }.toSet
+        val cutoff = System.currentTimeMillis() - graceMs
+        // When a superseded copy of bucket b was replaced is bounded
+        // above by the live copy's write time (later supersessions only
+        // push it forward) — conservative for grace purposes. Buckets
+        // no longer in the manifest were last superseded no later than
+        // the current manifest swap.
+        lazy val manifestMtime = hfs.getFileStatus(pointer).getModificationTime
+        def supersededRecently(b: Int): Boolean = graceMs > 0 && {
+          val t = map.get(b) match {
+            case Some(e) =>
+              val d = new HPath(bucketDir(e, b))
+              if (hfs.exists(d)) hfs.getFileStatus(d).getModificationTime
+              else manifestMtime
+            case None => manifestMtime
+          }
+          t >= cutoff
+        }
         var deleted = 0
         hfs.listStatus(new HPath(path))
           .filter(s => s.isDirectory && s.getPath.getName.matches("e\\d+"))
@@ -215,7 +247,7 @@ class ParquetStateStore(
                   s.getPath.getName.startsWith("__gbucket="))
                 .foreach { bd =>
                   val b = bd.getPath.getName.stripPrefix("__gbucket=").toInt
-                  if (!live((e, b))) {
+                  if (!live((e, b)) && !supersededRecently(b)) {
                     hfs.delete(bd.getPath, true); deleted += 1
                   }
                 }

@@ -66,15 +66,20 @@ object Sinks {
   def versionedUpsert(changes: DataFrame, store: ParquetStateStore,
                       checkpoint: String,
                       trigger: Trigger = Trigger.AvailableNow(),
-                      vacuumEvery: Int = 16): StreamingQuery =
+                      vacuumEvery: Int = 16,
+                      vacuumGraceMs: Long = 0L): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.merge(batch)
         // reclaim superseded bucket files periodically so state storage
         // stays O(live state), not O(merge history); safe against
-        // replayed batch ids (vacuum never touches the live snapshot)
+        // replayed batch ids (vacuum never touches the live snapshot).
+        // Concurrent OUT-OF-PROCESS readers need vacuumGraceMs above
+        // their longest scan (or vacuumEvery = 0 and offline vacuums):
+        // with no grace a reader that resolved the previous manifest can
+        // hit FileNotFoundException on a just-reclaimed bucket copy.
         if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1) {
-          store.vacuum(batch.sparkSession)
+          store.vacuum(batch.sparkSession, vacuumGraceMs)
           ()
         }
       }

@@ -22,14 +22,18 @@ object Corpus {
   /** Deterministic bucket in [0, buckets) from a non-negative id —
     * a multiplicative xor-shift mixer (Knuth/murmur-finalizer shaped,
     * public-domain constants) built only from `*`, `%`, `^`, `>>` so
-    * DuckDB/Postgres/Spark all reproduce it bit-for-bit. Stays inside
-    * ANSI BIGINT range for ids < 2^31 (the multiplies are bounded by
-    * pre-reducing mod 2^32 / 2^31 — no Long wraparound, which Spark's
-    * ANSI mode rejects).
+    * DuckDB/Postgres/Spark all reproduce it bit-for-bit. Every multiply
+    * is bounded by pre-reducing its operand mod 2^31 / 2^32, so no
+    * input — negative or ≥ 2^31 — can overflow BIGNT (Spark's ANSI mode
+    * rejects Long wraparound; non-ANSI would silently wrap and diverge
+    * from the SQL rendering). Ids in [0, 2^31) map injectively into the
+    * pre-reduction; larger/negative ids fold mod 2^31 first, which is
+    * still a deterministic, well-mixed assignment.
     */
   def hashBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val b1 = pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    val nn = pmod(id.cast("long"), lit(2147483648L))
+    val b1 = pmod(nn * lit(2654435761L), lit(4294967296L))
     val b2 = b1.bitwiseXOR(shiftright(b1, 16))
     val b3 = pmod(pmod(b2, lit(2147483648L)) * lit(2246822519L), lit(4294967296L))
     val b4 = b3.bitwiseXOR(shiftright(b3, 13))
@@ -39,7 +43,9 @@ object Corpus {
   /** The same mixer as DuckDB SQL text, kept adjacent so the two can't
     * drift (oracle parity for the split/sample queries). */
   def hashBucketSql(id: String, buckets: Int): String = {
-    val b1 = s"(($id * 2654435761) % 4294967296)"
+    // pmod rendering: DuckDB/Postgres % keeps the dividend's sign
+    val nn = s"((($id % 2147483648) + 2147483648) % 2147483648)"
+    val b1 = s"(($nn * 2654435761) % 4294967296)"
     val b2 = s"xor($b1, $b1 >> 16)"
     val b3 = s"((($b2 % 2147483648) * 2246822519) % 4294967296)"
     val b4 = s"xor($b3, $b3 >> 13)"

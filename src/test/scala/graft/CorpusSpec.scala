@@ -36,6 +36,38 @@ class CorpusSpec extends SparkSpec {
       s"sequential ids skewed the mixer: $b")
   }
 
+  test("hashBucket is total: negative and >=2^31 ids neither throw nor skew") {
+    // ANSI mode rejects Long overflow — before the pre-reduction, an id
+    // near 2^32 * 2654435761 would blow up the first multiply at
+    // runtime (and silently wrap under non-ANSI, diverging from the
+    // DuckDB rendering)
+    val ids = Seq(-1L, -2147483648L, Long.MinValue, Long.MaxValue,
+      2147483648L, 1L << 40, 8589934591L)
+    import spark.implicits._
+    val out = ids.toDF("id")
+      .select(Corpus.hashBucket(col("id"), 100).as("b"))
+      .as[Long].collect()
+    assert(out.forall(b => b >= 0 && b < 100), s"bucket out of range: ${out.toSeq}")
+    // ids inside [0, 2^31) are unaffected by the guard (oracle parity
+    // with past rounds): assert exact agreement with a local replica of
+    // the published mixer
+    def local(id: Long): Long = {
+      val nn = java.lang.Math.floorMod(id, 2147483648L)
+      val b1 = java.lang.Math.floorMod(nn * 2654435761L, 4294967296L)
+      val b2 = b1 ^ (b1 >> 16)
+      val b3 = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(b2, 2147483648L) * 2246822519L, 4294967296L)
+      val b4 = b3 ^ (b3 >> 13)
+      java.lang.Math.floorMod(b4, 100L)
+    }
+    val smallIds = Seq(0L, 1L, 42L, 123456789L, 2147483647L)
+    val small = smallIds.toDF("id")
+      .select(col("id"), Corpus.hashBucket(col("id"), 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    smallIds.foreach(i => assert(small(i) == local(i),
+      s"mixer drifted for id=$i: spark=${small(i)} local=${local(i)}"))
+  }
+
   test("sampleStratified: k per stratum, and a k=3 sample is a prefix of k=5") {
     val base = docs.select(col("doc_id"), col("lang"))
     val s5 = Corpus.sampleStratified(base, "doc_id", "lang", k = 5)

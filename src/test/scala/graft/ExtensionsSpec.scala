@@ -77,6 +77,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(m == Seq(2.0, 4.0))
   }
 
+  test("deletion_hashes rejects non-string input at analysis time") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT deletion_hashes(42, 1)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
+
   test("extension class injects functions at session build time") {
     // separate session from the shared one, extension-configured
     val s2 = SparkEnv.builder("local[2]", 2)

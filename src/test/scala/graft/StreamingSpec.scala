@@ -258,6 +258,27 @@ class StreamingSpec extends SparkSpec {
     store.merge(Seq((1, 3L, "final")).toDF("id", "v", "payload"))
     assert(store.read(spark).get.where($"id" === 1)
       .select("payload").as[String].head() == "final")
+    // session-scoped currentVersion overload agrees with the implicit one
+    assert(store.currentVersion(spark) == store.currentVersion)
+  }
+
+  test("vacuum grace period protects freshly superseded buckets") {
+    val state = tmpDir("graft-vacgrace")
+    val store = new ParquetStateStore(state, Seq("id"), Seq("v"), None,
+      buckets = 4)
+    import spark.implicits._
+    store.merge((1 to 100).map(i => (i, 1L, s"p$i")).toDF("id", "v", "payload"))
+    store.merge((1 to 100).map(i => (i, 2L, s"q$i")).toDF("id", "v", "payload"))
+    // all e0 buckets are superseded, but the supersession just happened:
+    // a reader that resolved the pre-merge manifest may still be
+    // scanning them, so a generous grace must reclaim nothing
+    assert(store.vacuum(spark, graceMs = 3600 * 1000L) == 0,
+      "grace period ignored — just-superseded buckets were deleted")
+    assert(Files.exists(Paths.get(state, "e0")),
+      "superseded epoch removed despite grace period")
+    // beyond the grace window the same copies are reclaimable
+    assert(store.vacuum(spark, graceMs = 0L) == 4)
+    assert(!Files.exists(Paths.get(state, "e0")))
   }
 
   test("state store deletes hide rows but tombstones block resurrection") {
