@@ -93,6 +93,13 @@ object GraftExtensions {
         arg(e, 1), org.apache.spark.sql.types.IntegerType),
       longLit(e(2), "window"),
       intLit(e(3), "steps")).toAggregateExpression()),
+    // sequence_count(ts, bits, steps) — ClickHouse sequenceCount analog
+    "sequence_count" -> (e => SequenceCount(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.IntegerType),
+      intLit(e(2), "steps")).toAggregateExpression()),
     "approx_top_k" -> (e => ApproxTopK(
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 0), org.apache.spark.sql.types.StringType),

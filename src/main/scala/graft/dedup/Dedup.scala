@@ -422,6 +422,37 @@ object Dedup {
     pairs.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact word-k-gram Jaccard of every `batch` doc against every
+    * `corpus` doc it shares a shingle with — the *incremental* dedup
+    * shape: an arriving micro-batch is checked against the standing
+    * corpus without ever comparing corpus docs to each other. Work is
+    * O(batch shingles × corpus postings touched), not O(corpus²), which
+    * is what makes admission-time dedup viable at 100 TB: the corpus
+    * side is a pre-built inverted index (shuffle on shingle reuses its
+    * layout), and only postings for shingles present in the batch are
+    * read. Pair with [[minhashPairs]] banding upstream when the batch
+    * itself is large. Output: (batch_id, corpus_id, jaccard). */
+  def crossJaccardPairs(corpus: DataFrame, batch: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleK: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    def index(docs: DataFrame) = {
+      val sh = docs.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
+        .where(size(col("sh")) > 0)
+        .withColumn("n", size(col("sh")))
+      sh.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+    }
+    index(batch).as("x").join(index(corpus).as("y"), Seq("shingle"))
+      .groupBy(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.n")).as("n_a"), first(col("y.n")).as("n_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // ---- decontamination (train ∩ eval overlap) ------------------------
 
   /** Train/eval contamination pairs: training docs sharing at least

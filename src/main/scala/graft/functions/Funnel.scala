@@ -161,6 +161,105 @@ case class WindowFunnel(
   override def prettyName: String = "window_funnel"
 }
 
+/** `sequence_count(ts, bits, steps)` — number of non-overlapping
+  * completions of the ordered condition chain in a key's event stream
+  * (ClickHouse `sequenceCount('(?1).*(?2)…')` analog; `sequenceMatch`
+  * is `count >= 1`). Shares [[FunnelBuffer]] with [[WindowFunnel]]:
+  * map-side partials buffer only condition-matching events, the greedy
+  * scan runs once per key at eval.
+  *
+  * Semantics: events sorted by `(ts, bits)` — a deterministic total
+  * order, so the result is a pure function of the event set and safe
+  * under Spark's partial-merge reordering (ClickHouse leaves same-ts
+  * order undefined). The scan is the standard greedy subsequence
+  * matcher: at level i it advances on the first event with bit i set,
+  * counting a completion and resetting at the last level. Greedy is
+  * optimal for subsequence existence, so the count equals the maximum
+  * number of disjoint left-to-right completions — and equals global
+  * lazy-regex matching of `c1.*?c2.*?…` over the ordered event string,
+  * which is how the DuckDB oracle renders it. Unlike [[WindowFunnel]]
+  * there is no time window and chaining allows equal timestamps in
+  * sort order (pattern semantics, not session semantics). */
+case class SequenceCount(
+    tsExpr: Expression,
+    bitsExpr: Expression,
+    steps: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FunnelBuffer] {
+
+  require(steps >= 1 && steps <= 30, s"sequence_count supports 1..30 steps, got $steps")
+
+  override def children: Seq[Expression] = Seq(tsExpr, bitsExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tsExpr.dataType == LongType && bitsExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sequence_count expects (ts: bigint, bits: int), got " +
+        s"(${tsExpr.dataType.simpleString}, ${bitsExpr.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): FunnelBuffer = new FunnelBuffer()
+
+  override def update(buf: FunnelBuffer, input: InternalRow): FunnelBuffer = {
+    val t = tsExpr.eval(input)
+    val b = bitsExpr.eval(input)
+    if (t != null && b != null) {
+      val bi = b.asInstanceOf[Int]
+      if (bi != 0) buf.add(t.asInstanceOf[Long], bi)
+    }
+    buf
+  }
+
+  override def merge(buf: FunnelBuffer, other: FunnelBuffer): FunnelBuffer =
+    buf.mergeFrom(other)
+
+  override def eval(buf: FunnelBuffer): Any = {
+    val order = Array.range(0, buf.n).sortBy(i => (buf.ts(i), buf.bits(i)))
+    var lvl = 0
+    var count = 0L
+    var j = 0
+    while (j < buf.n) {
+      if ((buf.bits(order(j)) & (1 << lvl)) != 0) {
+        lvl += 1
+        if (lvl == steps) { count += 1; lvl = 0 }
+      }
+      j += 1
+    }
+    count
+  }
+
+  override def serialize(buf: FunnelBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.n)
+    var i = 0
+    while (i < buf.n) { out.writeLong(buf.ts(i)); out.writeInt(buf.bits(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FunnelBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new FunnelBuffer(math.max(n, 1))
+    var i = 0
+    while (i < n) { val t = in.readLong(); val b = in.readInt(); buf.add(t, b); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), bitsExpr = newChildren(1))
+  override def prettyName: String = "sequence_count"
+}
+
 /** Column-API entry points for funnel/retention analytics. */
 object Funnel {
 
@@ -184,6 +283,19 @@ object Funnel {
       ColumnBridge.expression(tsMicros.cast("long")),
       ColumnBridge.expression(stepBits(conds).cast("int")),
       windowMicros, conds.size).toAggregateExpression())
+
+  /** `sequenceCount(tsMicros, cond1, cond2, ...)` — non-overlapping
+    * ordered-chain completions per group; see [[SequenceCount]]. */
+  def sequenceCount(tsMicros: Column, conds: Seq[Column]): Column =
+    ColumnBridge.column(SequenceCount(
+      ColumnBridge.expression(tsMicros.cast("long")),
+      ColumnBridge.expression(stepBits(conds).cast("int")),
+      conds.size).toAggregateExpression())
+
+  /** `sequenceMatch(tsMicros, cond1, cond2, ...)` — true iff the
+    * ordered chain occurs at least once (ClickHouse `sequenceMatch`). */
+  def sequenceMatch(tsMicros: Column, conds: Seq[Column]): Column =
+    sequenceCount(tsMicros, conds) >= 1
 
   /** Retention flags (ClickHouse `retention` analog): flag 1 is "the
     * anchor condition ever held"; flag i>1 is "the anchor AND

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third analytics pack (round 5): event-pattern matching
+  * (ClickHouse `sequenceCount`/`sequenceMatch` analogs), mergeable
+  * sketch states (the `uniqState`/`uniqMerge` + AggregatingMergeTree
+  * pattern), and incremental batch-vs-corpus dedup. */
+object Analytics3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- event-chain counting: sequence_count(view -> click ->
+    // ---- purchase) per user, one shuffle (ClickHouse sequenceCount;
+    // ---- the greedy non-overlapping scan equals global lazy-regex
+    // ---- counting over the time-ordered event string, which is how
+    // ---- DuckDB renders it) ------------------------------------------
+    Q("q76_sequence_count",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(graft.functions.Funnel.sequenceCount(
+          unix_micros(col("ts")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase")).as("chains"))
+        .where(col("chains") >= 1)
+        .groupBy("chains")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("chains"),
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tus,
+             |    CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+             |         WHEN 'purchase' THEN 'c' END AS ch
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')
+             |), seqs AS (
+             |  SELECT user_id, string_agg(ch, '' ORDER BY tus, ch) AS s
+             |  FROM ev GROUP BY user_id
+             |), counts AS (
+             |  SELECT user_id,
+             |    CAST(len(regexp_extract_all(s, 'a.*?b.*?c')) AS BIGINT) AS chains
+             |  FROM seqs
+             |)
+             |SELECT chains, COUNT(*) AS users FROM counts
+             |WHERE chains >= 1 GROUP BY chains ORDER BY chains""".stripMargin)),
+
+    // ---- mergeable sketch states: HLL partials per (event_type, day)
+    // ---- at "ingest", unioned at query time — the uniqState/uniqMerge
+    // ---- + AggregatingMergeTree pattern. The daily sketch table is
+    // ---- O(groups × sketch bytes) regardless of row count, and the
+    // ---- final union never touches raw events: at 100 TB the re-agg
+    // ---- reads KB-sized states, not the fact table. Oracled like q24:
+    // ---- exact values hash-checked + an in-tolerance flag for the
+    // ---- estimate (default lgConfigK=12 ⇒ ~1.6% stderr). -------------
+    Q("q77_sketch_merge_state",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // ingest-time partial aggregation (the AggregatingMergeTree MV)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        // query-time merge of persisted states — no raw-event access
+        val merged = daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(merged, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") /
+              col("exact_users") < 0.05).as("approx_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- incremental dedup: an arriving batch (doc_id ≡ 0 mod 10)
+    // ---- checked against the standing corpus via a cross-set
+    // ---- inverted-index join — O(batch × touched postings), never
+    // ---- corpus²; the admission-time gate a training pipeline runs on
+    // ---- every new shard (bounded here like q37 so the DuckDB mirror
+    // ---- stays cheap) -------------------------------------------------
+    Q("q78_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+        val batch = d.filter(col("doc_id") % 10 === 0)
+        val corpus = d.filter(col("doc_id") % 10 =!= 0)
+        graft.dedup.Dedup.crossJaccardPairs(corpus, batch, threshold = 0.5)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
+             |    SELECT doc_id,
+             |      list_distinct([array_to_string(toks[i:i+2], ' ')
+             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 300)
+             |  ) WHERE len(sl) > 0
+             |), inv AS (
+             |  SELECT id, n, unnest(sh) AS shingle FROM sh
+             |)
+             |SELECT x.id AS batch_id, y.id AS corpus_id,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) AS jaccard
+             |FROM inv x JOIN inv y ON x.shingle = y.shingle
+             |WHERE x.id % 10 = 0 AND y.id % 10 <> 0
+             |GROUP BY x.id, y.id
+             |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
+             |ORDER BY batch_id, corpus_id""".stripMargin))
+  )
+}

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12)
   }
 
+  test("crossJaccardPairs == all-pairs jaccard restricted to cross pairs") {
+    val d = docs.filter(col("doc_id") < 300)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val cross = Dedup.crossJaccardPairs(corpus, batch, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")),
+        r.getAs[Double]("jaccard"))).toMap
+    // reference: the self-join form over the union, keeping only pairs
+    // with exactly one batch endpoint, re-keyed (batch, corpus)
+    val all = Dedup.jaccardPairs(d, threshold = 0.5).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard")))
+      .collect {
+        case ((a, b), j) if a % 10 == 0 && b % 10 != 0 => ((a, b), j)
+        case ((a, b), j) if a % 10 != 0 && b % 10 == 0 => ((b, a), j)
+      }.toMap
+    assert(cross == all)
+  }
+
   test("connected components: transitive closure, chains, isolation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs)

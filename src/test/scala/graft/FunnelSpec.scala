@@ -134,4 +134,73 @@ class FunnelSpec extends SparkSpec {
       1L -> ((1, 1, 1)), 2L -> ((1, 0, 1)), 3L -> ((0, 0, 0)),
       4L -> ((1, 0, 0))))
   }
+
+  /** Greedy non-overlapping subsequence counter — the documented
+    * SequenceCount semantics, re-implemented trivially. */
+  private def refSeqCount(events: Seq[(Long, String)], chain: Seq[String]): Long = {
+    val bitsOf = chain.zipWithIndex.toMap
+    val sorted = events.flatMap { case (t, e) =>
+      bitsOf.get(e).map(i => (t, 1 << i)) }
+      .sortBy(identity)
+    var lvl = 0; var count = 0L
+    sorted.foreach { case (_, b) =>
+      if ((b & (1 << lvl)) != 0) {
+        lvl += 1
+        if (lvl == chain.size) { count += 1; lvl = 0 }
+      }
+    }
+    count
+  }
+
+  test("sequence_count: differential vs reference on the events table") {
+    val chain = Seq("view", "click", "purchase")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val got = ev.groupBy(col("user_id"))
+      .agg(Funnel.sequenceCount(col("tus"),
+        chain.map(col("event_type") === _)).as("c"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("c")).toMap
+    val want = ev.collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("tus"), r.getAs[String]("event_type"))))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> refSeqCount(rows.map(_._2).toSeq, chain) }
+    assert(got == want)
+    // sequenceMatch is count >= 1
+    val matched = ev.groupBy(col("user_id"))
+      .agg(Funnel.sequenceMatch(col("tus"),
+        chain.map(col("event_type") === _)).as("m"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("m")).toMap
+    assert(matched == want.map { case (u, c) => u -> (c >= 1) })
+  }
+
+  test("sequence_count: non-overlapping greedy boundaries") {
+    def run(evs: Seq[(Long, Long, String)]): Map[Long, Long] =
+      evs.toDF("user_id", "tus", "e")
+        .groupBy("user_id")
+        .agg(Funnel.sequenceCount(col("tus"),
+          Seq(col("e") === "a", col("e") === "b")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(Seq(
+      // u1: a b a b — two disjoint completions
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      // u2: a a b b — chains don't interleave: one completion
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b"), (2L, 4L, "b"),
+      // u3: b a — order matters: zero
+      (3L, 1L, "b"), (3L, 2L, "a"),
+      // u4: equal timestamps chain in deterministic (ts, bits) order
+      (4L, 5L, "a"), (4L, 5L, "b")))
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("SQL registration: sequence_count(ts, bits, steps)") {
+    graft.GraftExtensions.register(spark)
+    Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 1), (1L, 4L, 2))
+      .toDF("u", "tus", "bits").createOrReplaceTempView("seq_ev")
+    val c = spark.sql(
+      "SELECT sequence_count(tus, bits, 2) AS c FROM seq_ev GROUP BY u")
+      .head().getLong(0)
+    assert(c == 2L)
+  }
 }
