@@ -111,6 +111,33 @@ object Analytics3 {
              |WHERE x.id % 10 = 0 AND y.id % 10 <> 0
              |GROUP BY x.id, y.id
              |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
+             |ORDER BY batch_id, corpus_id""".stripMargin)),
+
+    // ---- semantic admission: incoming embeddings (vec_id ≡ 0 mod 10)
+    // ---- vs the standing corpus by cosine — the embedding-space twin
+    // ---- of q78 (bounded brute force like q41; the LSH-banded form is
+    // ---- Similarity.nearDupPairs, recall-spec'd) ----------------------
+    Q("q79_embed_cross_neardup",
+      (s, dir) => {
+        val emb = Tables.loadParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 1000)
+        val batch = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("batch_id"), col("embedding").as("vec_a"))
+        val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("corpus_id"), col("embedding").as("vec_b"))
+        batch.crossJoin(corpus)
+          .select(col("batch_id"), col("corpus_id"),
+            round(graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6)
+              .as("cosine"))
+          .where(col("cosine") >= 0.42)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+             |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+             |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+             |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
              |ORDER BY batch_id, corpus_id""".stripMargin))
   )
 }

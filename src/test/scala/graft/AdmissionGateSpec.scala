@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.AdmissionGate
+
+/** Dedup admission gate: within-batch collapse, corpus rejection,
+  * replay idempotency, and the streaming form end-to-end. */
+class AdmissionGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // distinct docs share no 3-gram shingles; near-dups share most
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val baseVariant = base + " tonight"
+  private val other = "entirely different words about spark catalyst planning internals"
+  private val third = "completely unrelated content regarding parquet storage layouts here"
+
+  test("admitBatch: self-dedup, corpus rejection, replay idempotency") {
+    val corpus = tmpDir("graft-admit") + "/corpus"
+
+    // batch 1: A, B ~ A (near-dup), C distinct → A, C admitted
+    val b1 = Seq((1L, base), (2L, baseVariant), (3L, other)).toDF("doc_id", "text")
+    val a1 = AdmissionGate.admitBatch(b1, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a1 == Seq(1L, 3L), s"batch 1 admitted $a1")
+
+    // batch 2: D ~ A (already in corpus) rejected, E distinct admitted
+    val b2 = Seq((4L, base + " today"), (5L, third)).toDF("doc_id", "text")
+    val a2 = AdmissionGate.admitBatch(b2, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a2 == Seq(5L), s"batch 2 admitted $a2")
+
+    // replaying batch 2 admits nothing: its survivors now self-match
+    val a2r = AdmissionGate.admitBatch(b2, corpus).count()
+    assert(a2r == 0, s"replay re-admitted $a2r docs")
+
+    val landed = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 3L, 5L), s"corpus holds $landed")
+  }
+
+  test("streaming dedupAdmission: file stream to corpus, exactly-once effect") {
+    val root = tmpDir("graft-admit-stream")
+    val src = s"$root/src"
+    val corpus = s"$root/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def writeJson(name: String, rows: Seq[(Long, String)]): Unit = {
+      val p = java.nio.file.Paths.get(src, name)
+      val body = rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+        .mkString("\n")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    writeJson("b1.json", Seq((1L, base), (2L, baseVariant), (3L, other)))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def run(): Unit = {
+      val q = AdmissionGate.dedupAdmission(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src),
+        corpus, s"$root/cp")
+      q.awaitTermination(120000); ()
+    }
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+
+    // second file arrives; restart from checkpoint processes only it
+    writeJson("b2.json", Seq((4L, base + " today"), (5L, third)))
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L))
+  }
+}
