@@ -85,6 +85,35 @@ class PlanSpec extends SparkSpec {
       "expected exchange above the partial sketch (top-down plan)")
   }
 
+  test("q76: sequence_count buffers partially before the exchange") {
+    val p = SparkEntry.queries("q76_sequence_count")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // only condition-matching (ts, bits) pairs cross the shuffle,
+    // pre-buffered per map task — not raw events
+    val iPartial = p.indexOf("partial_sequence_count")
+    val iExchange = p.indexOf("Exchange hashpartitioning(user_id")
+    assert(iPartial >= 0, "no partial sequence aggregation:\n" + p.take(800))
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "expected exchange above the partial buffer (top-down plan)")
+  }
+
+  test("q77: sketch merge re-aggregates states, never re-reads raw rows") {
+    val p = SparkEntry.queries("q77_sketch_merge_state")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // ingest-side partial HLL under its exchange...
+    assert(p.contains("partial_hll_sketch_agg"), p.take(800))
+    // ...and the query-time merge operates on sketch states
+    assert(p.contains("hll_union_agg"), p.take(800))
+  }
+
+  test("q78: incremental dedup joins on the shingle index, no cartesian") {
+    val p = SparkEntry.queries("q78_incremental_dedup")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cross-set verify must be an equi-join on shingle:\n" + p.take(800))
+  }
+
   test("q69: decontamination broadcasts the eval index, never self-pairs") {
     val p = planOf("q69_decontamination")
     assert(p.contains("BroadcastExchange"),

@@ -409,4 +409,41 @@ class StreamingSpec extends SparkSpec {
     reg.stopAll()
     assert(reg.active.isEmpty)
   }
+
+  test("stream-stream interval join matches the batch join") {
+    val root = tmpDir("graft-ssjoin")
+    val ev = Tables.load(spark, sfDir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+    views.repartition(3).write.mode("overwrite").parquet(s"$root/views")
+    buys.repartition(3).write.mode("overwrite").parquet(s"$root/buys")
+
+    def stream(path: String, tsCol: String) = spark.readStream
+      .schema(spark.read.parquet(path).schema).parquet(path)
+      .withWatermark(tsCol, "1 hour")
+
+    // attribute each purchase to views in the preceding hour
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      stream(s"$root/views", "view_ts"), stream(s"$root/buys", "buy_ts"),
+      key = "user_id", leftTs = "view_ts", rightTs = "buy_ts",
+      lowerSec = 0, upperSec = 3600)
+      .select("user_id", "view_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val batch = graft.streaming.StreamJoins.intervalJoin(
+      spark.read.parquet(s"$root/views"), spark.read.parquet(s"$root/buys"),
+      key = "user_id", leftTs = "view_ts", rightTs = "buy_ts",
+      lowerSec = 0, upperSec = 3600)
+      .select("user_id", "view_id", "buy_id")
+    assert(spark.table("ssj").count() > 0, "join produced no pairs")
+    assertSameRows(spark.table("ssj"), batch)
+  }
 }
