@@ -103,6 +103,40 @@ object Graft {
                    idCol: String = "id", strCol: String = "name"): DataFrame =
     dedup.Dedup.fuzzyPairs(recs, maxDist, idCol, strCol)
 
+  /** Near-dups of an arriving batch against a standing corpus —
+    * O(batch × touched postings), never corpus² (admission-time gate). */
+  def crossNearDuplicates(corpus: DataFrame, batch: DataFrame,
+                          threshold: Double = 0.5): DataFrame =
+    dedup.Dedup.crossJaccardPairs(corpus, batch, threshold = threshold)
+
+  /** Streaming dedup admission: per micro-batch self-dedup + corpus
+    * check, appending only novel docs (replay-idempotent). */
+  def dedupAdmission(docs: DataFrame, corpusPath: String, checkpoint: String,
+                     threshold: Double = 0.5) =
+    streaming.AdmissionGate.dedupAdmission(docs, corpusPath, checkpoint,
+      threshold = threshold)
+
+  /** Funnel depth / retention / sequence analytics (ClickHouse
+    * windowFunnel, retention, sequenceMatch/Count analogs) — aggregate
+    * columns for use inside `.agg(...)`. */
+  def windowFunnel(tsMicros: Column, windowMicros: Long,
+                   conds: Seq[Column]): Column =
+    functions.Funnel.windowFunnel(tsMicros, windowMicros, conds)
+  def sequenceCount(tsMicros: Column, conds: Seq[Column]): Column =
+    functions.Funnel.sequenceCount(tsMicros, conds)
+  def sequenceMatch(tsMicros: Column, conds: Seq[Column]): Column =
+    functions.Funnel.sequenceMatch(tsMicros, conds)
+  def retentionFlags(conds: Seq[Column]): Seq[Column] =
+    functions.Funnel.retentionFlags(conds)
+
+  /** Watermarked stream-stream event-time interval join (bounded
+    * state); see [[streaming.StreamJoins.intervalJoin]]. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long): DataFrame =
+    streaming.StreamJoins.intervalJoin(left, right, key, leftTs, rightTs,
+      lowerSec, upperSec)
+
   def qualityScore(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def languageOf(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)

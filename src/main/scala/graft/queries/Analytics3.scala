@@ -138,6 +138,31 @@ object Analytics3 {
              |  ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
              |WHERE a.vec_id < 1000 AND b.vec_id < 1000
              |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
-             |ORDER BY batch_id, corpus_id""".stripMargin))
+             |ORDER BY batch_id, corpus_id""".stripMargin)),
+
+    // ---- event-time RANGE-frame sliding aggregate: trailing one-hour
+    // ---- stats per user at every event (the time-decayed feature
+    // ---- shape; frame bounds are event-time micros, not row counts,
+    // ---- so ties and gaps behave identically across engines) ---------
+    Q("q80_sliding_window",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-3600L * 1000000, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("trailing_n"),
+            round(avg(col("value")).over(w), 6).as("trailing_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+             |  ROUND(AVG(value) OVER w, 6) AS trailing_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
