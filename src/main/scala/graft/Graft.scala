@@ -154,6 +154,14 @@ object Graft {
                        k: Int): DataFrame =
     text.Corpus.sampleStratified(df, idCol, stratumCol, k)
 
+  /** Deterministic resampling to a target domain mixture (weights per
+    * domain value; exact integer acceptance test, engine-portable). */
+  def resampleToMixture(df: DataFrame, idCol: String, domainCol: String,
+                        weights: Map[String, Int],
+                        targetNum: Int, targetDen: Int): DataFrame =
+    text.Corpus.resampleToMixture(df, idCol, domainCol, weights,
+      targetNum, targetDen)
+
   /** Concat-and-chunk sequence packing per shard (adds seq_no). */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     capacity: Int, stratumCol: String): DataFrame =

@@ -163,6 +163,33 @@ object Analytics3 {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- domain-mixture resampling: reweight sources 3:1 at half the
+    // ---- corpus via Corpus.resampleToMixture — pure integer acceptance
+    // ---- test, so DuckDB reproduces the exact row set ----------------
+    Q("q81_domain_mixture",
+      (s, dir) => {
+        val weights = ((0 to 4).map(i => s"src$i" -> 3) ++
+          (5 to 9).map(i => s"src$i" -> 1)).toMap
+        graft.text.Corpus.resampleToMixture(
+            Tables.loadParallel(s, dir, "documents"),
+            "doc_id", "source", weights, targetNum = 1, targetDen = 2)
+          .groupBy("source").agg(count(lit(1)).as("kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              |          FROM documents GROUP BY source),
+              |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+              |w(source, wt) AS (VALUES
+              |  ('src0',3),('src1',3),('src2',3),('src3',3),('src4',3),
+              |  ('src5',1),('src6',1),('src7',1),('src8',1),('src9',1))
+              |SELECT d.source, COUNT(*) AS kept
+              |FROM documents d
+              |JOIN c ON d.source = c.source
+              |JOIN w ON d.source = w.source
+              |CROSS JOIN tot
+              |WHERE ${graft.text.Corpus.resampleSql("d.doc_id", 20, 1, 2)}
+              |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }

@@ -79,6 +79,51 @@ object Corpus {
       .where(col("__rk") <= k).drop("__rk")
   }
 
+  /** Deterministic resampling to a target domain mixture: keep each row
+    * iff its id-hash falls under its domain's acceptance rate, where
+    * rate_d = min(1, desired_d / n_d) and desired_d = w_d/Σw of the
+    * target total (`targetNum/targetDen` of the corpus). The common
+    * training-data operation behind "reweight web:books:code to
+    * 5:3:2" — undersampled domains keep everything (natural cap at 1),
+    * oversized ones thin deterministically.
+    *
+    * The acceptance test is pure integer arithmetic
+    * (`bucket · Σw · n_d < w_d · T · 10^6`, all BIGINT-bounded for
+    * corpora ≤ ~10^10 rows and Σw ≤ ~100), so any engine reproduces
+    * the exact row set — no floating-point rate, no boundary drift.
+    * Scale shape: one groupBy over the domain column (tiny result),
+    * broadcast back; no global shuffle of the data itself. Rows whose
+    * domain is absent from `weights` are dropped (weight 0). */
+  def resampleToMixture(df: DataFrame, idCol: String, domainCol: String,
+                        weights: Map[String, Int],
+                        targetNum: Int, targetDen: Int): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(targetNum > 0 && targetDen >= targetNum,
+      s"target fraction must be in (0, 1]: $targetNum/$targetDen")
+    val wSum = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF(domainCol, "__w"))
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum(col("__n")).as("__total"))
+    val rates = broadcast(
+      counts.join(wdf, domainCol).crossJoin(total)
+        .select(col(domainCol), col("__w"), col("__n"),
+          expr(s"__total * $targetNum div $targetDen").as("__t")))
+    df.join(rates, domainCol)
+      .where(hashBucket(col(idCol), 1000000) * lit(wSum.toLong) * col("__n") <
+        col("__w").cast("long") * col("__t") * lit(1000000L))
+      .drop("__w", "__n", "__t")
+  }
+
+  /** The acceptance predicate as DuckDB SQL (oracle parity), against a
+    * `c(domain, n)` counts CTE, a `w(domain, wt)` weights CTE and a
+    * `tot(total)` scalar CTE joined in scope. */
+  def resampleSql(id: String, wSum: Int, targetNum: Int, targetDen: Int): String =
+    s"${hashBucketSql(id, 1000000)} * ($wSum * c.n) < w.wt * ((tot.total * $targetNum) // $targetDen) * 1000000"
+
   /** Concat-and-chunk sequence packing: within each stratum (source /
     * shard), documents are laid out in `idCol` order and cut into
     * training sequences of ~`capacity` tokens — a document starts in

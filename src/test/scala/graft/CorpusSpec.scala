@@ -79,6 +79,42 @@ class CorpusSpec extends SparkSpec {
     assert(s3.exceptAll(s5).count() == 0, "k=3 sample not contained in k=5")
   }
 
+  test("resampleToMixture: deterministic, capped at 1, shifts the mixture") {
+    val weights = ((0 to 4).map(i => s"src$i" -> 3) ++
+      (5 to 9).map(i => s"src$i" -> 1)).toMap
+    val out = Corpus.resampleToMixture(docs, "doc_id", "source", weights, 1, 2)
+    // pure function of (id, domain, counts): re-evaluation is identical
+    assertSameRows(out,
+      Corpus.resampleToMixture(docs, "doc_id", "source", weights, 1, 2))
+
+    val before = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+    // heavy domains (weight 3/20 of half the corpus) are capped at their
+    // full size when desired >= n_d; light ones are thinned
+    weights.foreach { case (d, w) =>
+      val desired = w.toLong * (total / 2) / 20
+      assert(after(d) <= before(d), s"$d grew")
+      if (desired >= before(d))
+        assert(after(d) == before(d), s"$d should keep everything")
+      else {
+        // hash acceptance lands near the target: allow ~4σ of the
+        // equivalent binomial (tiny per-domain counts at sf0.001)
+        val slack = math.max(0.35 * desired, 4 * math.sqrt(desired.toDouble))
+        assert(math.abs(after(d) - desired) <= slack,
+          s"$d kept ${after(d)}, wanted ~$desired ± $slack")
+      }
+    }
+    // rows with unknown domains are dropped
+    import spark.implicits._
+    val stray = docs.limit(5).withColumn("source", lit("mystery"))
+    assert(Corpus.resampleToMixture(docs.unionByName(stray),
+      "doc_id", "source", weights, 1, 2)
+      .where($"source" === "mystery").count() == 0)
+  }
+
   test("packSequences matches a local re-pack and conserves tokens") {
     val d = docs.select(col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
