@@ -137,6 +137,11 @@ object Graft {
     streaming.StreamJoins.intervalJoin(left, right, key, leftTs, rightTs,
       lowerSec, upperSec)
 
+  /** Per-doc cross-entropy under an add-one bigram LM trained on
+    * `reference` — the CCNet-style perplexity quality gate. */
+  def lmCrossEntropy(reference: DataFrame, docs: DataFrame): DataFrame =
+    text.LanguageModel.crossEntropy(reference, docs)
+
   def qualityScore(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def languageOf(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)

@@ -190,6 +190,44 @@ object Analytics3 {
               |JOIN w ON d.source = w.source
               |CROSS JOIN tot
               |WHERE ${graft.text.Corpus.resampleSql("d.doc_id", 20, 1, 2)}
-              |GROUP BY d.source ORDER BY d.source""".stripMargin))
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ---- LM quality gate: per-doc cross-entropy under an add-one
+    // ---- bigram model trained on the corpus itself (the CCNet-style
+    // ---- perplexity filter) — counts + one ln per distinct term, so
+    // ---- DuckDB reproduces it exactly at the rounded grain -----------
+    Q("q82_lm_perplexity",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        graft.text.LanguageModel.crossEntropy(d, d)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), uni AS (
+             |  SELECT u, CAST(COUNT(*) AS BIGINT) AS c1
+             |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+             |), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uni),
+             |db0 AS (
+             |  SELECT doc_id, unnest([{'u': t[i], 'w': t[i + 1]}
+             |    FOR i IN range(1, len(t))]) AS bg
+             |  FROM toks
+             |), db AS (
+             |  SELECT doc_id, bg.u AS u, bg.w AS w FROM db0
+             |), bc AS (
+             |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY u, w
+             |), docterms AS (
+             |  SELECT doc_id, u, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+             |  FROM db GROUP BY doc_id, u, w
+             |)
+             |SELECT d.doc_id,
+             |  CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+             |  ROUND(-SUM(d.n_occ * ln((bc.c2 + 1.0) / (uni.c1 + v.vsz)))
+             |        / SUM(d.n_occ), 4) AS cross_entropy
+             |FROM docterms d
+             |JOIN bc ON d.u = bc.u AND d.w = bc.w
+             |JOIN uni ON d.u = uni.u
+             |CROSS JOIN v
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -84,6 +84,31 @@ class TextSpec extends SparkSpec {
     assert(pc("lower") == pc("caps"))
   }
 
+  test("LM cross-entropy: in-distribution text scores below junk; unseen smoothed") {
+    import graft.text.LanguageModel
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),        // seen verbatim
+      (11L, "zz qq xx vv bb nn"),             // all bigrams unseen
+      (12L, "x")).toDF("doc_id", "text")      // too short: no bigrams
+    val got = LanguageModel.crossEntropy(ref, probe)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"))).toMap
+    assert(!got.contains(12L), "bigram-less doc must be absent")
+    assert(got(10L)._1 == 5 && got(11L)._1 == 5)
+    assert(got(10L)._2 < got(11L)._2,
+      s"in-distribution ${got(10L)._2} must beat junk ${got(11L)._2}")
+    // unseen bigrams get the fully-smoothed probability ln(vsz), not a
+    // dropped term: all-unseen cross-entropy == ln(0 + vsz / 1) == ln(vsz)
+    val vsz = ref.select(explode(split($"text", " ")).as("u"))
+      .select("u").distinct().count()
+    assert(math.abs(got(11L)._2 - math.log(vsz.toDouble)) < 1e-3,
+      s"expected ~ln($vsz), got ${got(11L)._2} (output rounded to 4dp)")
+  }
+
   test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Multimodal.synthesize(docs)
