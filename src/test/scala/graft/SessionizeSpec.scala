@@ -101,4 +101,26 @@ class SessionizeSpec extends SparkSpec {
       "a gap-closed session was never flushed")
     assert(got.count() >= nonFinal.count() && got.count() > 0)
   }
+
+  test("batch sessionize agrees with Spark's native session_window") {
+    // same semantics up to the boundary convention: Sessionize keeps an
+    // event exactly `gap` after its predecessor in-session (`>` test),
+    // session_window's range is end-exclusive and would split there. No
+    // µs-exact 30-minute gaps exist in the synthetic events, so the two
+    // must agree on it exactly — a drift in either implementation shows
+    // up as a row diff here.
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val ours = graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+    val native = ev
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+    assertSameRows(ours, native)
+  }
 }
