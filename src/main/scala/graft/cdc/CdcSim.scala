@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,10 +144,15 @@ object CdcSim {
     * (their persisted blocks died with the context). */
   def currentStateCached(cacheKey: String, rawEnvelopes: => DataFrame): DataFrame = {
     stateCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
-    val st = currentState(rawEnvelopes)
-    val fullKey = s"${st.sparkSession.sparkContext.applicationId}:$cacheKey"
-    stateCache.computeIfAbsent(fullKey, _ => {
-      val persisted = st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // resolve the context WITHOUT building the decode plan: a cache hit
+    // must cost nothing (the whole point of the MV→table split); the
+    // plan is only constructed on a miss, or when no session is active
+    lazy val built = currentState(rawEnvelopes)
+    val appId = SparkSession.getActiveSession
+      .map(_.sparkContext.applicationId)
+      .getOrElse(built.sparkSession.sparkContext.applicationId)
+    stateCache.computeIfAbsent(s"$appId:$cacheKey", _ => {
+      val persisted = built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persisted.count() // land the table eagerly, like the streaming MV would
       persisted
     })

@@ -403,14 +403,20 @@ object Dedup {
     * stage; candidate generation is [[minhashPairs]]). Implemented as a
     * shingle-inverted-index self-join (shuffle on shingle), not a
     * cross join. */
+  /** Inverted index (id, set size, shingle) — the shared input of the
+    * self-join and cross-set exact-Jaccard passes. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+      .select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+
   def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", shingleK: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("n", size(col("sh")))
-    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+    val inv = shingleIndex(docs, idCol, textCol, shingleK)
     val pairs = inv.as("x").join(inv.as("y"), Seq("shingle"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -436,14 +442,8 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleK: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    def index(docs: DataFrame) = {
-      val sh = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleK).as("sh"))
-        .where(size(col("sh")) > 0)
-        .withColumn("n", size(col("sh")))
-      sh.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
-    }
-    index(batch).as("x").join(index(corpus).as("y"), Seq("shingle"))
+    shingleIndex(batch, idCol, textCol, shingleK).as("x")
+      .join(shingleIndex(corpus, idCol, textCol, shingleK).as("y"), Seq("shingle"))
       .groupBy(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
       .agg(count(lit(1)).as("inter"),
         first(col("x.n")).as("n_a"), first(col("y.n")).as("n_b"))

@@ -92,17 +92,13 @@ final class FunnelBuffer(initialCapacity: Int = 16) {
   * aggregation + join back per step) costs `steps` shuffles of the
   * whole key space; this is one.
   */
-case class WindowFunnel(
-    tsExpr: Expression,
-    bitsExpr: Expression,
-    window: Long,
-    steps: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FunnelBuffer] {
-
-  require(steps >= 1 && steps <= 30, s"window_funnel supports 1..30 steps, got $steps")
-  require(window >= 0, s"window_funnel window must be >= 0, got $window")
+/** Shared (ts, bits) event-buffer plumbing for the funnel-family
+  * aggregates: condition-matching events buffered on the map side
+  * (bits==0 dropped in update), one wire format, one merge. Concrete
+  * aggregates supply only `eval`. */
+trait FunnelEventAggregate extends TypedImperativeAggregate[FunnelBuffer] {
+  def tsExpr: Expression
+  def bitsExpr: Expression
 
   override def children: Seq[Expression] = Seq(tsExpr, bitsExpr)
   override def nullable: Boolean = false
@@ -111,10 +107,8 @@ case class WindowFunnel(
     if (tsExpr.dataType == LongType && bitsExpr.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"window_funnel expects (ts: bigint, bits: int), got " +
+      s"$prettyName expects (ts: bigint, bits: int), got " +
         s"(${tsExpr.dataType.simpleString}, ${bitsExpr.dataType.simpleString})")
-
-  override def dataType: DataType = IntegerType
 
   override def createAggregationBuffer(): FunnelBuffer = new FunnelBuffer()
 
@@ -130,8 +124,6 @@ case class WindowFunnel(
 
   override def merge(buf: FunnelBuffer, other: FunnelBuffer): FunnelBuffer =
     buf.mergeFrom(other)
-
-  override def eval(buf: FunnelBuffer): Any = buf.level(window, steps)
 
   override def serialize(buf: FunnelBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -150,6 +142,23 @@ case class WindowFunnel(
     while (i < n) { val t = in.readLong(); val b = in.readInt(); buf.add(t, b); i += 1 }
     buf
   }
+}
+
+case class WindowFunnel(
+    tsExpr: Expression,
+    bitsExpr: Expression,
+    window: Long,
+    steps: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends FunnelEventAggregate {
+
+  require(steps >= 1 && steps <= 30, s"window_funnel supports 1..30 steps, got $steps")
+  require(window >= 0, s"window_funnel window must be >= 0, got $window")
+
+  override def dataType: DataType = IntegerType
+
+  override def eval(buf: FunnelBuffer): Any = buf.level(window, steps)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): WindowFunnel =
     copy(mutableAggBufferOffset = newOffset)
@@ -186,36 +195,11 @@ case class SequenceCount(
     steps: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FunnelBuffer] {
+  extends FunnelEventAggregate {
 
   require(steps >= 1 && steps <= 30, s"sequence_count supports 1..30 steps, got $steps")
 
-  override def children: Seq[Expression] = Seq(tsExpr, bitsExpr)
-  override def nullable: Boolean = false
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (tsExpr.dataType == LongType && bitsExpr.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sequence_count expects (ts: bigint, bits: int), got " +
-        s"(${tsExpr.dataType.simpleString}, ${bitsExpr.dataType.simpleString})")
-
   override def dataType: DataType = LongType
-
-  override def createAggregationBuffer(): FunnelBuffer = new FunnelBuffer()
-
-  override def update(buf: FunnelBuffer, input: InternalRow): FunnelBuffer = {
-    val t = tsExpr.eval(input)
-    val b = bitsExpr.eval(input)
-    if (t != null && b != null) {
-      val bi = b.asInstanceOf[Int]
-      if (bi != 0) buf.add(t.asInstanceOf[Long], bi)
-    }
-    buf
-  }
-
-  override def merge(buf: FunnelBuffer, other: FunnelBuffer): FunnelBuffer =
-    buf.mergeFrom(other)
 
   override def eval(buf: FunnelBuffer): Any = {
     val order = Array.range(0, buf.n).sortBy(i => (buf.ts(i), buf.bits(i)))
@@ -230,24 +214,6 @@ case class SequenceCount(
       j += 1
     }
     count
-  }
-
-  override def serialize(buf: FunnelBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.n)
-    var i = 0
-    while (i < buf.n) { out.writeLong(buf.ts(i)); out.writeInt(buf.bits(i)); i += 1 }
-    out.flush(); bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): FunnelBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new FunnelBuffer(math.max(n, 1))
-    var i = 0
-    while (i < n) { val t = in.readLong(); val b = in.readInt(); buf.add(t, b); i += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SequenceCount =

@@ -70,8 +70,11 @@ object Analytics3 {
           .agg(countDistinct(col("user_id")).as("exact_users"))
         exact.join(merged, Seq("event_type"))
           .select(col("event_type"), col("exact_users"),
+            // 0.08 ≈ 5σ at lgConfigK=12 (~1.6% stderr): wide enough
+            // that a healthy sketch can't flake the oracle's TRUE,
+            // tight enough to catch a broken merge
             (abs(col("approx_users") - col("exact_users")).cast("double") /
-              col("exact_users") < 0.05).as("approx_ok"))
+              col("exact_users") < 0.08).as("approx_ok"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
@@ -154,12 +157,17 @@ object Analytics3 {
             unix_micros(col("ts")).as("tus"), col("value"))
           .select(col("user_id"), col("event_id"),
             count(lit(1)).over(w).as("trailing_n"),
-            round(avg(col("value")).over(w), 6).as("trailing_avg"))
+            // decimal accumulation (repo oracle convention): the frame
+            // sum is exact, so the single avg division is one IEEE op —
+            // identical in any engine regardless of frame-walk order
+            round(sum(col("value").cast("decimal(12,2)")).over(w).cast("double") /
+              count(lit(1)).over(w), 6).as("trailing_avg"))
           .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id,
              |  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
-             |  ROUND(AVG(value) OVER w, 6) AS trailing_avg
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             |        / (COUNT(*) OVER w), 6) AS trailing_avg
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

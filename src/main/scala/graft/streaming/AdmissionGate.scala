@@ -42,16 +42,29 @@ object AdmissionGate {
     val pairs = Dedup.jaccardPairs(batch, idCol, textCol, shingleK, threshold)
     val selfDeduped = Dedup.keepOnePerCluster(batch, pairs, idCol)
 
-    val corpus = scala.util.Try(spark.read.parquet(corpusPath)).toOption
+    // only a genuinely absent corpus means "first batch" — any other
+    // read failure (corrupt footer, transient IO) must propagate, not
+    // silently disable the dedup check and pollute the corpus
+    val cPath = new org.apache.hadoop.fs.Path(corpusPath)
+    val corpusExists = cPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cPath)
 
-    val admitted = corpus match {
-      case Some(c) =>
-        val dups = Dedup
-          .crossJaccardPairs(c, selfDeduped, idCol, textCol, shingleK, threshold)
-          .select(col("batch_id").as(idCol)).distinct()
-        selfDeduped.join(dups, Seq(idCol), "left_anti")
-      case None => selfDeduped
-    }
+    val admitted = (if (corpusExists) {
+      val c = spark.read.parquet(corpusPath)
+      val dups = Dedup
+        .crossJaccardPairs(c, selfDeduped, idCol, textCol, shingleK, threshold)
+        .select(col("batch_id").as(idCol)).distinct()
+      selfDeduped.join(dups, Seq(idCol), "left_anti")
+    } else selfDeduped)
+      // eager, lineage-breaking materialization BEFORE the append. Not
+      // persist(): writing to corpusPath refreshes every cached plan
+      // that reads it, so a persisted result would be invalidated by
+      // our own append and re-executed against the corpus-with-batch —
+      // where each admitted doc matches itself and vanishes. The
+      // checkpointed RDD has no file-source lineage, so the append can
+      // neither invalidate nor recompute it (and callers don't re-run
+      // the dedup cascade either).
+      .localCheckpoint()
     admitted.write.mode("append").parquet(corpusPath)
     admitted
   }
