@@ -236,6 +236,63 @@ object Analytics3 {
              |JOIN bc ON d.u = bc.u AND d.w = bc.w
              |JOIN uni ON d.u = uni.u
              |CROSS JOIN v
-             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- capstone: the curation funnel in ONE scan — quality rules,
+    // ---- global exact-dedup representative, reproducible split — then
+    // ---- per-(split, source) attrition accounting. One window over
+    // ---- the norm-hash and one final aggregation; every stage reuses
+    // ---- an already-oracled building block (q55 rules, q38 norm-hash,
+    // ---- q54 split mixer) ---------------------------------------------
+    Q("q83_curation_funnel",
+      (s, dir) => {
+        val text = col("text")
+        val nTok = size(split(text, " ")).cast("double")
+        val meanLen = length(text).cast("double") / greatest(nTok, lit(1.0))
+        val symRatio = length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+          .cast("double") / greatest(length(text).cast("double"), lit(1.0))
+        val quality = nTok >= 5.0 && nTok <= 5000.0 &&
+          meanLen >= 2.0 && meanLen <= 12.0 && symRatio < 0.2
+        val normHash = md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+        val repW = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_hash"))
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.text.Corpus.splitAssign(col("doc_id")).as("split"),
+            quality.as("q"), normHash.as("norm_hash"))
+          .withColumn("keep_id", min(col("doc_id")).over(repW))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("q") && col("doc_id") === col("keep_id"), 1L)
+              .otherwise(0L)).as("n_final"))
+          .orderBy("split", "source")
+      },
+      Some {
+        val b = graft.text.Corpus.hashBucketSql("doc_id", 100)
+        s"""WITH base AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN $b < 80 THEN 'train'
+           |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+           |    (CAST(len(string_split(text, ' ')) AS DOUBLE) >= 5.0
+           |     AND CAST(len(string_split(text, ' ')) AS DOUBLE) <= 5000.0
+           |     AND CAST(length(text) AS DOUBLE)
+           |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) >= 2.0
+           |     AND CAST(length(text) AS DOUBLE)
+           |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) <= 12.0
+           |     AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+           |         / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.2) AS q,
+           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+           |  FROM documents
+           |), rep AS (
+           |  SELECT *, MIN(doc_id) OVER (PARTITION BY norm_hash) AS keep_id
+           |  FROM base
+           |)
+           |SELECT split, source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(SUM(CASE WHEN q AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+           |FROM rep
+           |GROUP BY split, source ORDER BY split, source""".stripMargin
+      })
   )
 }
