@@ -194,6 +194,21 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("sequence_count: merge invariance across partitionings") {
+    val chain = Seq("view", "click", "purchase")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    def run(parts: Int): Map[Long, Long] =
+      ev.repartition(parts).groupBy(col("user_id"))
+        .agg(Funnel.sequenceCount(col("tus"),
+          chain.map(col("event_type") === _)).as("c"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("c")).toMap
+    // the greedy scan runs on a sorted buffer, so the partial-merge
+    // arrival order (which varies with partitioning) must not matter
+    assert(run(1) == run(7))
+  }
+
   test("SQL registration: sequence_count(ts, bits, steps)") {
     graft.GraftExtensions.register(spark)
     Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 1), (1L, 4L, 2))

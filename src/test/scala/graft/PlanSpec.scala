@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpec {
       "cross-set verify must be an equi-join on shingle:\n" + p.take(800))
   }
 
+  test("q83: the curation funnel reads the corpus exactly once") {
+    val p = SparkEntry.queries("q83_curation_funnel")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"funnel should be one scan + window + agg, saw $scans scans:\n" + p.take(800))
+  }
+
   test("q69: decontamination broadcasts the eval index, never self-pairs") {
     val p = planOf("q69_decontamination")
     assert(p.contains("BroadcastExchange"),
