@@ -34,6 +34,11 @@ object SparkEntry {
     val env = graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
       graft.sources.Tables.load(spark, sfDir, "orders"))
     graft.cdc.CdcSim.currentStateCached(sfDir, env)
+    // ANN index build is likewise ingest-time work (train once, probe
+    // per query) — land the IVF and PQ artifacts up front
+    val emb = graft.sources.Tables.loadParallel(spark, sfDir, "embeddings")
+    graft.queries.TextQueries.ivfIndexCached(spark, sfDir, emb)
+    graft.queries.TextQueries.pqIndexCached(spark, sfDir, emb)
     ()
   }
 

@@ -147,10 +147,21 @@ object Similarity {
       broadcast(ivfCentroids(corpus, nCentroids, lloydIters, idCol, vecCol))
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col("cid").as("neighbor_id"), col("cell"), col("cvec").as("c_vec"))
+    ivfProbe(assigned, centroids, queries, k, nProbe, idCol, vecCol, excludeSelf)
+  }
 
-    // query → nProbe nearest centroids
+  /** Probe stage over a prebuilt index — `assigned` is
+    * [[ivfAssign]]'s output renamed (neighbor_id, cell, c_vec),
+    * `centroids` is [[ivfCentroids]]'s output. Splitting build from
+    * probe lets deployments (and the bench, via [[IndexCache]]) train
+    * once at ingest and pay only cell-probing per query. */
+  def ivfProbe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               excludeSelf: Boolean = true): DataFrame = {
+    // query → nProbe nearest centroids (centroid table is tiny)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val probes = q.join(centroids)
+    val probes = q.join(broadcast(centroids))
       .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"),
         VF.cosine(col("q_vec"), col("centroid_vec")).as("csim"))
       .groupBy("query_id")
