@@ -183,6 +183,13 @@ object Graft {
                        clusterCols: Seq[String] = Nil): streaming.ArchiveCompactor =
     new streaming.ArchiveCompactor(archivePath, compactPath, clusterCols)
 
+  /** Z-order (Morton) clustered parquet write: per-file min-max
+    * footprints bounded in BOTH columns → scan pruning on either
+    * (Delta OPTIMIZE ZORDER BY analog). */
+  def zOrderWrite(df: DataFrame, a: Column, b: Column,
+                  path: String, numFiles: Int): Unit =
+    functions.ZOrder.clusteredWrite(df, a, b, path, numFiles)
+
   /** Register the engine's native expressions for `spark.sql`. */
   def registerFunctions(spark: SparkSession): Unit =
     GraftExtensions.register(spark)

@@ -73,6 +73,11 @@ object GraftExtensions {
       intLit(e(1), "bits"), longLit(e(2), "seed"))),
     "deletion_hashes" -> (e => DeletionHashes(arg(e, 0),
       if (e.size > 1) intLit(e(1), "maxDeletions") else 2)),
+    "morton_interleave" -> (e => MortonInterleave(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.LongType))),
     "vector_avg" -> (e =>
       VectorAvg(numericVec(arg(e, 0))).toAggregateExpression()),
     // Cast to the aggregate's native (double, long) exactly as the

@@ -82,4 +82,50 @@ class StorageLayoutSpec extends SparkSpec {
       assert(keys.sameElements(keys.sorted), s"file $f not sorted")
     }
   }
+
+  test("morton interleave: bijective on the grid, locality-ordered") {
+    import graft.functions.MortonInterleave.interleave
+    // bijectivity on a 64x64 grid; interleaved bit positions
+    val codes = for (a <- 0L until 64L; b <- 0L until 64L) yield interleave(a, b)
+    assert(codes.distinct.size == codes.size)
+    assert(interleave(1, 0) == 1L && interleave(0, 1) == 2L &&
+      interleave(3, 3) == 15L)
+    // SQL surface agrees with the Scala kernel
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT morton_interleave(5, 9)").head().getLong(0)
+      == interleave(5, 9))
+  }
+
+  test("z-order clustering bounds per-file ranges in both dimensions") {
+    import spark.implicits._
+    val grid = spark.range(0, 256).select($"id".as("x"))
+      .crossJoin(spark.range(0, 256).select($"id".as("y")))
+    val zDir = tmpDir("graft-zorder")
+    val linDir = tmpDir("graft-linear")
+    graft.functions.ZOrder.clusteredWrite(grid, $"x", $"y", zDir, 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file min/max footprint — what parquet min-max pruning sees
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    def spans(dir: String, c: String): Seq[(Long, Long)] = files(dir).map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a y-only box predicate: how many files could contain y < 16?
+    def hit(spans: Seq[(Long, Long)]) = spans.count { case (lo, _) => lo < 16 }
+    val zHits = hit(spans(zDir, "y"))
+    val linHits = hit(spans(linDir, "y"))
+    // linear x-sort leaves y spanning 0..255 in EVERY file (no pruning);
+    // the z-curve bounds y per file, so most files are skippable
+    assert(linHits == files(linDir).size,
+      s"expected linear layout to be unprunable on y, got $linHits")
+    assert(zHits * 2 <= files(zDir).size,
+      s"z-order should prune most files for y<16: $zHits of ${files(zDir).size} hit")
+    // and x stays prunable too (bounded spans in the same files)
+    val xSpanMax = spans(zDir, "x").map { case (lo, hi) => hi - lo }.max
+    assert(xSpanMax < 256, "z-order should bound x within files as well")
+  }
 }
