@@ -39,6 +39,19 @@ class AdmissionGateSpec extends SparkSpec {
     assert(landed == Seq(1L, 3L, 5L), s"corpus holds $landed")
   }
 
+  test("corpus read failures propagate — dedup never silently disabled") {
+    val corpus = tmpDir("graft-admit-bad") + "/corpus"
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    AdmissionGate.admitBatch(b1, corpus)
+    // corrupt the corpus: schema inference must now fail loudly instead
+    // of treating the corpus as absent and admitting duplicates
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corpus, "part-junk.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val dup = Seq((9L, base + " tonight")).toDF("doc_id", "text")
+    intercept[Exception] { AdmissionGate.admitBatch(dup, corpus).count() }
+  }
+
   test("streaming dedupAdmission: file stream to corpus, exactly-once effect") {
     val root = tmpDir("graft-admit-stream")
     val src = s"$root/src"
