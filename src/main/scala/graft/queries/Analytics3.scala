@@ -293,6 +293,42 @@ object Analytics3 {
            |  CAST(SUM(CASE WHEN q AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_final
            |FROM rep
            |GROUP BY split, source ORDER BY split, source""".stripMargin
-      })
+      }),
+
+    // ---- outer-join reconciliation: customers FULL OUTER JOIN their
+    // ---- order aggregates — null-indicator accounting on both sides
+    // ---- (completes the §2.6 join matrix: inner/semi/anti/broadcast
+    // ---- are oracled elsewhere; this pins the outer family) -----------
+    Q("q84_outer_join_recon",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val ords = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(12,2)"))
+              .cast("double").as("total_spend"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.as("has_customer"),
+            col("o_custkey").isNotNull.as("has_orders"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT
+             |  COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+             |  c.c_custkey IS NOT NULL AS has_customer,
+             |  o.o_custkey IS NOT NULL AS has_orders,
+             |  COALESCE(o.n_orders, 0) AS n_orders,
+             |  COALESCE(o.total_spend, 0.0) AS total_spend
+             |FROM customer c
+             |FULL OUTER JOIN (
+             |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+             |  FROM orders GROUP BY o_custkey
+             |) o ON c.c_custkey = o.o_custkey
+             |ORDER BY custkey""".stripMargin))
   )
 }
