@@ -410,6 +410,35 @@ class StreamingSpec extends SparkSpec {
     assert(reg.active.isEmpty)
   }
 
+  test("batch metrics listener captures per-batch ingest progress") {
+    val root = tmpDir("graft-obs")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.json"),
+      (1 to 25).map(i => s"""{"v":$i}""").mkString("\n").getBytes("UTF-8"))
+
+    val listener = new graft.streaming.BatchMetricsListener().attach(spark)
+    try {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+        .json(src)
+        .writeStream.format("memory").queryName("obs_stream")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously after termination
+      var tries = 0
+      def rows() = listener.metrics(spark)
+        .where(col("queryName") === "obs_stream" && col("numInputRows") > 0)
+      while (rows().isEmpty && tries < 50) { Thread.sleep(200); tries += 1 }
+      val m = rows().collect()
+      assert(m.nonEmpty, "no batch metrics captured")
+      assert(m.map(_.getAs[Long]("numInputRows")).sum == 25)
+      assert(m.forall(_.getAs[Long]("batchDurationMs") >= 0))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val root = tmpDir("graft-ssjoin")
     val ev = Tables.load(spark, sfDir, "events")
