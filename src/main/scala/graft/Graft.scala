@@ -44,6 +44,12 @@ object Graft {
 
   /** Keyed, versioned upsert store (parquet; swap in Delta/Iceberg
     * MERGE on a cluster). */
+  /** Additive keyed state (SummingMergeTree analog) — write through
+    * [[streaming.Sinks.aggregatingUpsert]] for exactly-once sums. */
+  def summingStore(path: String, keys: Seq[String],
+                   sumCols: Seq[String]): streaming.SummingStateStore =
+    new streaming.SummingStateStore(path, keys, sumCols)
+
   def stateStore(path: String, keys: Seq[String], versionCols: Seq[String],
                  deletedCol: Option[String] = Some("__deleted")): ParquetStateStore =
     new ParquetStateStore(path, keys, versionCols, deletedCol)

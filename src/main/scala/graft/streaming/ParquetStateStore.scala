@@ -53,24 +53,35 @@ class ParquetStateStore(
 
   /** Manifest: first line the current epoch, then one `bucket epoch`
     * line per non-empty bucket. */
-  private def readManifest(fs: FileSystem): Option[(Int, Map[Int, Int])] =
+  /** Header: `epoch [lastBatchId]` — the optional second token fences
+    * replayed micro-batches ([[mergeOnce]]); it travels in the same
+    * atomically-swapped file as the bucket map, so "state updated" and
+    * "batch recorded" cannot diverge across a crash. */
+  private def readManifestFull(fs: FileSystem): Option[(Int, Long, Map[Int, Int])] =
     if (fs.exists(pointer)) {
       val in = fs.open(pointer)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
       val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-      val epoch = lines.head.trim.toInt
+      val head = lines.head.trim.split("\\s+")
+      val epoch = head(0).toInt
+      val lastBatch = if (head.length > 1) head(1).toLong else -1L
       val map = lines.tail.map { l =>
         val Array(b, e) = l.trim.split("\\s+"); b.toInt -> e.toInt
       }.toMap
-      Some((epoch, map))
+      Some((epoch, lastBatch, map))
     } else None
 
-  private def writeManifest(fs: FileSystem, epoch: Int, map: Map[Int, Int]): Unit = {
+  private def readManifest(fs: FileSystem): Option[(Int, Map[Int, Int])] =
+    readManifestFull(fs).map { case (e, _, m) => (e, m) }
+
+  private def writeManifest(fs: FileSystem, epoch: Int, map: Map[Int, Int],
+                            lastBatch: Long = -1L): Unit = {
     val tmp = new HPath(path, s"_CURRENT.tmp$epoch")
     val out = fs.create(tmp, true)
+    val head = if (lastBatch >= 0) s"$epoch $lastBatch" else epoch.toString
     try out.write(
-      (epoch.toString +: map.toSeq.sorted.map { case (b, e) => s"$b $e" })
+      (head +: map.toSeq.sorted.map { case (b, e) => s"$b $e" })
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // HDFS/posix rename is atomic; object stores substitute their own
@@ -119,13 +130,39 @@ class ParquetStateStore(
       else spark.read.parquet(dirs: _*)
     }
 
+  /** Collapse the union of prior bucket state and batch rows to one
+    * row per key — last-writer-wins by `versionCols` here; subclasses
+    * override for other MergeTree collapse disciplines (additive merge
+    * in [[SummingStateStore]]). Receives and must preserve the
+    * `__gbucket` column. */
+  protected def collapse(unioned: DataFrame): DataFrame =
+    Versioned.latestByKey(unioned, keys, versionCols.map(col))
+
   /** Merge a change-batch into the state (idempotent for replayed
     * batches: last-writer-wins is order-insensitive given distinct
     * versions). Rewrites only the buckets the batch touches. */
-  def merge(batch: DataFrame): Unit = synchronized {
+  def merge(batch: DataFrame): Unit = synchronized { doMerge(batch, None) }
+
+  /** Fenced merge for NON-idempotent collapse disciplines (summing):
+    * applies the batch only if `batchId` is greater than the last
+    * recorded one, returning whether it was applied. The batch id
+    * rides in the manifest header, so fencing and state share one
+    * atomic swap — a crash cannot record a batch without its data or
+    * vice versa (Delta txn-version fencing, manifest-file rendition).
+    * Requires monotonically increasing batch ids (Structured
+    * Streaming's foreachBatch contract). */
+  def mergeOnce(batch: DataFrame, batchId: Long): Boolean = synchronized {
+    val last = readManifestFull(fs(batch.sparkSession))
+      .map(_._2).getOrElse(-1L)
+    if (batchId <= last) false
+    else { doMerge(batch, Some(batchId)); true }
+  }
+
+  private def doMerge(batch: DataFrame, batchId: Option[Long]): Unit = {
     val spark = batch.sparkSession
     val hfs = fs(spark)
-    val (prevEpoch, prevMap) = readManifest(hfs).getOrElse((-1, Map.empty[Int, Int]))
+    val (prevEpoch, prevLast, prevMap) = readManifestFull(hfs)
+      .getOrElse((-1, -1L, Map.empty[Int, Int]))
     val epoch = prevEpoch + 1
 
     val batchB = batch.withColumn("__gbucket", bucketCol)
@@ -148,7 +185,7 @@ class ParquetStateStore(
     // NOTE: tombstones (latest event deleted) are kept, not filtered —
     // dropping them here would let an older update arriving in a later
     // batch resurrect the row. read() hides them.
-    val merged = Versioned.latestByKey(unioned, keys, versionCols.map(col))
+    val merged = collapse(unioned)
     merged
       .repartition(dirty.size.max(1), col("__gbucket"))
       .write.mode("overwrite").partitionBy("__gbucket")
@@ -158,7 +195,7 @@ class ParquetStateStore(
     // produces no output dir — drop it from the manifest.
     val written = dirty.filter(b => hfs.exists(new HPath(bucketDir(epoch, b))))
     val nextMap = (prevMap -- dirty) ++ written.map(_ -> epoch)
-    writeManifest(hfs, epoch, nextMap)
+    writeManifest(hfs, epoch, nextMap, batchId.getOrElse(prevLast))
   }
 
   /** Physically drop tombstones `safeToForget` marks as past the replay
@@ -174,7 +211,7 @@ class ParquetStateStore(
     synchronized {
       deletedCol.foreach { d =>
         val hfs = fs(spark)
-        readManifest(hfs).foreach { case (prevEpoch, prevMap) =>
+        readManifestFull(hfs).foreach { case (prevEpoch, prevLast, prevMap) =>
           if (prevMap.nonEmpty) {
             val epoch = prevEpoch + 1
             val dirs = prevMap.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
@@ -186,7 +223,7 @@ class ParquetStateStore(
               .parquet(s"$path/e$epoch")
             val written = (0 until buckets)
               .filter(b => hfs.exists(new HPath(bucketDir(epoch, b))))
-            writeManifest(hfs, epoch, written.map(_ -> epoch).toMap)
+            writeManifest(hfs, epoch, written.map(_ -> epoch).toMap, prevLast)
           }
         }
       }

@@ -86,4 +86,26 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Streaming sink for ADDITIVE state ([[SummingStateStore]], the
+    * SummingMergeTree analog): every micro-batch is pre-collapsed and
+    * applied through the batch-id fence, so at-least-once redelivery
+    * (crash between state swap and checkpoint commit) cannot
+    * double-count — the replayed id is rejected by [[ParquetStateStore
+    * .mergeOnce]]. */
+  def aggregatingUpsert(changes: DataFrame, store: SummingStateStore,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // map-side pre-collapse: one row per key crosses into the merge
+        val collapsed = batch.groupBy(store.keys.map(col): _*)
+          .agg(sum(col(store.sumCols.head)).as(store.sumCols.head),
+            store.sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        store.mergeOnce(collapsed, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

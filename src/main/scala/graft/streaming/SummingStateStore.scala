@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Additive keyed state — the `SummingMergeTree` analog: rows sharing
+  * a key collapse by SUMMING `sumCols` instead of last-writer-wins,
+  * giving an incrementally-maintained aggregate table (running totals
+  * per key) with the same hash-bucketed dirty-bucket merge I/O as
+  * [[ParquetStateStore]].
+  *
+  * Unlike LWW, additive merge is NOT replay-idempotent — a re-applied
+  * batch double-counts — so all streaming writes must go through
+  * [[ParquetStateStore.mergeOnce]] with the micro-batch id
+  * ([[Sinks.aggregatingUpsert]] does): the id is fenced inside the
+  * atomically-swapped manifest, upgrading foreachBatch's at-least-once
+  * redelivery to exactly-once state effects. This is precisely the
+  * discipline ClickHouse cannot offer on a plain Kafka →
+  * SummingMergeTree path (it relies on at-least-once + background
+  * merges), and a place where the Spark rendering is strictly
+  * stronger. */
+class SummingStateStore(
+    path: String,
+    keys: Seq[String],
+    val sumCols: Seq[String],
+    buckets: Int = 32)
+  extends ParquetStateStore(path, keys, versionCols = Nil,
+    deletedCol = None, buckets = buckets) {
+  require(sumCols.nonEmpty, "sumCols must be non-empty")
+
+  override protected def collapse(unioned: DataFrame): DataFrame =
+    unioned.groupBy((keys :+ "__gbucket").map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+}

@@ -281,6 +281,53 @@ class StreamingSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(state, "e0")))
   }
 
+  test("summing store: additive collapse, batch-id fencing, streaming sink") {
+    import graft.streaming.SummingStateStore
+    val state = tmpDir("graft-summing")
+    val store = new SummingStateStore(state, Seq("k"), Seq("cnt", "amt"),
+      buckets = 4)
+    import spark.implicits._
+    assert(store.mergeOnce(
+      Seq(("a", 1L, 10.0), ("a", 2L, 5.0), ("b", 1L, 1.0))
+        .toDF("k", "cnt", "amt"), batchId = 0))
+    assert(store.mergeOnce(
+      Seq(("a", 3L, 2.5), ("c", 7L, 0.5)).toDF("k", "cnt", "amt"),
+      batchId = 1))
+    def snap() = store.read(spark).get.orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(snap() == Seq(("a", 6L, 17.5), ("b", 1L, 1.0), ("c", 7L, 0.5)))
+    // a replayed batch id must be rejected — additive merge would
+    // double-count (the SummingMergeTree failure mode this store fixes)
+    assert(!store.mergeOnce(
+      Seq(("a", 3L, 2.5), ("c", 7L, 0.5)).toDF("k", "cnt", "amt"),
+      batchId = 1))
+    assert(snap() == Seq(("a", 6L, 17.5), ("b", 1L, 1.0), ("c", 7L, 0.5)))
+
+    // streaming form over a file stream, restart included
+    val root = tmpDir("graft-summing-stream")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeJson(name: String, rows: Seq[(String, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (k, c, a) => s"""{"k":"$k","cnt":$c,"amt":$a}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val s2 = new SummingStateStore(s"$root/state", Seq("k"), Seq("cnt", "amt"))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k STRING, cnt BIGINT, amt DOUBLE")
+    def run(): Unit = {
+      val q = Sinks.aggregatingUpsert(
+        spark.readStream.schema(schema).json(src), s2, s"$root/cp")
+      q.awaitTermination(120000); ()
+    }
+    writeJson("b1.json", Seq(("x", 1L, 1.0), ("x", 1L, 2.0)))
+    run()
+    writeJson("b2.json", Seq(("x", 1L, 4.0), ("y", 5L, 0.25)))
+    run() // restart from checkpoint: only the new file is applied
+    val got = s2.read(spark).get.orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("x", 3L, 7.0), ("y", 5L, 0.25)))
+  }
+
   test("state store deletes hide rows but tombstones block resurrection") {
     val state = tmpDir("graft-delbkt")
     val store = new ParquetStateStore(state, Seq("id"), Seq("v"),
