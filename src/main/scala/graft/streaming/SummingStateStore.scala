@@ -33,3 +33,28 @@ class SummingStateStore(
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
 }
+
+/** Mergeable-sketch keyed state — the `AggregatingMergeTree` +
+  * `uniqState`/`uniqMerge` analog: `sketchCols` hold HLL sketch
+  * binaries (from `hll_sketch_agg`) that collapse by `hll_union`, so
+  * the store maintains per-key DISTINCT-COUNT state incrementally —
+  * merge I/O stays O(dirty buckets × sketch bytes) no matter how many
+  * raw rows fed each sketch. Read with `hll_sketch_estimate` over the
+  * sketch columns. Same replay caveat as summing: sketch-union of a
+  * replayed batch is idempotent for the SAME items but the fenced
+  * [[ParquetStateStore.mergeOnce]] path is still the contract (ids
+  * must advance), keeping the three MergeTree disciplines uniform. */
+class SketchStateStore(
+    path: String,
+    keys: Seq[String],
+    val sketchCols: Seq[String],
+    buckets: Int = 32)
+  extends ParquetStateStore(path, keys, versionCols = Nil,
+    deletedCol = None, buckets = buckets) {
+  require(sketchCols.nonEmpty, "sketchCols must be non-empty")
+
+  override protected def collapse(unioned: DataFrame): DataFrame =
+    unioned.groupBy((keys :+ "__gbucket").map(col): _*)
+      .agg(hll_union_agg(col(sketchCols.head)).as(sketchCols.head),
+        sketchCols.tail.map(c => hll_union_agg(col(c)).as(c)): _*)
+}

@@ -328,6 +328,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("x", 3L, 7.0), ("y", 5L, 0.25)))
   }
 
+  test("sketch store: per-key distinct state merges across batches") {
+    import graft.streaming.SketchStateStore
+    val state = tmpDir("graft-sketch")
+    val store = new SketchStateStore(state, Seq("seg"), Seq("users"),
+      buckets = 4)
+    import spark.implicits._
+    def batchOf(rows: (String, Long)*) = rows.toSeq.toDF("seg", "uid")
+      .groupBy("seg").agg(hll_sketch_agg($"uid").as("users"))
+    assert(store.mergeOnce(batchOf(
+      ("a", 1L), ("a", 2L), ("b", 10L)), batchId = 0))
+    assert(store.mergeOnce(batchOf(
+      ("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L)), batchId = 1))
+    val est = store.read(spark).get
+      .select($"seg", hll_sketch_estimate($"users").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact at these cardinalities (sketch sparse mode): a={1,2,3}, b={10,11}
+    assert(est == Map("a" -> 3L, "b" -> 2L), s"got $est")
+  }
+
   test("state store deletes hide rows but tombstones block resurrection") {
     val state = tmpDir("graft-delbkt")
     val store = new ParquetStateStore(state, Seq("id"), Seq("v"),
