@@ -44,15 +44,21 @@ object Graft {
 
   /** Keyed, versioned upsert store (parquet; swap in Delta/Iceberg
     * MERGE on a cluster). */
+  def stateStore(path: String, keys: Seq[String], versionCols: Seq[String],
+                 deletedCol: Option[String] = Some("__deleted")): ParquetStateStore =
+    new ParquetStateStore(path, keys, versionCols, deletedCol)
+
   /** Additive keyed state (SummingMergeTree analog) — write through
     * [[streaming.Sinks.aggregatingUpsert]] for exactly-once sums. */
   def summingStore(path: String, keys: Seq[String],
                    sumCols: Seq[String]): streaming.SummingStateStore =
     new streaming.SummingStateStore(path, keys, sumCols)
 
-  def stateStore(path: String, keys: Seq[String], versionCols: Seq[String],
-                 deletedCol: Option[String] = Some("__deleted")): ParquetStateStore =
-    new ParquetStateStore(path, keys, versionCols, deletedCol)
+  /** Per-key mergeable-sketch state (AggregatingMergeTree analog) —
+    * write through [[streaming.Sinks.sketchUpsert]]. */
+  def sketchStore(path: String, keys: Seq[String],
+                  sketchCols: Seq[String]): streaming.SketchStateStore =
+    new streaming.SketchStateStore(path, keys, sketchCols)
 
   // ---- analytics helpers ---------------------------------------------
 

@@ -33,10 +33,10 @@ object TextQueries {
     * trained once per (app, dir) via [[graft.sim.IndexCache]]. */
   def ivfIndexCached(s: SparkSession, dir: String,
                      emb: DataFrame): (DataFrame, DataFrame) = {
-    val cents = graft.sim.IndexCache.getOrBuild(s"ivf-centroids:$dir") {
+    val cents = graft.sim.IndexCache.getOrBuild(s, s"ivf-centroids:$dir") {
       Similarity.ivfCentroids(emb, nCentroids = 16, lloydIters = 2)
     }
-    val assigned = graft.sim.IndexCache.getOrBuild(s"ivf-assigned:$dir") {
+    val assigned = graft.sim.IndexCache.getOrBuild(s, s"ivf-assigned:$dir") {
       Similarity.ivfAssign(emb, cents)
         .select(col("cid").as("neighbor_id"), col("cell"),
           col("cvec").as("c_vec"))
@@ -47,11 +47,11 @@ object TextQueries {
   /** PQ index (codebooks, corpus codes) for `dir`'s embeddings. */
   def pqIndexCached(s: SparkSession, dir: String,
                     emb: DataFrame): (DataFrame, DataFrame) = {
-    val cb = graft.sim.IndexCache.getOrBuild(s"pq-codebooks:$dir") {
+    val cb = graft.sim.IndexCache.getOrBuild(s, s"pq-codebooks:$dir") {
       graft.sim.ProductQuantization
         .trainCodebooks(emb, dim = 64, m = 8, k = 32, lloydIters = 1)
     }
-    val codes = graft.sim.IndexCache.getOrBuild(s"pq-codes:$dir") {
+    val codes = graft.sim.IndexCache.getOrBuild(s, s"pq-codes:$dir") {
       graft.sim.ProductQuantization.encode(emb, cb, dim = 64, m = 8)
     }
     (cb, codes)

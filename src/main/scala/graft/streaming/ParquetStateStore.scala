@@ -152,11 +152,16 @@ class ParquetStateStore(
     * Requires monotonically increasing batch ids (Structured
     * Streaming's foreachBatch contract). */
   def mergeOnce(batch: DataFrame, batchId: Long): Boolean = synchronized {
-    val last = readManifestFull(fs(batch.sparkSession))
-      .map(_._2).getOrElse(-1L)
+    val last = lastBatchId(batch.sparkSession).getOrElse(-1L)
     if (batchId <= last) false
     else { doMerge(batch, Some(batchId)); true }
   }
+
+  /** Highest batch id recorded by [[mergeOnce]], if any — lets sinks
+    * distinguish an expected replay (id == last) from a fence
+    * regression (id < last: checkpoint reset against a live store). */
+  def lastBatchId(spark: SparkSession): Option[Long] =
+    synchronized(readManifestFull(fs(spark)).map(_._2).filter(_ >= 0))
 
   private def doMerge(batch: DataFrame, batchId: Option[Long]): Unit = {
     val spark = batch.sparkSession

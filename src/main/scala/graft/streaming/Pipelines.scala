@@ -87,25 +87,68 @@ object Sinks {
       .trigger(trigger)
       .start()
 
-  /** Streaming sink for ADDITIVE state ([[SummingStateStore]], the
-    * SummingMergeTree analog): every micro-batch is pre-collapsed and
-    * applied through the batch-id fence, so at-least-once redelivery
-    * (crash between state swap and checkpoint commit) cannot
-    * double-count — the replayed id is rejected by [[ParquetStateStore
-    * .mergeOnce]]. */
-  def aggregatingUpsert(changes: DataFrame, store: SummingStateStore,
-                        checkpoint: String,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+  /** Shared fenced-merge sink: pre-collapse each micro-batch, apply it
+    * through the batch-id fence, vacuum periodically. A rejected id
+    * equal to the fence is an expected replay; an id BEHIND the fence
+    * means a checkpoint was reset against a live store — silently
+    * dropping those batches would lose data, so fail loudly. */
+  private def fencedUpsert(changes: DataFrame, store: ParquetStateStore,
+                           checkpoint: String, trigger: Trigger,
+                           vacuumEvery: Int, vacuumGraceMs: Long)
+                          (preCollapse: DataFrame => DataFrame): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // map-side pre-collapse: one row per key crosses into the merge
-        val collapsed = batch.groupBy(store.keys.map(col): _*)
-          .agg(sum(col(store.sumCols.head)).as(store.sumCols.head),
-            store.sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-        store.mergeOnce(collapsed, batchId)
-        ()
+        val applied = store.mergeOnce(preCollapse(batch), batchId)
+        if (!applied) {
+          val last = store.lastBatchId(batch.sparkSession).getOrElse(-1L)
+          require(batchId == last,
+            s"batch id $batchId is behind the store fence $last for " +
+              s"${store.path} — the checkpoint was reset against a live " +
+              "store; refusing to silently drop batches")
+        }
+        if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1) {
+          store.vacuum(batch.sparkSession, vacuumGraceMs)
+          ()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Streaming sink for ADDITIVE state ([[SummingStateStore]], the
+    * SummingMergeTree analog): every micro-batch is pre-collapsed
+    * map-side and applied through the batch-id fence, so at-least-once
+    * redelivery (crash between state swap and checkpoint commit)
+    * cannot double-count. */
+  def aggregatingUpsert(changes: DataFrame, store: SummingStateStore,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        vacuumEvery: Int = 16,
+                        vacuumGraceMs: Long = 0L): StreamingQuery =
+    fencedUpsert(changes, store, checkpoint, trigger,
+      vacuumEvery, vacuumGraceMs) { batch =>
+      batch.groupBy(store.keys.map(col): _*)
+        .agg(sum(col(store.sumCols.head)).as(store.sumCols.head),
+          store.sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+
+  /** Streaming sink for SKETCH state ([[SketchStateStore]], the
+    * AggregatingMergeTree analog): each `(rawCol -> sketchCol)` pair
+    * is sketched per key within the batch (`hll_sketch_agg`), then
+    * union-merged into the store through the same fence. */
+  def sketchUpsert(changes: DataFrame, store: SketchStateStore,
+                   valueCols: Seq[(String, String)],
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   vacuumEvery: Int = 16,
+                   vacuumGraceMs: Long = 0L): StreamingQuery = {
+    require(valueCols.map(_._2).toSet == store.sketchCols.toSet,
+      s"valueCols targets ${valueCols.map(_._2)} but the store holds ${store.sketchCols}")
+    fencedUpsert(changes, store, checkpoint, trigger,
+      vacuumEvery, vacuumGraceMs) { batch =>
+      val aggs = valueCols.map { case (raw, sk) =>
+        hll_sketch_agg(col(raw)).as(sk) }
+      batch.groupBy(store.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
 }

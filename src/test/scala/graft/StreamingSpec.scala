@@ -345,6 +345,58 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // exact at these cardinalities (sketch sparse mode): a={1,2,3}, b={10,11}
     assert(est == Map("a" -> 3L, "b" -> 2L), s"got $est")
+
+    // streaming form: raw values sketched per batch, union-merged
+    val root = tmpDir("graft-sketch-stream")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      Seq(("a", 1L), ("a", 2L), ("b", 9L))
+        .map { case (k, u) => s"""{"seg":"$k","uid":$u}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    val s2 = new SketchStateStore(s"$root/state", Seq("seg"), Seq("users"))
+    val q = Sinks.sketchUpsert(
+      spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL("seg STRING, uid BIGINT"))
+        .json(src),
+      s2, valueCols = Seq("uid" -> "users"), s"$root/cp")
+    q.awaitTermination(120000)
+    val est2 = s2.read(spark).get
+      .select($"seg", hll_sketch_estimate($"users").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 == Map("a" -> 2L, "b" -> 1L), s"got $est2")
+  }
+
+  test("fenced sink refuses a checkpoint reset against a live store") {
+    import graft.streaming.SummingStateStore
+    val root = tmpDir("graft-fence-reset")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeJson(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (k, c) => s"""{"k":"$k","cnt":$c}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val store = new SummingStateStore(s"$root/state", Seq("k"), Seq("cnt"))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k STRING, cnt BIGINT")
+    def run(cp: String) = {
+      val q = Sinks.aggregatingUpsert(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(src), store, cp)
+      q.awaitTermination(120000); ()
+    }
+    writeJson("b1.json", Seq(("x", 1L)))
+    writeJson("b2.json", Seq(("x", 2L)))
+    run(s"$root/cp1") // batches 0 and 1 applied; fence is now 1
+    // a FRESH checkpoint renumbers batches from 0 against the live
+    // store — dropping them silently would lose data, so it must throw
+    writeJson("b3.json", Seq(("x", 4L)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(s"$root/cp2")
+    }
+    assert(ex.getMessage.contains("behind the store fence") ||
+      Option(ex.getCause).exists(_.getMessage.contains("behind the store fence")),
+      s"unexpected failure: ${ex.getMessage}")
   }
 
   test("state store deletes hide rows but tombstones block resurrection") {
