@@ -16,7 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Relation-metadata cache (the catalog analog): a resolved parquet
+    * relation snapshots its file listing + merged schema at `read`
+    * time; re-resolving both for EVERY query against an immutable
+    * table is pure fixed overhead (measured ~50–100 ms/table/query on
+    * the bench set). Keyed by application id (with dead-context
+    * eviction, same discipline as CdcSim's cache) so a restarted
+    * session never sees a plan bound to a stopped context. The testdata
+    * tables are immutable by harness contract; mutable state (the L2
+    * store) has its own manifest-versioned reader and never goes
+    * through here. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    relCache.entrySet().removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+    relCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, name),
+      _ => loadFresh(spark, dir, name))
+  }
+
+  /** Uncached resolve — one file listing + schema read per call. */
+  def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` is parquet TIMESTAMP(NANOS): Spark lands it as Long
     // (spark.sql.legacy.parquet.nanosAsLong=true); truncate ns → µs with
