@@ -60,6 +60,16 @@ object Graft {
                   sketchCols: Seq[String]): streaming.SketchStateStore =
     new streaming.SketchStateStore(path, keys, sketchCols)
 
+  /** Per-key QUANTILE sketch state (quantileState/quantileMerge
+    * analog): columns hold DDSketch binaries from
+    * [[functions.QuantileSketch.sketchAgg]], collapsed by sketch
+    * union; read quantiles with [[functions.QuantileSketch.quantile]].
+    */
+  def quantileStore(path: String, keys: Seq[String],
+                    sketchCols: Seq[String]): streaming.SketchStateStore =
+    new streaming.SketchStateStore(path, keys, sketchCols,
+      mergeAgg = _ => functions.QuantileSketch.merge)
+
   // ---- analytics helpers ---------------------------------------------
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -107,6 +117,21 @@ object Graft {
   def decontaminate(train: DataFrame, evalSet: DataFrame,
                     minOverlap: Int = 5): DataFrame =
     dedup.Dedup.decontaminate(train, evalSet, minOverlap = minOverlap)
+
+  /** [[decontaminate]]'s contamination check through a Bloom semi-join
+    * reduction: the eval shingle set folds into one broadcast bit
+    * array probed inside the corpus scan (row-identical results; the
+    * 100 TB path). */
+  def contaminationBloom(train: DataFrame, evalSet: DataFrame,
+                         minOverlap: Int = 5): DataFrame =
+    dedup.Dedup.contaminationBloom(train, evalSet, minOverlap = minOverlap)
+
+  /** Build a Bloom filter over one column (mergeable partial
+    * aggregates; one filter-sized value materialized) — probe with
+    * [[functions.Bloom.mightContain]] for semi-join reduction. */
+  def bloomFilter(df: DataFrame, item: Column, expectedItems: Long,
+                  fpp: Double = 0.01): Array[Byte] =
+    functions.Bloom.buildFilter(df, item, expectedItems, fpp)
 
   /** Record pairs within `maxDist` edit distance — FastSS
     * deletion-neighborhood blocking + exact levenshtein verify (linear

@@ -45,6 +45,16 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v.isInstanceOf[org.apache.spark.sql.types.Decimal] =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   /** Coerce numeric arrays (e.g. SQL decimal literals) to
     * array<double>; leave float/double arrays untouched. */
@@ -110,7 +120,33 @@ object GraftExtensions {
         arg(e, 0), org.apache.spark.sql.types.StringType),
       intLit(e(1), "k"),
       if (e.size > 2) intLit(e(2), "capacity") else 1024)
-      .toAggregateExpression()))
+      .toAggregateExpression()),
+    // bloom_filter_build(item, expectedItems, fpp) — mergeable filter
+    // binary; probe with bloom_might_contain(filter, item)
+    "bloom_filter_build" -> (e => BloomFilterBuild(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.StringType),
+      longLit(e(1), "expectedItems"),
+      if (e.size > 2) doubleLit(e(2), "fpp") else 0.01)
+      .toAggregateExpression()),
+    "bloom_might_contain" -> (e => BloomMightContain(
+      arg(e, 0),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.StringType))),
+    // dd_sketch_agg(x, alpha, maxBuckets) → binary DDSketch;
+    // dd_sketch_merge unions sketches; dd_sketch_quantile reads one
+    "dd_sketch_agg" -> (e => DDSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.DoubleType),
+      if (e.size > 1) doubleLit(e(1), "alpha") else 0.01,
+      if (e.size > 2) intLit(e(2), "maxBuckets") else 4096)
+      .toAggregateExpression()),
+    "dd_sketch_merge" -> (e =>
+      DDSketchMerge(arg(e, 0)).toAggregateExpression()),
+    "dd_sketch_quantile" -> (e => DDSketchQuantile(
+      arg(e, 0),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.DoubleType))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -468,14 +468,52 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleK: Int = 3, minOverlap: Int = 1): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
-    def inv(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col(as), explode(col("sh")).as("shingle"))
-    inv(train, "train_id")
-      .join(broadcast(inv(evalSet, "eval_id")), Seq("shingle"))
+    contaminationInv(train, "train_id", idCol, textCol, shingleK)
+      .join(broadcast(
+        contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK)),
+        Seq("shingle"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))      // shingles are distinct per doc
+      .where(col("n_shared") >= minOverlap)
+  }
+
+  private def contaminationInv(df: DataFrame, as: String, idCol: String,
+                               textCol: String, shingleK: Int): DataFrame = df
+    .select(col(idCol).as(as), shingles(col(textCol), shingleK).as("sh"))
+    .where(size(col("sh")) > 0)
+    .select(col(as), explode(col("sh")).as("shingle"))
+
+  /** [[contamination]] with a Bloom semi-join reduction on the train
+    * side: a filter over the eval shingle set is built once (bitwise-OR
+    * mergeable partial aggregates, one small binary to the driver —
+    * the same materialization a runtime join filter performs) and
+    * probed INSIDE the corpus scan, so only candidate shingles reach
+    * the broadcast-join + exact-count verify. Bloom false positives
+    * admit extra candidates that the exact join then discards — the
+    * result is row-identical to [[contamination]] for any `fpp`.
+    *
+    * At 100 TB this is the difference between shuffling/probing every
+    * corpus shingle and touching only the ~(contaminated + fpp)
+    * fraction: the filter is O(eval shingles) bits broadcast once,
+    * and the codegen'd probe fuses into the scan stage.
+    *
+    * `expectedShingles` sizes the filter; oversizing costs only bytes,
+    * undersizing only raises the false-positive rate (never
+    * correctness), so a loose upper bound is fine. */
+  def contaminationBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleK: Int = 3, minOverlap: Int = 1,
+                         expectedShingles: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    val evalInv = contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK)
+    val filter = graft.functions.Bloom.buildFilter(
+      evalInv, col("shingle"), expectedShingles, fpp)
+    contaminationInv(train, "train_id", idCol, textCol, shingleK)
+      .where(graft.functions.Bloom.mightContain(filter, col("shingle")))
+      .join(broadcast(evalInv), Seq("shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minOverlap)
   }
 

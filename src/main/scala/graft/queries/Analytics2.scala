@@ -78,6 +78,39 @@ object Analytics2 {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- DDSketch quantiles, oracled by the q24 pattern: hash-checked
+    // ---- columns are the exact interpolated percentiles (both engines
+    // ---- compute those identically) plus flags that the sketch's
+    // ---- estimate landed inside its relative-error guarantee (α=0.01,
+    // ---- slack for midpoint-vs-interpolation). The sketch itself is
+    // ---- the operator: mergeable partials fold per partition before
+    // ---- the exchange, O(buckets) per task at any scale --------------
+    Q("q86_quantile_sketch",
+      (s, dir) => {
+        import graft.functions.QuantileSketch
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_exact"),
+            QuantileSketch.sketchAgg(col("l_extendedprice")).as("sk"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+            col("n"),
+            (abs(QuantileSketch.quantile(col("sk"), 0.5) - col("p50_exact")) /
+              col("p50_exact") <= 0.021).as("p50_ok"),
+            (abs(QuantileSketch.quantile(col("sk"), 0.95) - col("p95_exact")) /
+              col("p95_exact") <= 0.021).as("p95_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+             |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+             |  COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- HLL sketch, oracled: the raw estimate is engine-specific, so
     // ---- the hash-checked columns are the exact count plus a flag that
     // ---- the estimate landed within the documented rsd bound (a broken

@@ -523,6 +523,43 @@ object TextQueries {
              |HAVING COUNT(*) >= 5
              |ORDER BY train_id, eval_id""".stripMargin)),
 
+    // ---- decontamination through the Bloom semi-join reduction: the
+    // ---- eval shingle set folds into one broadcast bit array probed
+    // ---- inside the corpus scan; false positives are discarded by the
+    // ---- exact verify join, so the rows are identical to q69 (same
+    // ---- oracle) while the corpus-side work drops to the candidate
+    // ---- fraction — the shape that survives a 100 TB corpus ----------
+    Q("q85_bloom_decontam",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.contaminationBloom(
+            train = d.where(pmod(col("doc_id"), lit(50)) =!= 0),
+            evalSet = d.where(pmod(col("doc_id"), lit(50)) === 0),
+            shingleK = 3, minOverlap = 5,
+            expectedShingles = 1L << 16, fpp = 0.01)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, sl FROM (
+             |    SELECT doc_id,
+             |      list_distinct([array_to_string(toks[i:i+2], ' ')
+             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents)
+             |  ) WHERE len(sl) > 0
+             |), tri AS (
+             |  SELECT doc_id AS train_id, unnest(sl) AS shingle FROM sh
+             |  WHERE train_id % 50 <> 0
+             |), evi AS (
+             |  SELECT doc_id AS eval_id, unnest(sl) AS shingle FROM sh
+             |  WHERE eval_id % 50 = 0
+             |)
+             |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM tri JOIN evi ON tri.shingle = evi.shingle
+             |GROUP BY train_id, eval_id
+             |HAVING COUNT(*) >= 5
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
     // ---- vocabulary heavy hitters per language: SpaceSaving sketch
     // ---- (ClickHouse topK analog). Exact here because the synthetic
     // ---- vocabulary fits the sketch capacity — the DuckDB oracle

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Additive keyed state — the `SummingMergeTree` analog: rows sharing
@@ -35,26 +35,31 @@ class SummingStateStore(
 }
 
 /** Mergeable-sketch keyed state — the `AggregatingMergeTree` +
-  * `uniqState`/`uniqMerge` analog: `sketchCols` hold HLL sketch
-  * binaries (from `hll_sketch_agg`) that collapse by `hll_union`, so
-  * the store maintains per-key DISTINCT-COUNT state incrementally —
-  * merge I/O stays O(dirty buckets × sketch bytes) no matter how many
-  * raw rows fed each sketch. Read with `hll_sketch_estimate` over the
-  * sketch columns. Same replay caveat as summing: sketch-union of a
-  * replayed batch is idempotent for the SAME items but the fenced
-  * [[ParquetStateStore.mergeOnce]] path is still the contract (ids
-  * must advance), keeping the three MergeTree disciplines uniform. */
+  * `uniqState`/`uniqMerge` analog: `sketchCols` hold mergeable sketch
+  * binaries that collapse by their union aggregate, so the store
+  * maintains per-key sketch state incrementally — merge I/O stays
+  * O(dirty buckets × sketch bytes) no matter how many raw rows fed
+  * each sketch. The default merge is `hll_union_agg` (distinct-count
+  * state, read with `hll_sketch_estimate`); `mergeAgg` selects another
+  * union per column — e.g. [[graft.functions.QuantileSketch.merge]]
+  * for DDSketch quantile state (the `quantileState`/`quantileMerge`
+  * pair), read with `dd_sketch_quantile`. Same replay caveat as
+  * summing: sketch-union of a replayed batch is idempotent for the
+  * SAME items but the fenced [[ParquetStateStore.mergeOnce]] path is
+  * still the contract (ids must advance), keeping the MergeTree
+  * disciplines uniform. */
 class SketchStateStore(
     path: String,
     keys: Seq[String],
     val sketchCols: Seq[String],
-    buckets: Int = 32)
+    buckets: Int = 32,
+    mergeAgg: String => (Column => Column) = _ => hll_union_agg)
   extends ParquetStateStore(path, keys, versionCols = Nil,
     deletedCol = None, buckets = buckets) {
   require(sketchCols.nonEmpty, "sketchCols must be non-empty")
 
   override protected def collapse(unioned: DataFrame): DataFrame =
     unioned.groupBy((keys :+ "__gbucket").map(col): _*)
-      .agg(hll_union_agg(col(sketchCols.head)).as(sketchCols.head),
-        sketchCols.tail.map(c => hll_union_agg(col(c)).as(c)): _*)
+      .agg(mergeAgg(sketchCols.head)(col(sketchCols.head)).as(sketchCols.head),
+        sketchCols.tail.map(c => mergeAgg(c)(col(c)).as(c)): _*)
 }
