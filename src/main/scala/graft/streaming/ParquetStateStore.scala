@@ -37,6 +37,17 @@ import graft.operators.Versioned
   * production cluster the same layout maps to Delta/Iceberg `MERGE
   * INTO` (log instead of manifest file); size `buckets` so one bucket
   * ≈ a few GB at the target scale.
+  *
+  * Schema evolution: ADDITIVE columns evolve in place — a batch
+  * carrying a column the stored state lacks (Debezium `ALTER TABLE ADD
+  * COLUMN` flowing through the envelope) widens the union
+  * (`allowMissingColumns`), old rows read as null for the new column,
+  * and multi-epoch reads merge footers (`mergeSchema`) so buckets
+  * written before the widening still surface it. Key and version
+  * columns are fixed for the life of the store; drops/renames are NOT
+  * tracked (a dropped source column simply stops updating and reads
+  * null on new rows — the additive discipline every append-only
+  * landing layer uses).
   */
 class ParquetStateStore(
     val path: String,
@@ -112,7 +123,7 @@ class ParquetStateStore(
       val dirs = map.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
       if (dirs.isEmpty) spark.emptyDataFrame
       else {
-        val df = spark.read.parquet(dirs: _*)
+        val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
         // tombstones stay in state (late-arrival protection) but are
         // not part of the visible current state
         deletedCol match {
@@ -127,7 +138,7 @@ class ParquetStateStore(
     readManifest(fs(spark)).map { case (_, map) =>
       val dirs = map.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
       if (dirs.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(dirs: _*)
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
 
   /** Collapse the union of prior bucket state and batch rows to one
@@ -181,10 +192,13 @@ class ParquetStateStore(
     }.toSeq.sorted
     val prior =
       if (priorDirs.isEmpty) None
-      else Some(spark.read.parquet(priorDirs: _*).withColumn("__gbucket", bucketCol))
+      else Some(spark.read.option("mergeSchema", "true").parquet(priorDirs: _*)
+        .withColumn("__gbucket", bucketCol))
 
+    // allowMissingColumns: an additive schema change (new column in the
+    // batch, or a bucket written before one) null-fills the absent side
     val unioned = prior match {
-      case Some(p) => p.unionByName(batchB)
+      case Some(p) => p.unionByName(batchB, allowMissingColumns = true)
       case None => batchB
     }
     // NOTE: tombstones (latest event deleted) are kept, not filtered —
@@ -220,7 +234,7 @@ class ParquetStateStore(
           if (prevMap.nonEmpty) {
             val epoch = prevEpoch + 1
             val dirs = prevMap.toSeq.sorted.map { case (b, e) => bucketDir(e, b) }
-            spark.read.parquet(dirs: _*)
+            spark.read.option("mergeSchema", "true").parquet(dirs: _*)
               .where(!(coalesce(col(d), lit(false)) && safeToForget))
               .withColumn("__gbucket", bucketCol)
               .repartition(buckets.min(prevMap.size.max(1)), col("__gbucket"))
