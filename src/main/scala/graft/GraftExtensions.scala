@@ -146,7 +146,19 @@ object GraftExtensions {
     "dd_sketch_quantile" -> (e => DDSketchQuantile(
       arg(e, 0),
       org.apache.spark.sql.catalyst.expressions.Cast(
-        arg(e, 1), org.apache.spark.sql.types.DoubleType))))
+        arg(e, 1), org.apache.spark.sql.types.DoubleType))),
+    // theta sketch: distinct counting with set ops (uniqTheta analog)
+    "theta_sketch_agg" -> (e => ThetaSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.StringType),
+      if (e.size > 1) intLit(e(1), "k") else 4096)
+      .toAggregateExpression()),
+    "theta_sketch_union" -> (e =>
+      ThetaSketchUnion(arg(e, 0)).toAggregateExpression()),
+    "theta_estimate" -> (e => ThetaEstimate(arg(e, 0))),
+    "theta_intersect" -> (e => ThetaSetEstimate(arg(e, 0), arg(e, 1), 0)),
+    "theta_a_not_b" -> (e => ThetaSetEstimate(arg(e, 0), arg(e, 1), 1)),
+    "theta_union_estimate" -> (e => ThetaSetEstimate(arg(e, 0), arg(e, 1), 2)))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

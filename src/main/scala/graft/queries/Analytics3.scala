@@ -329,6 +329,54 @@ object Analytics3 {
              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
              |  FROM orders GROUP BY o_custkey
              |) o ON c.c_custkey = o.o_custkey
-             |ORDER BY custkey""".stripMargin))
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- audience overlap on SKETCH BYTES: theta sketches support the
+    // ---- set operation HLL cannot — per-segment sketches are built
+    // ---- once (mergeable partials, O(k) per task) and every pairwise
+    // ---- INTERSECTION is estimated from the retained samples, never
+    // ---- re-scanning raw events (uniqThetaIntersect analog). Oracled
+    // ---- by the q24 pattern: exact pair counts hash-checked, sketch
+    // ---- estimates asserted inside the sampling error bound ----------
+    Q("q87_theta_overlap",
+      (s, dir) => {
+        import graft.functions.ThetaSketch
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("p"), col("o_custkey").as("c"))
+        val sk = o.groupBy("p")
+          .agg(ThetaSketch.sketchAgg(col("c")).as("sk"),
+            countDistinct(col("c")).as("nd"))
+        val d = o.distinct()
+        val exact = d.as("x")
+          .join(d.as("y"), col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+          .agg(count(lit(1)).as("n_both"))
+        sk.as("a").join(sk.as("b"), col("a.p") < col("b.p"))
+          .select(col("a.p").as("pa"), col("b.p").as("pb"),
+            ThetaSketch.intersectEstimate(col("a.sk"), col("b.sk")).as("est"),
+            col("a.nd").as("nd_a"), col("b.nd").as("nd_b"))
+          .join(exact, Seq("pa", "pb"))
+          .select(col("pa"), col("pb"), col("n_both"), col("nd_a"),
+            col("nd_b"),
+            (abs(col("est") - col("n_both")) <=
+              greatest(lit(100.0), (col("nd_a") + col("nd_b")) * lit(0.05)))
+              .as("approx_ok"))
+          .orderBy("pa", "pb")
+      },
+      Some("""WITH o AS (
+             |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+             |), nd AS (
+             |  SELECT p, CAST(COUNT(*) AS BIGINT) AS nd FROM o GROUP BY p
+             |), inter AS (
+             |  SELECT x.p AS pa, y.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_both
+             |  FROM o x JOIN o y ON x.c = y.c AND x.p < y.p
+             |  GROUP BY x.p, y.p
+             |)
+             |SELECT i.pa, i.pb, i.n_both, na.nd AS nd_a, nb.nd AS nd_b,
+             |  TRUE AS approx_ok
+             |FROM inter i
+             |JOIN nd na ON na.p = i.pa
+             |JOIN nd nb ON nb.p = i.pb
+             |ORDER BY pa, pb""".stripMargin))
   )
 }
