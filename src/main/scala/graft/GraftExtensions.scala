@@ -115,6 +115,14 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 1), org.apache.spark.sql.types.IntegerType),
       intLit(e(2), "steps")).toAggregateExpression()),
+    // sequence_count_t(ts, bits, steps, gap1, ...) — the (?t<=n) form
+    "sequence_count_t" -> (e => SequenceCountTimed(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.IntegerType),
+      intLit(e(2), "steps"),
+      e.drop(3).map(g => longLit(g, "maxGap"))).toAggregateExpression()),
     "approx_top_k" -> (e => ApproxTopK(
       org.apache.spark.sql.catalyst.expressions.Cast(
         arg(e, 0), org.apache.spark.sql.types.StringType),

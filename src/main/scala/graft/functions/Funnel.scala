@@ -226,6 +226,77 @@ case class SequenceCount(
   override def prettyName: String = "sequence_count"
 }
 
+/** `sequence_count_t(ts, bits, steps, gap1..gap_{steps-1})` — the
+  * time-constrained form of [[SequenceCount]]: ClickHouse's
+  * `sequenceCount('(?1)(?t<=g1)(?2)(?t<=g2)(?3)')` shape, where each
+  * transition i→i+1 must happen within `maxGaps(i-1)` time units of
+  * the previous matched event.
+  *
+  * Semantics (deterministic, permutation-invariant — a pure function
+  * of the event set, like every aggregate in this family):
+  * events scan in `(ts, bits)` order;
+  *  - a chain at level L > 0 TIMES OUT the moment an event arrives
+  *    with `ts − lastMatched > maxGaps(L−1)` (timestamps only
+  *    increase, so the chain could never complete — it resets before
+  *    the event is considered);
+  *  - a surviving chain advances on an event carrying the next step's
+  *    bit (`ts` delta necessarily within the gap), completing and
+  *    resetting at the last step (non-overlapping, as in the
+  *    untimed form);
+  *  - at level 0 any event with bit 1 starts a chain — including an
+  *    event that just timed a chain out.
+  * With all gaps = Long.MaxValue this is EXACTLY [[SequenceCount]]
+  * (the spec's differential partner). */
+case class SequenceCountTimed(
+    tsExpr: Expression,
+    bitsExpr: Expression,
+    steps: Int,
+    maxGaps: Seq[Long],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends FunnelEventAggregate {
+
+  require(steps >= 2 && steps <= 30,
+    s"sequence_count_t supports 2..30 steps, got $steps")
+  require(maxGaps.size == steps - 1,
+    s"sequence_count_t needs one gap per transition: " +
+      s"${steps - 1} expected, got ${maxGaps.size}")
+  require(maxGaps.forall(_ >= 0), s"gaps must be >= 0, got $maxGaps")
+
+  override def dataType: DataType = LongType
+
+  override def eval(buf: FunnelBuffer): Any = {
+    val order = Array.range(0, buf.n).sortBy(i => (buf.ts(i), buf.bits(i)))
+    val gaps = maxGaps.toArray
+    var lvl = 0
+    var last = 0L
+    var count = 0L
+    var j = 0
+    while (j < buf.n) {
+      val i = order(j)
+      val t = buf.ts(i); val b = buf.bits(i)
+      if (lvl > 0 && t - last > gaps(lvl - 1)) lvl = 0 // timeout first
+      if (lvl > 0) {
+        if ((b & (1 << lvl)) != 0) {
+          lvl += 1; last = t
+          if (lvl == steps) { count += 1; lvl = 0 }
+        }
+      } else if ((b & 1) != 0) { lvl = 1; last = t }
+      j += 1
+    }
+    count
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceCountTimed =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceCountTimed =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), bitsExpr = newChildren(1))
+  override def prettyName: String = "sequence_count_t"
+}
+
 /** Column-API entry points for funnel/retention analytics. */
 object Funnel {
 
@@ -262,6 +333,18 @@ object Funnel {
     * ordered chain occurs at least once (ClickHouse `sequenceMatch`). */
   def sequenceMatch(tsMicros: Column, conds: Seq[Column]): Column =
     sequenceCount(tsMicros, conds) >= 1
+
+  /** `sequenceCountTimed(tsMicros, conds, maxGaps)` — the
+    * `(?t<=n)`-constrained chain count; `maxGaps(i)` bounds the
+    * transition from step i+1 to step i+2 (so `maxGaps.size ==
+    * conds.size - 1`). See [[SequenceCountTimed]] for exact
+    * semantics. */
+  def sequenceCountTimed(tsMicros: Column, conds: Seq[Column],
+                         maxGaps: Seq[Long]): Column =
+    ColumnBridge.column(SequenceCountTimed(
+      ColumnBridge.expression(tsMicros.cast("long")),
+      ColumnBridge.expression(stepBits(conds).cast("int")),
+      conds.size, maxGaps).toAggregateExpression())
 
   /** Retention flags (ClickHouse `retention` analog): flag 1 is "the
     * anchor condition ever held"; flag i>1 is "the anchor AND

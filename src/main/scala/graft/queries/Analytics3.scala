@@ -377,6 +377,65 @@ object Analytics3 {
              |FROM inter i
              |JOIN nd na ON na.p = i.pa
              |JOIN nd nb ON nb.p = i.pb
-             |ORDER BY pa, pb""".stripMargin))
+             |ORDER BY pa, pb""".stripMargin)),
+
+    // ---- TIME-CONSTRAINED chains: sequence_count_t(view -(≤24h)->
+    // ---- click -(≤48h)-> purchase), the ClickHouse `(?t<=n)` form.
+    // ---- One shuffle, O(step events) state per key. The DuckDB oracle
+    // ---- replays the SAME deterministic timeout-then-advance scan as
+    // ---- a per-user recursive CTE over the (ts, bits)-ordered event
+    // ---- sequence — an executable restatement of the documented
+    // ---- semantics, not an independent heuristic ---------------------
+    Q("q88_sequence_count_timed",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(graft.functions.Funnel.sequenceCountTimed(
+          unix_micros(col("ts")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          maxGaps = Seq(86400000000L, 172800000000L)).as("chains"))
+        .where(col("chains") >= 1)
+        .groupBy("chains")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("chains"),
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tus,
+             |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |         WHEN 'purchase' THEN 4 END AS bits,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+             |      CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+             |           WHEN 'purchase' THEN 4 END) AS rn
+             |  FROM events WHERE event_type IN ('view','click','purchase')
+             |), scan AS (
+             |  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS lvl,
+             |    CAST(0 AS BIGINT) AS last_t, CAST(0 AS BIGINT) AS cnt
+             |  FROM (SELECT DISTINCT user_id FROM ev)
+             |  UNION ALL
+             |  SELECT user_id, rn,
+             |    CASE WHEN adv THEN (CASE WHEN eff + 1 = 3 THEN 0 ELSE eff + 1 END)
+             |         WHEN eff = 0 AND (bits & 1) <> 0 THEN 1
+             |         ELSE eff END AS lvl,
+             |    CASE WHEN adv OR (eff = 0 AND (bits & 1) <> 0)
+             |         THEN tus ELSE last_t END AS last_t,
+             |    cnt + CASE WHEN adv AND eff + 1 = 3 THEN 1 ELSE 0 END AS cnt
+             |  FROM (
+             |    SELECT x.*, (eff > 0 AND (bits & (1 << eff)) <> 0) AS adv
+             |    FROM (
+             |      SELECT e.user_id, e.rn, e.tus, e.bits, s.last_t, s.cnt,
+             |        CASE WHEN s.lvl > 0 AND e.tus - s.last_t >
+             |               (CASE s.lvl WHEN 1 THEN 86400000000 ELSE 172800000000 END)
+             |             THEN 0 ELSE s.lvl END AS eff
+             |      FROM scan s
+             |      JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+             |    ) x
+             |  )
+             |), last_state AS (
+             |  SELECT user_id, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+             |  FROM scan
+             |)
+             |SELECT chains, COUNT(*) AS users FROM (
+             |  SELECT cnt AS chains FROM last_state WHERE rk = 1
+             |) WHERE chains >= 1 GROUP BY chains ORDER BY chains""".stripMargin))
   )
 }

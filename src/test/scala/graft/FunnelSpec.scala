@@ -218,4 +218,65 @@ class FunnelSpec extends SparkSpec {
       .head().getLong(0)
     assert(c == 2L)
   }
+
+  test("sequence_count_t: unconstrained gaps reproduce sequence_count exactly") {
+    val chain = Seq("view", "click", "purchase")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val conds = chain.map(col("event_type") === _)
+    val both = ev.groupBy(col("user_id"))
+      .agg(Funnel.sequenceCount(col("tus"), conds).as("plain"),
+        Funnel.sequenceCountTimed(col("tus"), conds,
+          Seq(Long.MaxValue, Long.MaxValue)).as("timed"))
+      .where(col("plain") =!= col("timed"))
+    assert(both.count() == 0,
+      "MaxValue gaps must degenerate to the untimed operator")
+  }
+
+  test("sequence_count_t: timeout kills the chain; timed-out event can restart") {
+    def run(evs: Seq[(Long, Long, String)], g1: Long, g2: Long): Map[Long, Long] =
+      evs.toDF("user_id", "tus", "e")
+        .groupBy("user_id")
+        .agg(Funnel.sequenceCountTimed(col("tus"),
+          Seq(col("e") === "a", col("e") === "b", col("e") === "c"),
+          Seq(g1, g2)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(Seq(
+      // u1: a(0) b(5) c(10) — both gaps within 10: one completion
+      (1L, 0L, "a"), (1L, 5L, "b"), (1L, 10L, "c"),
+      // u2: a(0) b(20) — first gap 20 > 10: b cannot chain; zero
+      (2L, 0L, "a"), (2L, 20L, "b"), (2L, 25L, "c"),
+      // u3: a(0) b(5) c(30) — second gap 25 > 10: dies at level 2
+      (3L, 0L, "a"), (3L, 5L, "b"), (3L, 30L, "c"),
+      // u4: a(0) ... a(50) b(55) c(60) — first chain times out; the
+      // SECOND a restarts and completes
+      (4L, 0L, "a"), (4L, 50L, "a"), (4L, 55L, "b"), (4L, 60L, "c"),
+      // u5: boundary — gap exactly equal is allowed (<=)
+      (5L, 0L, "a"), (5L, 10L, "b"), (5L, 20L, "c")),
+      g1 = 10L, g2 = 10L)
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L), s"$got")
+  }
+
+  test("sequence_count_t: merge invariance + SQL registration") {
+    graft.GraftExtensions.register(spark)
+    val chain = Seq("view", "click", "purchase")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val conds = chain.map(col("event_type") === _)
+    def run(parts: Int): Map[Long, Long] =
+      ev.repartition(parts).groupBy(col("user_id"))
+        .agg(Funnel.sequenceCountTimed(col("tus"), conds,
+          Seq(1800000000L, 3600000000L)).as("n"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(run(1) == run(7))
+
+    Seq((1L, 0L, 1), (1L, 5L, 2), (1L, 100L, 1), (1L, 102L, 2))
+      .toDF("u", "tus", "bits").createOrReplaceTempView("seqt_ev")
+    val c = spark.sql(
+      "SELECT sequence_count_t(tus, bits, 2, 6L) AS c FROM seqt_ev GROUP BY u")
+      .head().getLong(0)
+    assert(c == 2L, "both pairs chain within gap 6")
+  }
 }
