@@ -179,6 +179,12 @@ object Graft {
   def lmCrossEntropy(reference: DataFrame, docs: DataFrame): DataFrame =
     text.LanguageModel.crossEntropy(reference, docs)
 
+  /** Order-3 upgrade: interpolated (Jelinek–Mercer) trigram
+    * cross-entropy — lower orders take over where the trigram context
+    * is sparse. */
+  def lmCrossEntropyTrigram(reference: DataFrame, docs: DataFrame): DataFrame =
+    text.LanguageModel.crossEntropyTrigram(reference, docs)
+
   def qualityScore(text: Column): Column = graft.text.TextAnalysis.qualityScore(text)
   def languageOf(text: Column): Column = graft.text.TextAnalysis.langId(text)
   def fingerprint(text: Column): Column = graft.text.TextAnalysis.fingerprint(text)

@@ -436,6 +436,63 @@ object Analytics3 {
              |)
              |SELECT chains, COUNT(*) AS users FROM (
              |  SELECT cnt AS chains FROM last_state WHERE rk = 1
-             |) WHERE chains >= 1 GROUP BY chains ORDER BY chains""".stripMargin))
+             |) WHERE chains >= 1 GROUP BY chains ORDER BY chains""".stripMargin)),
+
+    // ---- interpolated TRIGRAM perplexity gate (Jelinek–Mercer over
+    // ---- add-one orders 3/2/1): lower orders take over exactly where
+    // ---- the trigram context is sparse — the upgrade over q82's
+    // ---- bigram gate. Same engine-portable shape: count tables +
+    // ---- equi-joins + one ln per distinct (doc, trigram) -------------
+    Q("q89_lm_trigram",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        graft.text.LanguageModel.crossEntropyTrigram(d, d)
+          .orderBy("doc_id")
+      },
+      // MATERIALIZED hints: DuckDB inlines multiply-referenced CTEs by
+      // default here, and the resulting plan for this 5-join + 1-row
+      // aggregate shape degenerates (hung >60s at sf0.001 without them)
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), uni AS MATERIALIZED (
+             |  SELECT u, CAST(COUNT(*) AS BIGINT) AS c1
+             |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+             |), tot AS MATERIALIZED (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS vsz,
+             |         CAST(SUM(c1) AS BIGINT) AS ntok FROM uni
+             |), db AS (
+             |  SELECT doc_id, bg.u AS u, bg.w AS w FROM (
+             |    SELECT doc_id, unnest([{'u': t[i], 'w': t[i + 1]}
+             |      FOR i IN range(1, len(t))]) AS bg
+             |    FROM toks)
+             |), bc AS MATERIALIZED (
+             |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY u, w
+             |), dt AS MATERIALIZED (
+             |  SELECT doc_id, tg.u AS u, tg.v AS v, tg.w AS w FROM (
+             |    SELECT doc_id, unnest([{'u': t[i], 'v': t[i + 1], 'w': t[i + 2]}
+             |      FOR i IN range(1, len(t) - 1)]) AS tg
+             |    FROM toks WHERE len(t) >= 3)
+             |), tc AS (
+             |  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3
+             |  FROM dt GROUP BY u, v, w
+             |), docterms AS (
+             |  SELECT doc_id, u, v, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+             |  FROM dt GROUP BY doc_id, u, v, w
+             |)
+             |SELECT d.doc_id,
+             |  CAST(SUM(d.n_occ) AS BIGINT) AS n_trigrams,
+             |  ROUND(-SUM(d.n_occ * ln(
+             |      0.7 * (tc.c3 + 1.0) / (cuv.c2 + tot.vsz) +
+             |      0.2 * (cvw.c2 + 1.0) / (uv.c1 + tot.vsz) +
+             |      0.1 * (uw.c1 + 1.0) / (tot.ntok + tot.vsz)))
+             |    / SUM(d.n_occ), 4) AS cross_entropy
+             |FROM docterms d
+             |JOIN tc ON d.u = tc.u AND d.v = tc.v AND d.w = tc.w
+             |JOIN bc cuv ON d.u = cuv.u AND d.v = cuv.w
+             |JOIN bc cvw ON d.v = cvw.u AND d.w = cvw.w
+             |JOIN uni uv ON d.v = uv.u
+             |JOIN uni uw ON d.w = uw.u
+             |CROSS JOIN tot
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -74,4 +74,77 @@ object LanguageModel {
             sum(col("n_occ")),
           scale).as("cross_entropy"))
   }
+
+  /** Trigram triples (with multiplicity) as (u, v, w) structs; empty
+    * under three tokens. */
+  def trigramTriples(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => struct(element_at(toks, i + 1).as("u"),
+          element_at(toks, i + 2).as("v"),
+          element_at(toks, i + 3).as("w"))))
+      .otherwise(array().cast("array<struct<u:string,v:string,w:string>>"))
+  }
+
+  /** Per-document cross-entropy under an INTERPOLATED trigram model
+    * (Jelinek–Mercer linear interpolation — the standard order-3
+    * smoothing; Chen & Goodman 1999 survey):
+    *
+    * `P(w|u,v) = λ3·(c(uvw)+1)/(c(uv)+|V|)
+    *           + λ2·(c(vw)+1)/(c(v)+|V|)
+    *           + λ1·(c(w)+1)/(N+|V|)`
+    *
+    * Each order is add-one smoothed, so unseen histories degrade
+    * gracefully instead of zeroing the probability; the lower orders
+    * dominate exactly when the higher-order context is sparse — the
+    * behavior that separates a trigram gate from the bigram one on
+    * natural text. Still pure counts + one `ln` per distinct
+    * (doc, trigram): engine-portable (q89 oracle parity), and the same
+    * scale shape as [[crossEntropy]] with one more count table and two
+    * more equi-joins — all shuffle-partitioned by token keys. Output:
+    * (idCol, n_trigrams, cross_entropy) for docs with ≥ 1 trigram. */
+  def crossEntropyTrigram(reference: DataFrame, docs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
+                          scale: Int = 4): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1, got $l3 + $l2 + $l1")
+    def triples(df: DataFrame) = df.select(col(idCol),
+        explode(trigramTriples(col(textCol))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
+        col("tg.w").as("w"))
+
+    val refToks = reference.select(explode(split(col(textCol), " ")).as("t"))
+    val uni = refToks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(count(lit(1)).as("vsz"), sum(col("c1")).as("ntok"))
+    val big = reference.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .groupBy(col("bg.u").as("a"), col("bg.w").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = triples(reference).groupBy("u", "v", "w")
+      .agg(count(lit(1)).as("c3"))
+
+    val docTerms = triples(docs).groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("n_occ"))
+
+    val cz = (c: Column) => coalesce(c, lit(0L)).cast("double")
+    docTerms
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(big.select(col("a").as("u"), col("b").as("v"),
+        col("c2").as("c2uv")), Seq("u", "v"), "left")
+      .join(big.select(col("a").as("v"), col("b").as("w"),
+        col("c2").as("c2vw")), Seq("v", "w"), "left")
+      .join(uni.select(col("t").as("v"), col("c1").as("c1v")), Seq("v"), "left")
+      .join(uni.select(col("t").as("w"), col("c1").as("c1w")), Seq("w"), "left")
+      .crossJoin(totals)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_occ")).as("n_trigrams"),
+        round(
+          -sum(col("n_occ") * log(
+            lit(l3) * (cz(col("c3")) + 1.0) / (cz(col("c2uv")) + col("vsz")) +
+              lit(l2) * (cz(col("c2vw")) + 1.0) / (cz(col("c1v")) + col("vsz")) +
+              lit(l1) * (cz(col("c1w")) + 1.0) / (col("ntok") + col("vsz")))) /
+            sum(col("n_occ")),
+          scale).as("cross_entropy"))
+  }
 }

@@ -109,6 +109,36 @@ class TextSpec extends SparkSpec {
       s"expected ~ln($vsz), got ${got(11L)._2} (output rounded to 4dp)")
   }
 
+  test("trigram LM: separates junk; sparse context falls back to lower orders") {
+    import graft.text.LanguageModel
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),     // seen verbatim
+      (11L, "zz qq xx vv bb nn"),          // everything unseen
+      // recombined: most trigrams unseen ("the rug ran", "rug ran to",
+      // "to the mat") but their bigram/unigram parts are mostly in the
+      // reference — the interpolated lower orders must keep this
+      // between verbatim and junk
+      (12L, "the rug ran to the mat"),
+      (13L, "x y")).toDF("doc_id", "text") // < 3 tokens: no trigrams
+    val got = LanguageModel.crossEntropyTrigram(ref, probe)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("cross_entropy"))).toMap
+    assert(!got.contains(13L), "trigram-less doc must be absent")
+    assert(got(10L)._1 == 4 && got(11L)._1 == 4 && got(12L)._1 == 4)
+    assert(got(10L)._2 < got(12L)._2,
+      "verbatim text must beat the recombined one")
+    assert(got(12L)._2 < got(11L)._2,
+      s"bigram-backed text ${got(12L)._2} must beat junk ${got(11L)._2}")
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      LanguageModel.crossEntropyTrigram(ref, probe, l3 = 0.9, l2 = 0.3, l1 = 0.1)
+    }
+  }
+
   test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Multimodal.synthesize(docs)
