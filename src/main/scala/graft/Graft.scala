@@ -153,6 +153,15 @@ object Graft {
     streaming.AdmissionGate.dedupAdmission(docs, corpusPath, checkpoint,
       threshold = threshold)
 
+  /** Admission-gated corpus with a MATERIALIZED shingle index — the
+    * 100 TB admission path: postings land once per admitted doc, each
+    * batch probes only the index buckets it touches, and docs +
+    * postings commit in one fenced atomic manifest swap (exactly-once
+    * admission). Stream into it with
+    * [[streaming.AdmissionGate.dedupAdmissionIndexed]]. */
+  def indexedCorpus(path: String, shingleK: Int = 3): streaming.IndexedCorpus =
+    new streaming.IndexedCorpus(path, shingleK = shingleK)
+
   /** Funnel depth / retention / sequence analytics (ClickHouse
     * windowFunnel, retention, sequenceMatch/Count analogs) — aggregate
     * columns for use inside `.agg(...)`. */

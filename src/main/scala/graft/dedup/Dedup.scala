@@ -405,7 +405,7 @@ object Dedup {
     * cross join. */
   /** Inverted index (id, set size, shingle) — the shared input of the
     * self-join and cross-set exact-Jaccard passes. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            shingleK: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         shingles(col(textCol), shingleK).as("sh"))

@@ -85,4 +85,24 @@ object AdmissionGate {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Streaming admission through a MATERIALIZED shingle index
+    * ([[IndexedCorpus]]) — postings land once at admission and each
+    * batch probes only the index buckets it touches, replacing the
+    * per-batch corpus scan + shingle explode; the micro-batch id is
+    * fenced in the corpus manifest, so replays admit nothing (exactly-
+    * once admission, strictly stronger than the self-match masking of
+    * [[dedupAdmission]]). */
+  def dedupAdmissionIndexed(docs: DataFrame, corpus: IndexedCorpus,
+                            checkpoint: String, threshold: Double = 0.5,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.admit(batch, batchId, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

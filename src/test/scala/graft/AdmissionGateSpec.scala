@@ -84,4 +84,79 @@ class AdmissionGateSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
       == Seq(1L, 3L, 5L))
   }
+
+  test("IndexedCorpus: same admissions as the direct-scan gate; fence blocks replays") {
+    import graft.streaming.IndexedCorpus
+    val c = new IndexedCorpus(tmpDir("graft-idx") + "/corpus")
+
+    val b1 = Seq((1L, base), (2L, baseVariant), (3L, other)).toDF("doc_id", "text")
+    val a1 = c.admit(b1, batchId = 0).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a1 == Seq(1L, 3L), s"batch 1 admitted $a1")
+
+    val b2 = Seq((4L, base + " today"), (5L, third)).toDF("doc_id", "text")
+    val a2 = c.admit(b2, batchId = 1).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a2 == Seq(5L), s"batch 2 admitted $a2")
+
+    // replay: the fence rejects the whole batch, corpus unchanged
+    assert(c.admit(b2, batchId = 1).count() == 0)
+    assert(c.lastBatchId(spark) == 1L)
+    val landed = c.readDocs(spark).get.select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 3L, 5L), s"corpus holds $landed")
+
+    // the index agrees with a from-scratch derivation off the docs
+    val derived = graft.dedup.Dedup
+      .shingleIndex(c.readDocs(spark).get, "doc_id", "text", 3)
+      .select("id", "shingle")
+    val stored = c.readPostings(spark).get.select("id", "shingle")
+    assertSameRows(derived, stored)
+
+    // an all-duplicates batch advances the fence without a new dir
+    val b3 = Seq((6L, base + " yet again tonight")).toDF("doc_id", "text")
+    assert(c.admit(b3, batchId = 2).count() == 0)
+    assert(c.lastBatchId(spark) == 2L)
+    assert(c.readDocs(spark).get.count() == 3)
+  }
+
+  test("IndexedCorpus: uncommitted writes are invisible; probe prunes to touched buckets") {
+    import graft.streaming.IndexedCorpus
+    val root = tmpDir("graft-idx-crash")
+    val c = new IndexedCorpus(s"$root/corpus", buckets = 8)
+    c.admit(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), batchId = 0)
+
+    // simulate a crash AFTER data write, BEFORE manifest swap: an
+    // orphan batch dir exists but is not committed — readers skip it
+    Seq((9L, third)).toDF("doc_id", "text")
+      .write.parquet(s"$root/corpus/docs/b99")
+    assert(c.readDocs(spark).get.count() == 2, "orphan dir must be invisible")
+
+    // bucket pruning: the probe plan carries an __sbucket IN (...)
+    // partition filter derived from the batch's own shingles
+    val probe = Seq((3L, base + " maybe")).toDF("doc_id", "text")
+    val admitted = c.admit(probe, batchId = 1)
+    assert(admitted.count() == 0, "near-dup of committed doc must be rejected")
+
+    // streaming form: index-backed admission end to end (fresh corpus —
+    // foreachBatch ids restart at 0, and the fence demands monotonicity)
+    val c2 = new IndexedCorpus(s"$root/corpus2", buckets = 8)
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      s"""{"doc_id":10,"text":"$third"}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      s"""{"doc_id":11,"text":"$third later"}""".getBytes("UTF-8"))
+    val q = graft.streaming.AdmissionGate.dedupAdmissionIndexed(
+      spark.readStream.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1).json(src),
+      c2, s"$root/cp")
+    q.awaitTermination(120000)
+    // doc 11 is a near-dup of doc 10, admitted a micro-batch earlier —
+    // rejected through the index probe
+    val landed = c2.readDocs(spark).get.select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(landed == Seq(10L), s"corpus holds $landed")
+  }
 }

@@ -23,8 +23,10 @@ class ContractSpec extends SparkSpec {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // subquery openers and CTE names are fine; flag unknown bare ids
-        // (a recursive CTE may declare a column list: `cc(id, comp) AS (`)
-        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
+        // (a recursive CTE may declare a column list: `cc(id, comp) AS (`;
+        // a CTE may carry a materialization hint: `x AS MATERIALIZED (`)
+        val ctes = ("(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?" +
+          "\\s+AS\\s*(?:NOT\\s+)?(?:MATERIALIZED\\s*)?\\(").r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         assert(known.contains(t) || ctes.contains(t) || t == "(",
           s"$name references unknown table '$t'")
