@@ -129,6 +129,14 @@ object GraftExtensions {
       intLit(e(1), "k"),
       if (e.size > 2) intLit(e(2), "capacity") else 1024)
       .toAggregateExpression()),
+    "approx_top_k_weighted" -> (e => ApproxTopKWeighted(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 0), org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        arg(e, 1), org.apache.spark.sql.types.LongType),
+      intLit(e(2), "k"),
+      if (e.size > 3) intLit(e(3), "capacity") else 1024)
+      .toAggregateExpression()),
     // bloom_filter_build(item, expectedItems, fpp) — mergeable filter
     // binary; probe with bloom_might_contain(filter, item)
     "bloom_filter_build" -> (e => BloomFilterBuild(

@@ -34,14 +34,19 @@ final class SpaceSaving(val capacity: Int) {
   val counts = mutable.HashMap.empty[String, (Long, Long)] // item -> (count, err)
   var floor: Long = 0L                                     // max evicted/pruned count
 
-  def add(item: String): Unit = counts.get(item) match {
-    case Some((c, e)) => counts(item) = (c + 1, e)
-    case None if counts.size < capacity => counts(item) = (1L, 0L)
+  def add(item: String): Unit = add(item, 1L)
+
+  /** Weighted insert (the `topKWeighted` form): counts advance by `w`;
+    * eviction credits the newcomer the evictee's count as usual, which
+    * keeps the one-sided overestimate guarantee. */
+  def add(item: String, w: Long): Unit = counts.get(item) match {
+    case Some((c, e)) => counts(item) = (c + w, e)
+    case None if counts.size < capacity => counts(item) = (w, 0L)
     case None =>
       val (mItem, (mCnt, _)) = counts.minBy { case (i, (c, _)) => (c, i) }
       counts.remove(mItem)
       if (mCnt > floor) floor = mCnt
-      counts(item) = (mCnt + 1, mCnt)
+      counts(item) = (mCnt + w, mCnt)
   }
 
   def mergeFrom(o: SpaceSaving): SpaceSaving = {
@@ -160,11 +165,89 @@ case class ApproxTopK(
   override def prettyName: String = "approx_top_k"
 }
 
+/** `approx_top_k_weighted(item, weight, k, capacity)` — SpaceSaving
+  * with weighted increments (ClickHouse `topKWeighted` analog): items
+  * rank by summed weight instead of occurrence count. Same buffer,
+  * merge, and guarantees as [[ApproxTopK]] with "count" read as
+  * "weight sum"; exact when distinct items fit the capacity. */
+case class ApproxTopKWeighted(
+    itemExpr: Expression,
+    weightExpr: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving] {
+  require(k > 0 && capacity >= k, s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def children: Seq[Expression] = Seq(itemExpr, weightExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (itemExpr.dataType == StringType && weightExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"approx_top_k_weighted expects (string, bigint), got " +
+        s"(${itemExpr.dataType.simpleString}, ${weightExpr.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("cnt", LongType),
+    StructField("err", LongType))))
+
+  override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(capacity)
+
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = itemExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0, s"approx_top_k_weighted weight must be >= 0, got $wl")
+      buf.add(v.asInstanceOf[UTF8String].toString, wl)
+    }
+    buf
+  }
+
+  override def merge(buf: SpaceSaving, other: SpaceSaving): SpaceSaving =
+    buf.mergeFrom(other)
+
+  override def eval(buf: SpaceSaving): Any = {
+    val rows = buf.sorted.take(k).map { case (i, c, e) =>
+      InternalRow(UTF8String.fromString(i), c, e)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: SpaceSaving): Array[Byte] =
+    ApproxTopK(itemExpr, k, capacity).serialize(buf)
+  override def deserialize(bytes: Array[Byte]): SpaceSaving =
+    ApproxTopK(itemExpr, k, capacity).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopKWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopKWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(itemExpr = newChildren(0), weightExpr = newChildren(1))
+  override def prettyName: String = "approx_top_k_weighted"
+}
+
 object HeavyHitters {
   /** Column API: `approxTopK(item, k, capacity)` →
     * array<struct<item,cnt,err>> by count desc, item asc. */
   def approxTopK(item: Column, k: Int, capacity: Int = 1024): Column =
     ColumnBridge.column(
       ApproxTopK(ColumnBridge.expression(item.cast("string")), k, capacity)
+        .toAggregateExpression())
+
+  /** Column API: `approxTopKWeighted(item, weight, k, capacity)` —
+    * rank by summed weight (topKWeighted analog). */
+  def approxTopKWeighted(item: Column, weight: Column, k: Int,
+                         capacity: Int = 1024): Column =
+    ColumnBridge.column(
+      ApproxTopKWeighted(ColumnBridge.expression(item.cast("string")),
+        ColumnBridge.expression(weight.cast("long")), k, capacity)
         .toAggregateExpression())
 }

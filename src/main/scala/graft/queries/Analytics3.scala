@@ -493,6 +493,72 @@ object Analytics3 {
              |JOIN uni uv ON d.v = uv.u
              |JOIN uni uw ON d.w = uw.u
              |CROSS JOIN tot
-             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- array-function surface (ClickHouse arrayJoin/arrayMap/
+    // ---- arrayFilter/arrayReduce/groupUniqArray analogs): Spark's
+    // ---- codegen'd higher-order functions filter/transform/aggregate
+    // ---- + collect_set, all inside one scan-side projection — no
+    // ---- explode needed until the data truly widens ------------------
+    Q("q90_array_functions",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("lang"),
+            size(toks).as("n_toks"),
+            size(filter(toks, x => length(x) > 5)).as("n_long"),
+            aggregate(transform(toks, x => length(x)), lit(0),
+              (a, x) => a + x).as("n_chars"),
+            element_at(toks, 1).as("first_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).cast("long").as("total_toks"),
+            sum(col("n_long")).cast("long").as("total_long"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            concat_ws(",", array_sort(collect_set(col("first_tok"))))
+              .as("first_toks"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang, string_split(text, ' ') AS toks
+             |          FROM documents)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(len(toks)) AS BIGINT) AS total_toks,
+             |  CAST(SUM(len(list_filter(toks, x -> len(x) > 5))) AS BIGINT)
+             |    AS total_long,
+             |  CAST(SUM(list_sum(list_transform(toks, x -> len(x)))) AS BIGINT)
+             |    AS total_chars,
+             |  array_to_string(list_sort(list(DISTINCT toks[1])), ',')
+             |    AS first_toks
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- weighted heavy hitters (ClickHouse topKWeighted analog):
+    // ---- top spenders per order priority by SUMMED weight, not
+    // ---- occurrence count. Capacity 16384 keeps the sketch exact
+    // ---- through sf0.1 (distinct custkeys per priority < capacity),
+    // ---- which is what lets the oracle hash-check it; beyond that
+    // ---- the same operator degrades to the (weight, err) guarantee --
+    Q("q91_topk_weighted",
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("p"))
+          .agg(graft.functions.HeavyHitters.approxTopKWeighted(
+            col("o_custkey"), cents, 3, 16384).as("tk"))
+          .select(col("p"), posexplode(col("tk")))
+          .select(col("p"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.item").as("custkey"), col("col.cnt").as("cents"))
+          .orderBy("p", "rank")
+      },
+      Some("""SELECT p, CAST(rk AS INTEGER) AS rank, custkey, cents FROM (
+             |  SELECT o_orderpriority AS p,
+             |    CAST(o_custkey AS VARCHAR) AS custkey,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DESC,
+             |               CAST(o_custkey AS VARCHAR)) AS rk
+             |  FROM orders GROUP BY o_orderpriority, o_custkey
+             |) WHERE rk <= 3
+             |ORDER BY p, rank""".stripMargin))
   )
 }

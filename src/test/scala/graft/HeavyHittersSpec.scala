@@ -57,4 +57,44 @@ class HeavyHittersSpec extends SparkSpec {
       assert(c - e <= t, s"${r.getAs[String]("item")}: err bound violated")
     }
   }
+
+  test("weighted: exact under capacity; one-sided overestimate under eviction") {
+    // weights make the ranking differ from occurrence counts: 'light'
+    // appears often with tiny weights, 'heavy' rarely with large ones
+    val data = Seq.fill(50)(("light", 1L)) ++ Seq.fill(2)(("heavy", 1000L)) ++
+      (1 to 30).map(i => (s"mid$i", 10L))
+    val df = data.toDF("item", "w").repartition(4)
+
+    val exactTop = df.agg(
+        HeavyHitters.approxTopKWeighted($"item", $"w", 3, 1024).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exactTop.head == (("heavy", 2000L, 0L)), s"got ${exactTop.head}")
+    assert(exactTop(1) == (("light", 50L, 0L)))
+    assert(exactTop.forall(_._3 == 0L), "under capacity the sketch is exact")
+
+    // under eviction (capacity 8 << 32 items) the guarantee holds:
+    // reported weight >= true weight, overshoot bounded by err
+    val truth = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val evicted = df.agg(
+        HeavyHitters.approxTopKWeighted($"item", $"w", 8, 8).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    evicted.foreach { case (i, c, e) =>
+      assert(c >= truth(i), s"$i: undercount $c < ${truth(i)}")
+      assert(c - e <= truth(i), s"$i: err bound violated")
+    }
+    assert(evicted.map(_._1).contains("heavy"),
+      "dominant-weight item must survive eviction")
+
+    // SQL registration
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("tkw_in")
+    val viaSql = spark.sql(
+      "SELECT approx_top_k_weighted(item, w, 1, 1024)[0].item AS top FROM tkw_in")
+      .head().getString(0)
+    assert(viaSql == "heavy")
+  }
 }
