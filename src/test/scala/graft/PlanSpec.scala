@@ -179,6 +179,33 @@ class PlanSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("q86/q87: quantile and theta sketches partially aggregate before the exchange") {
+    val pq = SparkEntry.queries("q86_quantile_sketch")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    val iP = pq.indexOf("partial_dd_sketch_agg")
+    val iX = pq.indexOf("Exchange hashpartitioning(l_returnflag")
+    assert(iP >= 0, "no partial DDSketch aggregation:\n" + pq.take(800))
+    assert(iX >= 0 && iX < iP,
+      "expected exchange above the partial sketch (top-down plan)")
+
+    val pt = SparkEntry.queries("q87_theta_overlap")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(pt.contains("partial_theta_sketch_agg"),
+      "no partial theta aggregation:\n" + pt.take(800))
+  }
+
+  test("q85: bloom probe fuses into the scan-side codegen stage") {
+    val p = SparkEntry.queries("q85_bloom_decontam")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    // the probe is a Filter containing bloom_might_contain, and that
+    // filter participates in whole-stage codegen (no CodegenFallback
+    // stage break around it)
+    val line = p.linesIterator.find(_.contains("bloom_might_contain"))
+    assert(line.isDefined, "probe filter missing:\n" + p.take(1200))
+    assert(!p.contains("CodegenFallback"),
+      "bloom probe must not break codegen:\n" + p.take(1200))
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
