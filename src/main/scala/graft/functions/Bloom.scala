@@ -79,7 +79,13 @@ object BloomBuffer {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val ln2 = math.log(2)
     val m = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
-    val nWords = math.max(1L, (m + 63L) / 64L).toInt
+    val nWordsL = math.max(1L, (m + 63L) / 64L)
+    // JVM array bound, reached near n·ln(1/p) ≈ 1.4e11 bits (~16 GB) —
+    // fail loudly instead of silently truncating the Int cast
+    require(nWordsL <= Int.MaxValue.toLong,
+      s"bloom filter too large: $expectedItems items @ fpp=$fpp needs " +
+        s"$m bits; raise fpp or shard the filter")
+    val nWords = nWordsL.toInt
     val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
     new BloomBuffer(k, new Array[Long](nWords))
   }

@@ -48,6 +48,7 @@ final class DDSketchBuf(val alpha: Double, val maxBuckets: Int) {
     2.0 * math.pow(gamma, i) / (gamma + 1)
 
   def add(x: Double): Unit = {
+    if (x.isNaN) return // NaN is no rank: skipped like SQL null
     if (x > 0) bump(pos, bucket(x))
     else if (x < 0) bump(neg, bucket(-x))
     else zeroCount += 1

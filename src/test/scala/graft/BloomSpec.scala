@@ -32,6 +32,13 @@ class BloomSpec extends SparkSpec {
       s"false-positive rate too high: $fpObserved/$n")
   }
 
+  test("oversized filter request fails loudly, not by silent truncation") {
+    val e = intercept[IllegalArgumentException] {
+      BloomBuffer.sized(1000000000000L, 0.001)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("merge == build-over-union (bitwise-OR mergeability)") {
     val a = BloomBuffer.sized(1000, 0.01)
     val b = BloomBuffer.sized(1000, 0.01)

@@ -51,6 +51,13 @@ class QuantileSketchSpec extends SparkSpec {
     assert(fromAgg == whole.quantile(0.5))
   }
 
+  test("NaN inputs are skipped, not misfiled as zeros") {
+    val buf = new DDSketchBuf(0.01, 1024)
+    Seq(5.0, Double.NaN, 7.0, Double.NaN).foreach(buf.add)
+    assert(buf.count == 2 && buf.zeroCount == 0)
+    assert(math.abs(buf.quantile(1.0) - 7.0) <= 0.08)
+  }
+
   test("serialization roundtrip; empty sketch reads null") {
     val buf = new DDSketchBuf(0.02, 1024)
     Seq(1.0, -2.5, 0.0, 1e9, 1e-9).foreach(buf.add)
