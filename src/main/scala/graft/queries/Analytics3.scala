@@ -559,6 +559,41 @@ object Analytics3 {
              |               CAST(o_custkey AS VARCHAR)) AS rk
              |  FROM orders GROUP BY o_orderpriority, o_custkey
              |) WHERE rk <= 3
-             |ORDER BY p, rank""".stripMargin))
+             |ORDER BY p, rank""".stripMargin)),
+
+    // ---- time-series gap fill (ORDER BY ... WITH FILL STEP analog):
+    // ---- every event type gets one row per 6-hour tick across its
+    // ---- own observed span, absent ticks zero-filled. The dense axis
+    // ---- comes from sequence()+explode off the span row — O(span)
+    // ---- rows per group, no second fact-table pass, no driver range -
+    Q("q92_gap_fill",
+      (s, dir) => graft.operators.GapFill.fillTimeSeries(
+          t(s, dir, "events"), tsCol = "ts", groupCols = Seq("event_type"),
+          aggs = Map("n" -> count(lit(1))), stepSec = 21600L)
+        .select(col("event_type"),
+          date_format(col("tick"), "yyyy-MM-dd HH:mm:ss").as("tick"),
+          col("n"))
+        .orderBy("event_type", "tick"),
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 1000000 // 21600) * 21600 AS tick
+             |  FROM events
+             |), obs AS (
+             |  SELECT event_type, tick, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM e GROUP BY event_type, tick
+             |), span AS (
+             |  SELECT event_type, MIN(tick) AS lo, MAX(tick) AS hi
+             |  FROM e GROUP BY event_type
+             |), axis AS (
+             |  SELECT event_type, unnest(generate_series(lo, hi, 21600)) AS tick
+             |  FROM span
+             |)
+             |SELECT a.event_type,
+             |  strftime(make_timestamp(a.tick * 1000000), '%Y-%m-%d %H:%M:%S')
+             |    AS tick,
+             |  COALESCE(o.n, 0) AS n
+             |FROM axis a
+             |LEFT JOIN obs o ON a.event_type = o.event_type AND a.tick = o.tick
+             |ORDER BY a.event_type, a.tick""".stripMargin))
   )
 }
