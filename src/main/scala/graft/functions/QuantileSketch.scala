@@ -195,7 +195,10 @@ case class DDSketchMerge(
 
   override def update(buf: Option[DDSketchBuf], input: InternalRow): Option[DDSketchBuf] = {
     val v = child.eval(input)
-    if (v == null) buf
+    // zero-length bytes are this aggregate's own empty-group output —
+    // skipped like null, so re-merging stored states never invents an
+    // alpha that could mismatch the real sketches'
+    if (v == null || v.asInstanceOf[Array[Byte]].isEmpty) buf
     else {
       val s = DDSketchBuf.deserialize(v.asInstanceOf[Array[Byte]])
       buf match {
@@ -213,7 +216,7 @@ case class DDSketchMerge(
     }
 
   override def eval(buf: Option[DDSketchBuf]): Any =
-    buf.getOrElse(new DDSketchBuf(0.01, 4096)).serialize()
+    buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
 
   override def serialize(buf: Option[DDSketchBuf]): Array[Byte] =
     buf.map(_.serialize()).getOrElse(Array.emptyByteArray)

@@ -161,7 +161,10 @@ case class ThetaSketchUnion(
 
   override def update(buf: Option[ThetaBuf], input: InternalRow): Option[ThetaBuf] = {
     val v = child.eval(input)
-    if (v == null) buf
+    // zero-length bytes are this aggregate's own empty-group output —
+    // skipped like null, so re-merging stored states never invents a k
+    // (capacity would otherwise depend on merge arrival order)
+    if (v == null || v.asInstanceOf[Array[Byte]].isEmpty) buf
     else {
       val s = ThetaBuf.deserialize(v.asInstanceOf[Array[Byte]])
       buf match {
@@ -179,7 +182,7 @@ case class ThetaSketchUnion(
     }
 
   override def eval(buf: Option[ThetaBuf]): Any =
-    buf.getOrElse(new ThetaBuf(4096)).serialize()
+    buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
   override def serialize(buf: Option[ThetaBuf]): Array[Byte] =
     buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
   override def deserialize(b: Array[Byte]): Option[ThetaBuf] =

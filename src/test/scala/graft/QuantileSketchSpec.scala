@@ -70,6 +70,19 @@ class QuantileSketchSpec extends SparkSpec {
       .select(QuantileSketch.quantile($"sk", 0.5).as("p50"))
       .head()
     assert(nullOut.isNullAt(0), "empty sketch must read as null quantile")
+
+    // an empty-group MERGE output is empty bytes, and re-merging it is
+    // a no-op — it must never invent an alpha that poisons real states
+    val viaMerge = Seq.empty[Array[Byte]].toDF("sk")
+      .agg(QuantileSketch.merge($"sk").as("m"))
+      .select(QuantileSketch.quantile($"m", 0.5).as("p50")).head()
+    assert(viaMerge.isNullAt(0))
+    val alpha05 = new DDSketchBuf(0.05, 1024); Seq(3.0, 9.0).foreach(alpha05.add)
+    val remerged = Seq(Array.emptyByteArray, alpha05.serialize())
+      .toDF("sk").agg(QuantileSketch.merge($"sk").as("m"))
+      .select(QuantileSketch.quantile($"m", 1.0).as("mx")).head()
+    assert(math.abs(remerged.getDouble(0) - 9.0) <= 9.0 * 0.051,
+      "empty state merged with a non-default-alpha sketch must not throw")
   }
 
   test("SQL surface: dd_sketch_agg / dd_sketch_merge / dd_sketch_quantile") {
