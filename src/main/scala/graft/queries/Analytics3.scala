@@ -594,6 +594,35 @@ object Analytics3 {
              |  COALESCE(o.n, 0) AS n
              |FROM axis a
              |LEFT JOIN obs o ON a.event_type = o.event_type AND a.tick = o.tick
-             |ORDER BY a.event_type, a.tick""".stripMargin))
+             |ORDER BY a.event_type, a.tick""".stripMargin)),
+
+    // ---- time-decayed average (exponentialTimeDecayedAvg analog):
+    // ---- recency-weighted event value per user, τ = 7 days. The
+    // ---- permutation-invariant ratio-of-sums form — one reference-
+    // ---- time aggregation + one weighted-sum aggregation, both
+    // ---- partial-agg'd, no ordered scan — is what makes it both
+    // ---- scale-correct and oracle-able --------------------------------
+    Q("q93_time_decayed_avg",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("tsec", unix_micros(col("ts")) / lit(1000000.0))
+        graft.operators.Decay.timeDecayedAvg(
+            ev, "tsec", "value", Seq("user_id"), tauSec = 604800.0)
+          .select(col("user_id"),
+            round(col("decayed_avg"), 6).as("decayed_avg"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) / 1000000.0 AS tsec,
+             |         CAST(value AS DOUBLE) AS v
+             |  FROM events
+             |), r AS (
+             |  SELECT user_id, MAX(tsec) AS tref FROM e GROUP BY user_id
+             |)
+             |SELECT e.user_id,
+             |  ROUND(SUM(v * exp((tsec - tref) / 604800.0))
+             |      / SUM(exp((tsec - tref) / 604800.0)), 6) AS decayed_avg
+             |FROM e JOIN r USING (user_id)
+             |GROUP BY e.user_id ORDER BY user_id""".stripMargin))
   )
 }

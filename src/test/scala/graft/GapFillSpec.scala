@@ -37,4 +37,22 @@ class GapFillSpec extends SparkSpec {
       GapFill.fillTimeSeries(df, "ts", Seq("g"), Map.empty, 10L)
     }
   }
+
+  test("timeDecayedAvg: recency dominates; equal times degenerate to plain avg") {
+    import graft.operators.Decay
+    def run(rows: Seq[(String, Double, Double)]): Map[String, Double] =
+      Decay.timeDecayedAvg(rows.toDF("g", "tsec", "v"), "tsec", "v",
+          Seq("g"), tauSec = 10.0)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = run(Seq(
+      ("same", 100.0, 2.0), ("same", 100.0, 4.0),   // equal ts → plain avg
+      ("rec", 0.0, 1000.0), ("rec", 200.0, 1.0)))   // 20τ gap → old ~ 0
+    assert(math.abs(got("same") - 3.0) < 1e-12)
+    assert(math.abs(got("rec") - 1.0) < 1e-5,
+      s"stale value must decay away, got ${got("rec")}")
+    intercept[IllegalArgumentException] {
+      Decay.timeDecayedAvg(Seq(("a", 1.0, 1.0)).toDF("g", "tsec", "v"),
+        "tsec", "v", Seq("g"), tauSec = 0.0)
+    }
+  }
 }
