@@ -264,6 +264,58 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] with POINTER DOUBLING: each round takes
+    * the min over (a) neighbors' labels — the hook step — and (b) the
+    * label OF the label (`comp(comp(x))`) — the shortcut step, which
+    * halves every remaining label-path. Convergence is O(log diameter)
+    * rounds instead of O(diameter): a 1000-link chain resolves in ~10
+    * rounds, not 1000. Same output contract as the propagation form
+    * (comp = min id of the component); each round costs one extra
+    * self-join of the O(nodes) label table over the propagation form —
+    * worth it exactly when cluster diameters outgrow the round budget
+    * (long duplication chains: boilerplate families, template drift).
+    */
+  def connectedComponentsDoubling(pairs: DataFrame, aCol: String = "id_a",
+                                  bCol: String = "id_b",
+                                  maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // hook: min over neighbors' current labels
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dcomp")).as("nmin"))
+      val hooked = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // shortcut: comp(comp(id)) — jump to the label's own label
+      val next = hooked
+        .join(hooked.select(col("id").as("comp"), col("comp").as("gcomp")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponentsDoubling did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14 — public algorithm). Same output contract as

@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 100L).map(_ -> 0L).toMap)
   }
 
+  test("pointer doubling == propagation; logarithmic rounds on a long chain") {
+    // differential on random graphs
+    val rnd = new scala.util.Random(7)
+    val redges = (1 to 150).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(redges).as[(Long, Long)].collect().toMap
+    val dbl = Dedup.connectedComponentsDoubling(redges)
+      .as[(Long, Long)].collect().toMap
+    assert(dbl == prop)
+
+    // a 200-link chain within a 12-round budget: label propagation
+    // needs ~200 rounds here; the shortcut step halves the remaining
+    // label paths each round
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsDoubling(chain, maxIter = 12)
+      .select("comp").distinct().as[Long].collect().toSeq
+    assert(got == Seq(0L), s"chain split into components $got")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 12)
+    }
+  }
+
   test("keepOnePerCluster keeps min id per group, passes isolated docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
