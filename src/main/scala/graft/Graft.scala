@@ -172,8 +172,40 @@ object Graft {
     functions.Funnel.sequenceCount(tsMicros, conds)
   def sequenceMatch(tsMicros: Column, conds: Seq[Column]): Column =
     functions.Funnel.sequenceMatch(tsMicros, conds)
+  def sequenceCountTimed(tsMicros: Column, conds: Seq[Column],
+                         maxGaps: Seq[Long]): Column =
+    functions.Funnel.sequenceCountTimed(tsMicros, conds, maxGaps)
   def retentionFlags(conds: Seq[Column]): Seq[Column] =
     functions.Funnel.retentionFlags(conds)
+
+  /** Heavy hitters (topK / topKWeighted analogs) — aggregate columns
+    * for `.agg(...)`; exact when distinct items fit `capacity`. */
+  def approxTopK(item: Column, k: Int, capacity: Int = 1024): Column =
+    functions.HeavyHitters.approxTopK(item, k, capacity)
+  def approxTopKWeighted(item: Column, weight: Column, k: Int,
+                         capacity: Int = 1024): Column =
+    functions.HeavyHitters.approxTopKWeighted(item, weight, k, capacity)
+
+  /** Mergeable summaries: DDSketch quantiles (relative-error bound,
+    * quantileState analog) and theta sketches (distinct counting with
+    * set operations over sketch bytes). */
+  def quantileSketch(x: Column, alpha: Double = 0.01): Column =
+    functions.QuantileSketch.sketchAgg(x, alpha)
+  def quantileOf(sketch: Column, q: Double): Column =
+    functions.QuantileSketch.quantile(sketch, q)
+  def thetaSketch(item: Column, k: Int = 4096): Column =
+    functions.ThetaSketch.sketchAgg(item, k)
+  def thetaIntersect(a: Column, b: Column): Column =
+    functions.ThetaSketch.intersectEstimate(a, b)
+
+  /** Time-series shaping: dense tick axis with gap fill (WITH FILL
+    * STEP analog) and recency-weighted averages. */
+  def fillTimeSeries(df: DataFrame, tsCol: String, groupCols: Seq[String],
+                     aggs: Map[String, Column], stepSec: Long): DataFrame =
+    operators.GapFill.fillTimeSeries(df, tsCol, groupCols, aggs, stepSec)
+  def timeDecayedAvg(df: DataFrame, tsSecCol: String, valueCol: String,
+                     groupCols: Seq[String], tauSec: Double): DataFrame =
+    operators.Decay.timeDecayedAvg(df, tsSecCol, valueCol, groupCols, tauSec)
 
   /** Watermarked stream-stream event-time interval join (bounded
     * state); see [[streaming.StreamJoins.intervalJoin]]. */
