@@ -34,11 +34,11 @@ object SparkEntry {
     val env = graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
       graft.sources.Tables.load(spark, sfDir, "orders"))
     graft.cdc.CdcSim.currentStateCached(sfDir, env)
-    // ANN index build is likewise ingest-time work (train once, probe
-    // per query) — land the IVF and PQ artifacts up front
+    // ANN hyperplane sets are likewise ingest-time artifacts (collect
+    // the designated rows once; bucketing is then a pure projection)
     val emb = graft.sources.Tables.loadParallel(spark, sfDir, "embeddings")
-    graft.queries.TextQueries.ivfIndexCached(spark, sfDir, emb)
-    graft.queries.TextQueries.pqIndexCached(spark, sfDir, emb)
+    graft.sim.DataQuantizers.planes(emb, 100, 32, sfDir) // q42 tables
+    graft.sim.DataQuantizers.planes(emb, 140, 48, sfDir) // q44 tables
     ()
   }
 

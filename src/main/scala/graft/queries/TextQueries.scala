@@ -29,34 +29,6 @@ object TextQueries {
     * Defined before [[all]]: object vals initialize in source order. */
   private val bm25Terms = Seq("customer", "query", "window", "stream")
 
-  /** IVF index (centroids, cell assignments) for `dir`'s embeddings,
-    * trained once per (app, dir) via [[graft.sim.IndexCache]]. */
-  def ivfIndexCached(s: SparkSession, dir: String,
-                     emb: DataFrame): (DataFrame, DataFrame) = {
-    val cents = graft.sim.IndexCache.getOrBuild(s, s"ivf-centroids:$dir") {
-      Similarity.ivfCentroids(emb, nCentroids = 16, lloydIters = 2)
-    }
-    val assigned = graft.sim.IndexCache.getOrBuild(s, s"ivf-assigned:$dir") {
-      Similarity.ivfAssign(emb, cents)
-        .select(col("cid").as("neighbor_id"), col("cell"),
-          col("cvec").as("c_vec"))
-    }
-    (cents, assigned)
-  }
-
-  /** PQ index (codebooks, corpus codes) for `dir`'s embeddings. */
-  def pqIndexCached(s: SparkSession, dir: String,
-                    emb: DataFrame): (DataFrame, DataFrame) = {
-    val cb = graft.sim.IndexCache.getOrBuild(s, s"pq-codebooks:$dir") {
-      graft.sim.ProductQuantization
-        .trainCodebooks(emb, dim = 64, m = 8, k = 32, lloydIters = 1)
-    }
-    val codes = graft.sim.IndexCache.getOrBuild(s, s"pq-codes:$dir") {
-      graft.sim.ProductQuantization.encode(emb, cb, dim = 64, m = 8)
-    }
-    (cb, codes)
-  }
-
   val all: Seq[Q] = Seq(
 
     // ---- token / char statistics (oracled) ---------------------------
@@ -164,17 +136,25 @@ object TextQueries {
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
-    // ---- MinHash+LSH near-dup pairs (rows-only; oracled analog: q37) -
+    // ---- MinHash+LSH near-dup pairs, portable signatures: the DuckDB
+    // ---- oracle re-derives the SAME md5-based signatures, band keys,
+    // ---- candidates, and exact-Jaccard verify — full-pipeline parity,
+    // ---- not a rows-only smoke check. xxhash fast path stays in
+    // ---- Dedup.minhashPairs (DedupSpec) -----------------------------
     Q("q35_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.6)
+      (s, dir) => graft.dedup.Portable
+        .minhashPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.6)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(graft.dedup.Portable.minhashPairsSql(threshold = 0.6))),
 
-    // ---- SimHash near-dup pairs (rows-only) --------------------------
+    // ---- SimHash near-dup pairs, portable two-word signatures; the
+    // ---- oracle recomputes signatures and runs the full O(n²) Hamming
+    // ---- pass, which the banded Spark output equals by pigeonhole ----
     Q("q36_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 6)
+      (s, dir) => graft.dedup.Portable
+        .simhashPairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 6)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(graft.dedup.Portable.simhashPairsSql(maxHamming = 6))),
 
     // ---- exact n-gram Jaccard on a bounded slice (oracled O(n²) pass)
     Q("q37_ngram_jaccard",
@@ -277,58 +257,62 @@ object TextQueries {
              |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- LSH-bucketed ANN (rows-only; recall asserted in SimSpec) ----
+    // ---- LSH-bucketed ANN, data-derived hyperplanes (vec_id 100-131):
+    // ---- the oracle rebuilds the same planes from the table and
+    // ---- replays bucketing, candidates, rescoring, and ranking.
+    // ---- Seeded-RNG trained variant stays in Similarity.lshTopK
+    // ---- (recall spec in SimilaritySpec) -----------------------------
     Q("q42_embed_lsh_topk",
       (s, dir) => {
         val emb = Tables.loadParallel(s, dir, "embeddings")
-        val queries = emb.filter(col("vec_id") < 8)
-        Similarity.lshTopK(emb, queries, k = 5, bits = 4, tables = 8)
-          .withColumn("cosine", round(col("cosine"), 6))
+        graft.sim.DataQuantizers.lshTopK(emb, emb.filter(col("vec_id") < 8),
+            k = 5, bits = 4, tables = 8, planeOffset = 100, cacheKey = dir)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(graft.sim.DataQuantizers.lshTopKSql("embeddings", k = 5, bits = 4,
+        tables = 8, planeOffset = 100, queryPred = "id < 8"))),
 
-    // ---- IVF ANN with Lloyd-refined coarse quantizer (rows-only:
-    // ---- approximate by design; recall + k-means objective asserted
-    // ---- in SimilaritySpec) ------------------------------------------
+    // ---- IVF ANN, seed-row coarse quantizer (vec_id 200-215): cell
+    // ---- assignment, probing, and rescoring are all replayed exactly
+    // ---- by the oracle. The Lloyd-trained quantizer (float-iteration-
+    // ---- order dependent, not engine-portable) remains the library
+    // ---- path: Similarity.ivfTopK + IndexCache, recall + k-means
+    // ---- objective asserted in SimilaritySpec ------------------------
     Q("q39_embed_ivf_topk",
       (s, dir) => {
         val emb = Tables.loadParallel(s, dir, "embeddings")
-        val queries = emb.filter(col("vec_id") < 8)
-        // index built once per (app, dir) — the deploy-time split: a
-        // production system trains at ingest and probes per query
-        val (cents, assigned) = TextQueries.ivfIndexCached(s, dir, emb)
-        Similarity.ivfProbe(assigned, cents, queries, k = 5, nProbe = 4)
-          .withColumn("cosine", round(col("cosine"), 6))
+        graft.sim.DataQuantizers.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+            k = 5, nCentroids = 16, nProbe = 4, centOffset = 200)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(graft.sim.DataQuantizers.ivfTopKSql("embeddings", k = 5,
+        nCentroids = 16, nProbe = 4, centOffset = 200, queryPred = "id < 8"))),
 
-    // ---- PQ/ADC ANN: train per-subspace codebooks, encode the corpus
-    // ---- to m-byte codes, score via LUT lookups (rows-only:
-    // ---- approximate by design; kernel exactness, monotone objective
-    // ---- and recall asserted in PQSpec) ------------------------------
+    // ---- PQ/ADC ANN, seed-row codebooks (vec_id 240-271) with an
+    // ---- integer-quantized LUT: encode/argmin, LUT build, and the
+    // ---- BIGINT score sum are exact in any engine — the oracle
+    // ---- replays the whole pipeline. Trained codebooks stay in
+    // ---- ProductQuantization (kernel exactness + recall in PQSpec) ---
     Q("q53_embed_pq_topk",
       (s, dir) => {
         val emb = Tables.loadParallel(s, dir, "embeddings")
-        val queries = emb.filter(col("vec_id") < 8)
-        val (cb, codes) = TextQueries.pqIndexCached(s, dir, emb)
-        graft.sim.ProductQuantization
-          .adcTopK(codes, cb, queries, topK = 5, dim = 64, m = 8, k = 32)
-          .withColumn("adc_score", round(col("adc_score"), 6))
+        graft.sim.DataQuantizers.pqTopK(emb, emb.filter(col("vec_id") < 8),
+            k = 5, m = 8, dim = 64, codebookSize = 32, seedOffset = 240)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(graft.sim.DataQuantizers.pqTopKSql("embeddings", k = 5, m = 8,
+        dim = 64, codebookSize = 32, seedOffset = 240, queryPred = "id < 8"))),
 
-    // ---- LSH-bucketed embedding near-dup (the scale path; recall vs
-    // ---- the bounded brute-force q41 asserted in SimilaritySpec) -----
+    // ---- LSH-bucketed embedding near-dup, data-derived hyperplanes
+    // ---- (vec_id 140-187) — same full-pipeline oracle as q42; the
+    // ---- seeded-RNG variant stays in Similarity.nearDupPairs ---------
     Q("q44_embed_neardup_lsh",
-      (s, dir) => Similarity.nearDupPairs(
-        Tables.loadParallel(s, dir, "embeddings"), threshold = 0.45,
-        bits = 6, tables = 8)
-        .withColumn("cosine", round(col("cosine"), 6))
+      (s, dir) => graft.sim.DataQuantizers.nearDupPairs(
+          Tables.loadParallel(s, dir, "embeddings"), threshold = 0.45,
+          bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(graft.sim.DataQuantizers.nearDupPairsSql("embeddings",
+        threshold = 0.45, bits = 6, tables = 8, planeOffset = 140))),
 
     // ---- label centroids + per-label cohesion (oracled) --------------
     Q("q43_label_cohesion",

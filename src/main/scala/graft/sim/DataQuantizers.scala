@@ -1,0 +1,352 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+
+/** ANN operators whose quantizers are DERIVED FROM DATA BY ID — the
+  * hyperplanes / coarse centroids / PQ codebooks are designated rows of
+  * the embedding table itself (`vec_id` ranges), so an independent SQL
+  * engine can rebuild the exact index and reproduce the exact output:
+  * each operator here has a `...Sql` companion emitting that oracle
+  * (DuckDB dialect). This is the verifiable counterpart of the
+  * trained-quantizer family in [[Similarity]] / [[ProductQuantization]]
+  * (k-means training is float-iteration-order dependent and cannot be
+  * replayed bit-exactly by another engine; these can).
+  *
+  * Determinism contract shared with the oracles:
+  *  - every similarity used in a DECISION (bucket bit, cell argmax,
+  *    code argmin, ranking) is `round(·, 6)` first, ties broken by id —
+  *    the rounded cosine is the value both engines provably agree on;
+  *  - PQ ADC scores are integer-quantized (`round(ip·10^6)` per LUT
+  *    cell, summed as BIGINT) so the cross-code summation is exact and
+  *    order-free in both engines;
+  *  - multi-term float reductions are built as explicit left-associated
+  *    chains, matching the SQL `t1 + t2 + ...` parse.
+  *
+  * Scale shape: identical to the trained forms — banding/bucketing
+  * bounds candidates, quantizer tables broadcast, the corpus never
+  * self-joins unbucketed.
+  */
+object DataQuantizers {
+
+  // ---- hyperplane store ----------------------------------------------
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** The `count` embedding rows with `vec_id` in
+    * `[offset, offset+count)`, as double vectors ordered by id — the
+    * LSH hyperplane set. Metadata-sized (≤ 48 × dim doubles), collected
+    * once per (application, cacheKey) and folded into the projection as
+    * literals: bucketing then needs NO join and NO shuffle (same
+    * driver-side-build pattern as the Bloom probe). */
+  def planes(emb: DataFrame, offset: Int, count: Int, cacheKey: String,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val key = s"${emb.sparkSession.sparkContext.applicationId}:$cacheKey:$offset:$count"
+    val hit = planeCache.get(key)
+    if (hit != null) return hit
+    val rows = emb.filter(col(idCol) >= offset && col(idCol) < offset + count)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length == count,
+      s"expected $count plane vectors in [$offset, ${offset + count}), got ${rows.length}")
+    planeCache.putIfAbsent(key, rows)
+    rows
+  }
+
+  /** Test hook: drop all cached plane sets. */
+  def clearCache(): Unit = planeCache.clear()
+
+  /** '0'/'1' bucket string for table `t`: sign bits of the rounded
+    * cosine against planes t·bits .. t·bits+bits-1, in bit order. */
+  private def bucketCol(vec: Column, pl: Array[Array[Double]], t: Int,
+                        bits: Int): Column =
+    concat((0 until bits).map { j =>
+      when(round(VF.cosine(vec, typedlit(pl(t * bits + j))), 6) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+
+  private def bucketed(df: DataFrame, pl: Array[Array[Double]], bits: Int,
+                       tables: Int, idName: String, vecName: String,
+                       idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(idName), col(vecCol).as(vecName))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"), bucketCol(col(vecName), pl, t, bits).as("bucket"))
+      }: _*)))
+      .select(col(idName), col(vecName), col("tb.table").as("table"),
+        col("tb.bucket").as("bucket"))
+
+  // ---- LSH top-k -----------------------------------------------------
+
+  /** Approximate top-k via data-derived-hyperplane LSH:
+    * (query_id, neighbor_id, cosine, rank), cosine rounded to 6,
+    * rank by (cosine desc, neighbor_id). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+              tables: Int, planeOffset: Int, cacheKey: String,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pl = planes(corpus, planeOffset, bits * tables, cacheKey, idCol, vecCol)
+    val c = bucketed(corpus, pl, bits, tables, "neighbor_id", "c_vec", idCol, vecCol)
+    val q = broadcast(bucketed(queries, pl, bits, tables, "query_id", "q_vec", idCol, vecCol))
+    val cand = c.join(q, Seq("table", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(VF.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  private def bucketCte(table: String, bits: Int, tables: Int,
+                        planeOffset: Int): String =
+    s"""corp AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM $table
+       |), pl AS (
+       |  SELECT vec_id - $planeOffset AS p, CAST(embedding AS DOUBLE[]) AS pv
+       |  FROM $table WHERE vec_id >= $planeOffset AND vec_id < ${planeOffset + bits * tables}
+       |), buck AS MATERIALIZED (
+       |  SELECT c.id, p.p // $bits AS tbl,
+       |    string_agg(CASE WHEN round(list_cosine_similarity(c.v, p.pv), 6) >= 0
+       |               THEN '1' ELSE '0' END, '' ORDER BY p.p) AS bucket
+       |  FROM corp c CROSS JOIN pl p
+       |  GROUP BY c.id, p.p // $bits
+       |)""".stripMargin
+
+  /** DuckDB oracle reproducing [[lshTopK]] exactly. `queryPred` selects
+    * the query rows by id (e.g. "id < 8"). */
+  def lshTopKSql(table: String, k: Int, bits: Int, tables: Int,
+                 planeOffset: Int, queryPred: String): String =
+    s"""WITH ${bucketCte(table, bits, tables, planeOffset)},
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+       |  FROM buck c JOIN buck q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE (q.$queryPred) AND c.id <> q.id
+       |), sc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+       |  FROM cand JOIN corp qv ON qv.id = cand.query_id
+       |            JOIN corp cv ON cv.id = cand.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- LSH near-dup pairs --------------------------------------------
+
+  /** Embedding near-dup pairs among LSH bucket-mates:
+    * (id_a, id_b, cosine) with id_a < id_b and rounded cosine >=
+    * `threshold`. */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, bits: Int,
+                   tables: Int, planeOffset: Int, cacheKey: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pl = planes(vectors, planeOffset, bits * tables, cacheKey, idCol, vecCol)
+    val banded = bucketed(vectors, pl, bits, tables, "id", "vec", idCol, vecCol)
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(VF.cosine(col("vec_a"), col("vec_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** DuckDB oracle reproducing [[nearDupPairs]] exactly. */
+  def nearDupPairsSql(table: String, threshold: Double, bits: Int,
+                      tables: Int, planeOffset: Int): String =
+    s"""WITH ${bucketCte(table, bits, tables, planeOffset)},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.id < b.id
+       |)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |    round(list_cosine_similarity(av.v, bv.v), 6) AS cosine
+       |  FROM cand JOIN corp av ON av.id = cand.id_a
+       |            JOIN corp bv ON bv.id = cand.id_b
+       |) WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- IVF (seed-row coarse quantizer) -------------------------------
+
+  /** IVF top-k with the coarse quantizer = embedding rows
+    * `[centOffset, centOffset+nCentroids)`: assign every vector to its
+    * argmax-rounded-cosine cell (tie → smaller cell id), probe the
+    * `nProbe` best cells per query, rescore exactly.
+    * (query_id, neighbor_id, cosine, rank). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+              nProbe: Int, centOffset: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = emb.filter(col(idCol) >= centOffset && col(idCol) < centOffset + nCentroids)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // argmax via max_by on a unique (csim, -cell) key: partial-agg
+    // shape (no per-vector sort), deterministic because -cell is unique
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("id"), col("vec"), col("cell"),
+        round(VF.cosine(col("vec"), col("cvec")), 6).as("csim"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cell"), col("vec")),
+        struct(col("csim"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("id"), col("m.cell").as("cell"), col("m.vec").as("vec"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_vec"), col("cell"),
+        round(VF.cosine(col("q_vec"), col("cvec")), 6).as("csim"))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+      .select("query_id", "q_vec", "cell")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(VF.cosine(col("q_vec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  /** DuckDB oracle reproducing [[ivfTopK]] exactly. */
+  def ivfTopKSql(table: String, k: Int, nCentroids: Int, nProbe: Int,
+                 centOffset: Int, queryPred: String): String =
+    s"""WITH corp AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM $table
+       |), ct AS MATERIALIZED (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM $table WHERE vec_id >= $centOffset AND vec_id < ${centOffset + nCentroids}
+       |), asg AS MATERIALIZED (
+       |  SELECT id, cell, v FROM (
+       |    SELECT c.id, ct.cell, c.v,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id
+       |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cell) AS rn
+       |    FROM corp c CROSS JOIN ct
+       |  ) WHERE rn = 1
+       |), pr AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.id AS query_id, q.v AS qv, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.id
+       |        ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC, ct.cell) AS rn
+       |    FROM corp q CROSS JOIN ct WHERE q.$queryPred
+       |  ) WHERE rn <= $nProbe
+       |), sc AS (
+       |  SELECT pr.query_id, a.id AS neighbor_id,
+       |    round(list_cosine_similarity(pr.qv, a.v), 6) AS cosine
+       |  FROM asg a JOIN pr ON a.cell = pr.cell
+       |  WHERE a.id <> pr.query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- PQ / ADC (seed-row codebooks) ---------------------------------
+
+  /** Explicit left-associated chain `t1 + t2 + ... + tn` — matches the
+    * SQL parse of the generated oracle term-for-term. */
+  private def chain(terms: Seq[Column]): Column = terms.reduceLeft(_ + _)
+
+  /** PQ ADC top-k with codebooks = sub-slices of embedding rows
+    * `[seedOffset, seedOffset+codebookSize)`: encode each corpus vector
+    * to `m` codes (argmin rounded squared-L2 per subspace), score each
+    * query against the codes through an integer-quantized
+    * inner-product LUT, rank by the exact BIGINT sum.
+    * (query_id, neighbor_id, adc_score, rank). */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int, dim: Int,
+             codebookSize: Int, seedOffset: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val cb = emb.filter(col(idCol) >= seedOffset && col(idCol) < seedOffset + codebookSize)
+      .select((col(idCol) - seedOffset).cast("long").as("code"), col(vecCol).as("sv"))
+      .select(col("code"), explode(array((0 until m).map { mm =>
+        struct(lit(mm).as("m"), slice(col("sv"), mm * sub + 1, sub).as("cv"))
+      }: _*)).as("e"))
+      .select(col("e.m").as("m"), col("code"), col("e.cv").as("cv"))
+
+    def subElem(vec: Column, j: Int): Column = // j-th element of subspace m
+      element_at(vec, (col("m") * sub + j + 1).cast("int")).cast("double")
+    def cbElem(j: Int): Column = element_at(col("cv"), j + 1).cast("double")
+
+    val d2 = round(chain((0 until sub).map { j =>
+      val d = subElem(col("v"), j) - cbElem(j)
+      d * d
+    }), 6)
+    val enc = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cb))
+      .select(col("id"), col("m"), col("code"), d2.as("d2"))
+      .groupBy("id", "m")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+    val ip = chain((0 until sub).map(j => subElem(col("qv"), j) * cbElem(j)))
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("m"), col("code"),
+        round(ip * 1000000.0).cast("long").as("ipq"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id").asc)
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("ipq")).as("s"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("s").cast("double") / 1000000.0).as("adc_score"), col("rank"))
+  }
+
+  /** DuckDB oracle reproducing [[pqTopK]] exactly. */
+  def pqTopKSql(table: String, k: Int, m: Int, dim: Int, codebookSize: Int,
+                seedOffset: Int, queryPred: String): String = {
+    val sub = dim / m
+    val d2 = (1 to sub)
+      .map(j => s"(v[b.m * $sub + $j] - cv[$j]) * (v[b.m * $sub + $j] - cv[$j])")
+      .mkString(" + ")
+    val ip = (1 to sub).map(j => s"qv[b.m * $sub + $j] * cv[$j]").mkString(" + ")
+    s"""WITH corp AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM $table
+       |), cb AS MATERIALIZED (
+       |  SELECT mm.m, code, sv[mm.m * $sub + 1 : mm.m * $sub + $sub] AS cv
+       |  FROM (SELECT vec_id - $seedOffset AS code, CAST(embedding AS DOUBLE[]) AS sv
+       |        FROM $table
+       |        WHERE vec_id >= $seedOffset AND vec_id < ${seedOffset + codebookSize})
+       |  CROSS JOIN (SELECT unnest(range($m)) AS m) mm
+       |), enc AS MATERIALIZED (
+       |  SELECT id, m, code FROM (
+       |    SELECT c.id, b.m, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id, b.m
+       |        ORDER BY round($d2, 6), b.code) AS rn
+       |    FROM (SELECT id, v FROM corp) c CROSS JOIN cb b
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.id AS query_id, b.m, b.code,
+       |    CAST(round(($ip) * 1000000.0) AS BIGINT) AS ipq
+       |  FROM (SELECT id, v AS qv FROM corp WHERE $queryPred) q CROSS JOIN cb b
+       |), sc AS (
+       |  SELECT l.query_id, e.id AS neighbor_id, SUM(l.ipq) AS s
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.id <> l.query_id
+       |  GROUP BY l.query_id, e.id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  CAST(s AS DOUBLE) / 1000000.0 AS adc_score, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY s DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}
