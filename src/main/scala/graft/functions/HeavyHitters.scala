@@ -38,8 +38,10 @@ final class SpaceSaving(val capacity: Int) {
 
   /** Weighted insert (the `topKWeighted` form): counts advance by `w`;
     * eviction credits the newcomer the evictee's count as usual, which
-    * keeps the one-sided overestimate guarantee. */
-  def add(item: String, w: Long): Unit = counts.get(item) match {
+    * keeps the one-sided overestimate guarantee. A zero-weight row is a
+    * no-op (at capacity it would otherwise evict an established counter
+    * to admit a newcomer that adds nothing). */
+  def add(item: String, w: Long): Unit = if (w != 0L) counts.get(item) match {
     case Some((c, e)) => counts(item) = (c + w, e)
     case None if counts.size < capacity => counts(item) = (w, 0L)
     case None =>

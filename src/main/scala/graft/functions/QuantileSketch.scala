@@ -78,13 +78,27 @@ final class DDSketchBuf(val alpha: Double, val maxBuckets: Int) {
     this
   }
 
-  /** Quantile estimate; NaN on an empty sketch. Walks buckets in
-    * ascending numeric order: negatives by descending |x|, zero,
-    * positives by ascending x. */
+  /** Quantile estimate; NaN on an empty sketch. Interpolates linearly
+    * between the bracketing order statistics (rank `⌊q·(n-1)⌋` and its
+    * successor) like `percentile_cont`/DDSketch reference
+    * implementations — on sparse groups the floor-rank statistic alone
+    * can sit a whole inter-value gap away from the interpolated
+    * percentile even when each bucket honors the α bound. */
   def quantile(q: Double): Double = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1]: $q")
     if (count == 0L) return Double.NaN
-    val rank = (q * (count - 1)).toLong // 0-based target rank
+    val rankF = q * (count - 1) // 0-based fractional target rank
+    val lo = rankF.toLong
+    val frac = rankF - lo
+    val vLo = valueAtRank(lo)
+    if (frac == 0.0) vLo
+    else vLo + (valueAtRank(lo + 1) - vLo) * frac
+  }
+
+  /** Order statistic at 0-based `rank`. Walks buckets in ascending
+    * numeric order: negatives by descending |x|, zero, positives by
+    * ascending x. */
+  private def valueAtRank(rank: Long): Double = {
     var seen = 0L
     for (i <- neg.keys.toArray.sorted(Ordering.Int.reverse)) {
       seen += neg(i)

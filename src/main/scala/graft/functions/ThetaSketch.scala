@@ -206,17 +206,19 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"theta_estimate expects a binary sketch, got ${child.dataType.simpleString}")
 
-  override def nullSafeEval(v: Any): Any = {
-    val b = v.asInstanceOf[Array[Byte]]
+  /** Public entry for generated code: `nullSafeEval` is protected, and
+    * calling it from Janino source only compiles by the accident of
+    * GeneratedClass's package — same pattern as DDSketchQuantile. */
+  def compute(b: Array[Byte]): Double =
     if (b.isEmpty) 0.0 else ThetaBuf.deserialize(b).estimate
-  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
-    nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = ((Double) $ref.nullSafeEval($c)).doubleValue();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

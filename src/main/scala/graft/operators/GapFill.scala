@@ -38,8 +38,11 @@ object GapFill {
                      fill: Map[String, Column] = Map.empty): DataFrame = {
     require(stepSec > 0, s"stepSec must be positive, got $stepSec")
     require(aggs.nonEmpty, "need at least one aggregate")
-    val tickSec = (unix_timestamp(col(tsCol).cast("timestamp")) / stepSec)
-      .cast("long") * stepSec
+    // integer FLOOR division (`div` truncates, `/`+cast truncates via
+    // double): pre-1970 negative-epoch seconds must bucket to the tick
+    // at-or-before the event, same as date_trunc/time_bucket semantics
+    val secs = unix_timestamp(col(tsCol).cast("timestamp"))
+    val tickSec = (secs - pmod(secs, lit(stepSec))).cast("long")
     val g = groupCols.map(col)
 
     val observed = df.withColumn("__tick", tickSec)

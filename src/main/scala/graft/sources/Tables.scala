@@ -20,20 +20,23 @@ object Tables {
     * relation snapshots its file listing + merged schema at `read`
     * time; re-resolving both for EVERY query against an immutable
     * table is pure fixed overhead (measured ~50–100 ms/table/query on
-    * the bench set). Keyed by application id (with dead-context
-    * eviction, same discipline as CdcSim's cache) so a restarted
-    * session never sees a plan bound to a stopped context. The testdata
-    * tables are immutable by harness contract; mutable state (the L2
-    * store) has its own manifest-versioned reader and never goes
-    * through here. */
+    * the bench set). Keyed by the SESSION (reference identity — a
+    * DataFrame is bound to the SparkSession that resolved it, and
+    * `spark.newSession()` in the same application must not receive
+    * plans bound to a sibling's state), with dead-context eviction as
+    * in CdcSim's cache. The testdata tables are immutable by harness
+    * contract; mutable state (the L2 store) has its own
+    * manifest-versioned reader and never goes through here. A caller
+    * that rewrites a table directory in place must use [[loadFresh]] —
+    * the cached relation keeps the old file-listing snapshot. */
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     relCache.entrySet().removeIf(
       _.getValue.sparkSession.sparkContext.isStopped)
     relCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, name),
+      (spark, dir, name),
       _ => loadFresh(spark, dir, name))
   }
 

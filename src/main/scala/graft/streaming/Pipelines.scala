@@ -34,6 +34,15 @@ class PipelineRegistry {
 /** Streaming sinks mirroring the reference's two landing layers. */
 object Sinks {
 
+  /** Default grace for sink-driven vacuums: superseded bucket copies
+    * younger than this survive, so an out-of-process reader that
+    * resolved the previous manifest (or holds an unexecuted read()
+    * plan) finishes its scan instead of hitting FileNotFoundException.
+    * Matches the retention discipline of ArchiveCompactor.expire and
+    * Delta's `deletedFileRetentionDuration`; single-process tests and
+    * storage-tight deployments can pass 0 explicitly. */
+  val DefaultVacuumGraceMs: Long = 5 * 60 * 1000L
+
   /** L1 raw archive (S6 + S4 + S8 + T3 + F2): append raw values with
     * stream metadata and an ingestion timestamp to parquet, clustered
     * by (partition, offset) within files — the analog of
@@ -67,7 +76,7 @@ object Sinks {
                       checkpoint: String,
                       trigger: Trigger = Trigger.AvailableNow(),
                       vacuumEvery: Int = 16,
-                      vacuumGraceMs: Long = 0L): StreamingQuery =
+                      vacuumGraceMs: Long = DefaultVacuumGraceMs): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.merge(batch)
@@ -124,7 +133,7 @@ object Sinks {
                         checkpoint: String,
                         trigger: Trigger = Trigger.AvailableNow(),
                         vacuumEvery: Int = 16,
-                        vacuumGraceMs: Long = 0L): StreamingQuery =
+                        vacuumGraceMs: Long = DefaultVacuumGraceMs): StreamingQuery =
     fencedUpsert(changes, store, checkpoint, trigger,
       vacuumEvery, vacuumGraceMs) { batch =>
       batch.groupBy(store.keys.map(col): _*)
@@ -141,7 +150,7 @@ object Sinks {
                    checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow(),
                    vacuumEvery: Int = 16,
-                   vacuumGraceMs: Long = 0L): StreamingQuery = {
+                   vacuumGraceMs: Long = DefaultVacuumGraceMs): StreamingQuery = {
     require(valueCols.map(_._2).toSet == store.sketchCols.toSet,
       s"valueCols targets ${valueCols.map(_._2)} but the store holds ${store.sketchCols}")
     fencedUpsert(changes, store, checkpoint, trigger,

@@ -38,25 +38,31 @@ object LanguageModel {
       .otherwise(array().cast("array<struct<u:string,w:string>>"))
   }
 
-  /** Per-document cross-entropy of `docs` under an add-one bigram model
-    * trained on `reference` (pass the same frame to self-score a
-    * corpus). Output: (idCol, n_bigrams, cross_entropy) for docs with
-    * at least one bigram; `cross_entropy` rounded to `scale` decimals.
-    */
-  def crossEntropy(reference: DataFrame, docs: DataFrame,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   scale: Int = 4): DataFrame = {
-    def pairs(df: DataFrame) = df.select(col(idCol),
+  /** Count tables of the add-one bigram model trained on `reference`:
+    * `(uni(u, c1), big(u, w, c2), vocab(vsz))`. Training is the
+    * expensive half (two exploded aggregations over the reference) and
+    * the model is a deploy-time ARTIFACT — train once at ingest, cache
+    * (see [[graft.sim.IndexCache]]), score per query. */
+  def trainBigram(reference: DataFrame,
+                  textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val uni = reference.select(explode(split(col(textCol), " ")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val big = reference.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .groupBy(col("bg.u").as("u"), col("bg.w").as("w"))
+      .agg(count(lit(1)).as("c2"))
+    (uni, big, vocab)
+  }
+
+  /** Scoring half of [[crossEntropy]] against a prebuilt
+    * [[trainBigram]] model. */
+  def scoreBigram(uni: DataFrame, big: DataFrame, vocab: DataFrame,
+                  docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", scale: Int = 4): DataFrame = {
+    val docTerms = docs.select(col(idCol),
         explode(bigramPairs(col(textCol))).as("bg"))
       .select(col(idCol), col("bg.u").as("u"), col("bg.w").as("w"))
-
-    val refToks = reference.select(
-      explode(split(col(textCol), " ")).as("u"))
-    val uni = refToks.groupBy("u").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("vsz"))
-    val big = pairs(reference).groupBy("u", "w").agg(count(lit(1)).as("c2"))
-
-    val docTerms = pairs(docs).groupBy(col(idCol), col("u"), col("w"))
+      .groupBy(col(idCol), col("u"), col("w"))
       .agg(count(lit(1)).as("n_occ"))
     // left joins: a doc bigram unseen in the reference still gets its
     // add-one-smoothed probability (c2 = 0, and c1 = 0 for an unseen
@@ -73,6 +79,18 @@ object LanguageModel {
               (coalesce(col("c1"), lit(0L)) + col("vsz")))) /
             sum(col("n_occ")),
           scale).as("cross_entropy"))
+  }
+
+  /** Per-document cross-entropy of `docs` under an add-one bigram model
+    * trained on `reference` (pass the same frame to self-score a
+    * corpus). Output: (idCol, n_bigrams, cross_entropy) for docs with
+    * at least one bigram; `cross_entropy` rounded to `scale` decimals.
+    */
+  def crossEntropy(reference: DataFrame, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   scale: Int = 4): DataFrame = {
+    val (uni, big, vocab) = trainBigram(reference, textCol)
+    scoreBigram(uni, big, vocab, docs, idCol, textCol, scale)
   }
 
   /** Trigram triples (with multiplicity) as (u, v, w) structs; empty
@@ -103,28 +121,39 @@ object LanguageModel {
     * (doc, trigram): engine-portable (q89 oracle parity), and the same
     * scale shape as [[crossEntropy]] with one more count table and two
     * more equi-joins — all shuffle-partitioned by token keys. Output:
-    * (idCol, n_trigrams, cross_entropy) for docs with ≥ 1 trigram. */
-  def crossEntropyTrigram(reference: DataFrame, docs: DataFrame,
-                          idCol: String = "doc_id", textCol: String = "text",
-                          l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
-                          scale: Int = 4): DataFrame = {
-    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
-      s"interpolation weights must sum to 1, got $l3 + $l2 + $l1")
-    def triples(df: DataFrame) = df.select(col(idCol),
-        explode(trigramTriples(col(textCol))).as("tg"))
-      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
-        col("tg.w").as("w"))
-
-    val refToks = reference.select(explode(split(col(textCol), " ")).as("t"))
-    val uni = refToks.groupBy("t").agg(count(lit(1)).as("c1"))
+    * (idCol, n_trigrams, cross_entropy) for docs with ≥ 1 trigram.
+    *
+    * Count tables:
+    * `(uni(t, c1), totals(vsz, ntok), big(a, b, c2), tri(u, v, w, c3))`
+    * — the ingest-time artifact for [[scoreTrigram]]. */
+  def trainTrigram(reference: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val uni = reference.select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
     val totals = uni.agg(count(lit(1)).as("vsz"), sum(col("c1")).as("ntok"))
     val big = reference.select(explode(bigramPairs(col(textCol))).as("bg"))
       .groupBy(col("bg.u").as("a"), col("bg.w").as("b"))
       .agg(count(lit(1)).as("c2"))
-    val tri = triples(reference).groupBy("u", "v", "w")
+    val tri = reference.select(explode(trigramTriples(col(textCol))).as("tg"))
+      .groupBy(col("tg.u").as("u"), col("tg.v").as("v"), col("tg.w").as("w"))
       .agg(count(lit(1)).as("c3"))
+    (uni, totals, big, tri)
+  }
 
-    val docTerms = triples(docs).groupBy(col(idCol), col("u"), col("v"), col("w"))
+  /** Scoring half of [[crossEntropyTrigram]] against a prebuilt
+    * [[trainTrigram]] model. */
+  def scoreTrigram(uni: DataFrame, totals: DataFrame, big: DataFrame,
+                   tri: DataFrame, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
+                   scale: Int = 4): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1, got $l3 + $l2 + $l1")
+    val docTerms = docs.select(col(idCol),
+        explode(trigramTriples(col(textCol))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
+        col("tg.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("n_occ"))
 
     val cz = (c: Column) => coalesce(c, lit(0L)).cast("double")
@@ -146,5 +175,15 @@ object LanguageModel {
               lit(l1) * (cz(col("c1w")) + 1.0) / (col("ntok") + col("vsz")))) /
             sum(col("n_occ")),
           scale).as("cross_entropy"))
+  }
+
+  /** [[trainTrigram]] + [[scoreTrigram]] in one call (self-score a
+    * corpus by passing the same frame twice). */
+  def crossEntropyTrigram(reference: DataFrame, docs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
+                          scale: Int = 4): DataFrame = {
+    val (uni, totals, big, tri) = trainTrigram(reference, textCol)
+    scoreTrigram(uni, totals, big, tri, docs, idCol, textCol, l3, l2, l1, scale)
   }
 }

@@ -27,6 +27,20 @@ class GapFillSpec extends SparkSpec {
     ), got.toSeq.toString)
   }
 
+  test("negative epochs floor to the tick at-or-before the event") {
+    // -30 s (1969-12-31T23:59:30) with step 60 belongs to tick -60
+    // (23:59:00), not 0 — truncation toward zero would bucket it FORWARD
+    val df = Seq(("a", -30L), ("a", -90L), ("a", 30L))
+      .toDF("g", "sec").withColumn("ts", col("sec").cast("timestamp"))
+    val got = GapFill.fillTimeSeries(df, "ts", Seq("g"),
+        aggs = Map("n" -> count(lit(1))), stepSec = 60L)
+      .select(unix_timestamp(col("tick")).as("t"), col("n"))
+      .orderBy("t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((-120L, 1L), (-60L, 1L), (0L, 1L)),
+      got.toSeq.toString)
+  }
+
   test("invalid arguments fail loudly") {
     val df = Seq(("a", 0L)).toDF("g", "sec")
       .withColumn("ts", col("sec").cast("timestamp"))

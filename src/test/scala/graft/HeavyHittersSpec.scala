@@ -58,6 +58,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("zero-weight insert is a no-op — no eviction at capacity") {
+    val ss = new graft.functions.SpaceSaving(2)
+    ss.add("a", 5L); ss.add("b", 3L)
+    ss.add("c", 0L) // at capacity: must not displace an established counter
+    assert(ss.sorted.map(_._1).toSet == Set("a", "b"),
+      ss.sorted.mkString(", "))
+    assert(ss.floor == 0L, "zero-weight insert must not raise the floor")
+  }
+
   test("weighted: exact under capacity; one-sided overestimate under eviction") {
     // weights make the ranking differ from occurrence counts: 'light'
     // appears often with tiny weights, 'heavy' rarely with large ones

@@ -31,6 +31,19 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("sparse data: interpolates between bracketing order statistics") {
+    // {1, 3}: the median is 2 under percentile_cont semantics; the
+    // floor-rank statistic alone would answer ~1 (a 50% error no α
+    // bound excuses)
+    val buf = new DDSketchBuf(0.01, 4096)
+    Seq(1.0, 3.0).foreach(buf.add)
+    assert(math.abs(buf.quantile(0.5) - 2.0) <= 0.04,
+      s"expected ~2.0, got ${buf.quantile(0.5)}")
+    // endpoints stay exact order statistics (within α)
+    assert(math.abs(buf.quantile(0.0) - 1.0) <= 0.011)
+    assert(math.abs(buf.quantile(1.0) - 3.0) <= 0.031)
+  }
+
   test("merge == build-over-union; aggregate folds across partitions") {
     val xs = (1 to 10000).map(i => (i % 997) * 0.37 + 1.0)
     val whole = new DDSketchBuf(0.01, 4096)
@@ -116,9 +129,10 @@ class QuantileSketchSpec extends SparkSpec {
         QuantileSketch.quantile($"lat", 1.0).as("max"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
-    // α=1% buckets: estimates within 1% of {10,20,30,40} medians/maxes
-    assert(math.abs(got("a")._1 - 20.0) <= 0.5, s"got ${got("a")}")
+    // α=1% buckets, percentile_cont semantics: median of {10,20,30,40}
+    // interpolates to 25, of {5,7} to 6; max stays the top statistic
+    assert(math.abs(got("a")._1 - 25.0) <= 0.5, s"got ${got("a")}")
     assert(math.abs(got("a")._2 - 40.0) <= 0.5)
-    assert(math.abs(got("b")._1 - 5.0) <= 0.1)
+    assert(math.abs(got("b")._1 - 6.0) <= 0.12)
   }
 }

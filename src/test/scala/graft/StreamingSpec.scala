@@ -82,7 +82,11 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 2).json(src)  // force multiple batches
     val changes = EnvelopeDecode.changes(raw, CdcSim.ordersRow,
       DecodeOptions(deletePolicy = DeletePolicy.Apply))
-    Sinks.versionedUpsert(changes, store, s"$cp/c", vacuumEvery = 1)
+    // grace 0: single-process test wants eager reclamation (the sink
+    // DEFAULT keeps superseded copies for DefaultVacuumGraceMs so
+    // concurrent out-of-process readers survive — spec below)
+    Sinks.versionedUpsert(changes, store, s"$cp/c", vacuumEvery = 1,
+        vacuumGraceMs = 0L)
       .awaitTermination()
 
     // content identical to the non-vacuuming sink
@@ -279,6 +283,24 @@ class StreamingSpec extends SparkSpec {
     // beyond the grace window the same copies are reclaimable
     assert(store.vacuum(spark, graceMs = 0L) == 4)
     assert(!Files.exists(Paths.get(state, "e0")))
+  }
+
+  test("default sink grace: a reader on the prior manifest survives vacuum") {
+    val state = tmpDir("graft-vacdefault")
+    val store = new ParquetStateStore(state, Seq("id"), Seq("v"), None,
+      buckets = 4)
+    import spark.implicits._
+    store.merge((1 to 100).map(i => (i, 1L, s"p$i")).toDF("id", "v", "payload"))
+    // reader resolves the CURRENT manifest now, scans later
+    val readerPlan = store.read(spark).get.select("id", "v", "payload")
+    // writer supersedes every bucket, then vacuums with the sink default
+    store.merge((1 to 100).map(i => (i, 2L, s"q$i")).toDF("id", "v", "payload"))
+    assert(store.vacuum(spark, Sinks.DefaultVacuumGraceMs) == 0,
+      "default grace must protect just-superseded copies")
+    // the stale reader completes against the files it resolved
+    val seen = readerPlan.orderBy("id").collect()
+    assert(seen.length == 100 && seen.head.getString(2) == "p1",
+      "reader on the prior manifest must still see its snapshot")
   }
 
   test("summing store: additive collapse, batch-id fencing, streaming sink") {
