@@ -39,6 +39,8 @@ object SparkEntry {
     val emb = graft.sources.Tables.loadParallel(spark, sfDir, "embeddings")
     graft.sim.DataQuantizers.planes(emb, 100, 32, sfDir) // q42 tables
     graft.sim.DataQuantizers.planes(emb, 140, 48, sfDir) // q44 tables
+    graft.queries.TextQueries.seedIvfCached(spark, sfDir, emb)
+    graft.queries.TextQueries.seedPqCached(spark, sfDir, emb)
     // LM count tables are likewise train-once artifacts (q82/q89 score
     // against them; the driver's oracle recounts from scratch, which is
     // the semantics — these are the same counts, landed early)

@@ -71,14 +71,20 @@ object DataQuantizers {
         .otherwise(lit("0"))
     }: _*)
 
+  /** (id, table, bucket) rows — NARROW: the vector is consumed by the
+    * bucket projection and deliberately not carried into the exploded
+    * output, so the candidate join and dedup shuffle a few bytes per
+    * row; rescoring re-fetches vectors by id afterwards. At corpus
+    * scale that re-join is the difference between shuffling
+    * O(n·tables·dim) floats and O(n·tables) ids. */
   private def bucketed(df: DataFrame, pl: Array[Array[Double]], bits: Int,
-                       tables: Int, idName: String, vecName: String,
+                       tables: Int, idName: String,
                        idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as(idName), col(vecCol).as(vecName))
+    df.select(col(idCol).as(idName), col(vecCol).as("__v"))
       .withColumn("tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"), bucketCol(col(vecName), pl, t, bits).as("bucket"))
+        struct(lit(t).as("table"), bucketCol(col("__v"), pl, t, bits).as("bucket"))
       }: _*)))
-      .select(col(idName), col(vecName), col("tb.table").as("table"),
+      .select(col(idName), col("tb.table").as("table"),
         col("tb.bucket").as("bucket"))
 
   // ---- LSH top-k -----------------------------------------------------
@@ -90,16 +96,32 @@ object DataQuantizers {
               tables: Int, planeOffset: Int, cacheKey: String,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pl = planes(corpus, planeOffset, bits * tables, cacheKey, idCol, vecCol)
-    val c = bucketed(corpus, pl, bits, tables, "neighbor_id", "c_vec", idCol, vecCol)
-    val q = broadcast(bucketed(queries, pl, bits, tables, "query_id", "q_vec", idCol, vecCol))
-    val cand = c.join(q, Seq("table", "bucket"))
+    // The query side is broadcast-small BY CONTRACT, so the whole
+    // candidate+rescore path is map-side over one corpus scan: bucket
+    // bits, broadcast-join on (table, bucket), cosine — the corpus
+    // never shuffles wide rows; only (query, neighbor, cosine) triples
+    // reach the dedup exchange. Duplicate candidates (pairs colliding
+    // in several tables) cost `tables` extra cosines instead of a
+    // second join pass — the right trade when dim is small and the
+    // exchange is the bottleneck.
+    def withBuckets(df: DataFrame, idName: String, vecName: String) =
+      df.select(col(idCol).as(idName), col(vecCol).as(vecName))
+        .withColumn("tb", explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"), bucketCol(col(vecName), pl, t, bits).as("bucket"))
+        }: _*)))
+        .select(col(idName), col(vecName), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
+    val c = withBuckets(corpus, "neighbor_id", "c_vec")
+    val q = broadcast(withBuckets(queries, "query_id", "q_vec"))
+    val scored = c.join(q, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(VF.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+      .groupBy("query_id", "neighbor_id") // dedup across tables
+      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w).cast("int"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
   }
 
@@ -148,14 +170,19 @@ object DataQuantizers {
                    tables: Int, planeOffset: Int, cacheKey: String,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pl = planes(vectors, planeOffset, bits * tables, cacheKey, idCol, vecCol)
-    val banded = bucketed(vectors, pl, bits, tables, "id", "vec", idCol, vecCol)
-    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
+    val banded = bucketed(vectors, pl, bits, tables, "id", idCol, vecCol)
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    // narrow candidate ids through the join + dedup; vectors re-join
+    // per side only for the rescore
     a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")),
+        Seq("id_a"))
+      .join(vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")),
+        Seq("id_b"))
       .withColumn("cosine", round(VF.cosine(col("vec_a"), col("vec_b")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -185,21 +212,34 @@ object DataQuantizers {
     * argmax-rounded-cosine cell (tie → smaller cell id), probe the
     * `nProbe` best cells per query, rescore exactly.
     * (query_id, neighbor_id, cosine, rank). */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
-              nProbe: Int, centOffset: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = emb.filter(col(idCol) >= centOffset && col(idCol) < centOffset + nCentroids)
+  /** The coarse-quantizer codebook: (cell, cvec) from the designated
+    * id range. Broadcast-small by construction. */
+  def ivfCells(emb: DataFrame, nCentroids: Int, centOffset: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.filter(col(idCol) >= centOffset && col(idCol) < centOffset + nCentroids)
       .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
-    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // argmax via max_by on a unique (csim, -cell) key: partial-agg
-    // shape (no per-vector sort), deterministic because -cell is unique
-    val assigned = corpus.crossJoin(broadcast(cents))
+
+  /** Cell assignment of every corpus vector — the INDEX-BUILD half
+    * (ingest-time artifact; cache it, e.g. via [[IndexCache]]): one
+    * broadcast cross-score + argmax via max_by on a unique
+    * (csim, -cell) key — partial-agg shape (no per-vector sort),
+    * deterministic because -cell is unique. (id, cell, vec). */
+  def ivfAssignSeeded(emb: DataFrame, cents: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
       .select(col("id"), col("vec"), col("cell"),
         round(VF.cosine(col("vec"), col("cvec")), 6).as("csim"))
       .groupBy("id")
       .agg(max_by(struct(col("cell"), col("vec")),
         struct(col("csim"), (-col("cell")).as("nc"))).as("m"))
       .select(col("id"), col("m.cell").as("cell"), col("m.vec").as("vec"))
+
+  /** Probe half: nProbe best cells per query, rescore only those
+    * cells' members. */
+  def ivfProbeSeeded(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+                     k: Int, nProbe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pw = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cell").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -217,6 +257,14 @@ object DataQuantizers {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+              nProbe: Int, centOffset: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCells(emb, nCentroids, centOffset, idCol, vecCol)
+    ivfProbeSeeded(ivfAssignSeeded(emb, cents, idCol, vecCol), cents, queries,
+      k, nProbe, idCol, vecCol)
   }
 
   /** DuckDB oracle reproducing [[ivfTopK]] exactly. */
@@ -265,38 +313,53 @@ object DataQuantizers {
     * query against the codes through an integer-quantized
     * inner-product LUT, rank by the exact BIGINT sum.
     * (query_id, neighbor_id, adc_score, rank). */
-  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int, dim: Int,
-             codebookSize: Int, seedOffset: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  private def subElem(vec: Column, sub: Int, j: Int): Column =
+    element_at(vec, (col("m") * sub + j + 1).cast("int")).cast("double")
+  private def cbElem(j: Int): Column = element_at(col("cv"), j + 1).cast("double")
+
+  /** Sub-codebooks from the designated id range: (m, code, cv) with
+    * cv = the seed row's m-th dim/m-slice. Broadcast-small. */
+  def pqCodebook(emb: DataFrame, m: Int, dim: Int, codebookSize: Int,
+                 seedOffset: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val cb = emb.filter(col(idCol) >= seedOffset && col(idCol) < seedOffset + codebookSize)
+    emb.filter(col(idCol) >= seedOffset && col(idCol) < seedOffset + codebookSize)
       .select((col(idCol) - seedOffset).cast("long").as("code"), col(vecCol).as("sv"))
       .select(col("code"), explode(array((0 until m).map { mm =>
         struct(lit(mm).as("m"), slice(col("sv"), mm * sub + 1, sub).as("cv"))
       }: _*)).as("e"))
       .select(col("e.m").as("m"), col("code"), col("e.cv").as("cv"))
+  }
 
-    def subElem(vec: Column, j: Int): Column = // j-th element of subspace m
-      element_at(vec, (col("m") * sub + j + 1).cast("int")).cast("double")
-    def cbElem(j: Int): Column = element_at(col("cv"), j + 1).cast("double")
-
+  /** Corpus codes — the INDEX-BUILD half (ingest-time artifact; cache
+    * it): per (vector, subspace), the argmin rounded-squared-L2 code.
+    * (id, m, code). */
+  def pqEncode(emb: DataFrame, cb: DataFrame, m: Int, dim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
     val d2 = round(chain((0 until sub).map { j =>
-      val d = subElem(col("v"), j) - cbElem(j)
+      val d = subElem(col("v"), sub, j) - cbElem(j)
       d * d
     }), 6)
-    val enc = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cb))
       .select(col("id"), col("m"), col("code"), d2.as("d2"))
       .groupBy("id", "m")
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
 
-    val ip = chain((0 until sub).map(j => subElem(col("qv"), j) * cbElem(j)))
+  /** Score half: per query, an integer-quantized inner-product LUT over
+    * (m, code); scores are exact BIGINT sums of LUT cells. */
+  def pqScore(enc: DataFrame, cb: DataFrame, queries: DataFrame, k: Int,
+              m: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val ip = chain((0 until sub).map(j => subElem(col("qv"), sub, j) * cbElem(j)))
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cb))
       .select(col("query_id"), col("m"), col("code"),
         round(ip * 1000000.0).cast("long").as("ipq"))
-
     val w = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id").asc)
     enc.join(broadcast(lut), Seq("m", "code"))
@@ -307,6 +370,14 @@ object DataQuantizers {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         (col("s").cast("double") / 1000000.0).as("adc_score"), col("rank"))
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int, dim: Int,
+             codebookSize: Int, seedOffset: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, m, dim, codebookSize, seedOffset, idCol, vecCol)
+    pqScore(pqEncode(emb, cb, m, dim, idCol, vecCol), cb, queries, k, m, dim,
+      idCol, vecCol)
   }
 
   /** DuckDB oracle reproducing [[pqTopK]] exactly. */
