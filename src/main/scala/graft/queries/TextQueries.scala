@@ -11,10 +11,13 @@ import graft.text.{Corpus, Pii, Relevance, TextAnalysis}
 /** LLM-training-data pipeline surface: text analysis, dedup, similarity
   * search over the `documents` / `embeddings` tables.
   *
-  * DuckDB-oracled where byte-parity is expressible in ANSI SQL;
-  * hash-based operators (MinHash/SimHash/xxhash fingerprints) are
-  * rows-only here and differentially tested in ScalaTest instead
-  * (their oracle is the exact-Jaccard pass, see `DedupSpec`).
+  * Every query is DuckDB-oracled. The hash/ANN family achieves this via
+  * engine-portable forms — md5-derived signatures
+  * ([[graft.dedup.Portable]]) and data-derived quantizers
+  * ([[graft.sim.DataQuantizers]]) whose generated oracle SQL replays
+  * the full pipeline; the xxhash/trained fast paths remain the library
+  * defaults, differentially tested in ScalaTest (`DedupSpec`,
+  * `SimilaritySpec`, `PQSpec`).
   */
 object TextQueries {
 

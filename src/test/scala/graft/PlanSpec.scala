@@ -44,6 +44,30 @@ class PlanSpec extends SparkSpec {
       "expected final-agg / exchange / partial-agg ordering (top-down plan)")
   }
 
+  test("q42: LSH candidates come from a broadcast join; corpus never shuffles wide") {
+    val p = planOf("q42_embed_lsh_topk")
+    // query-side buckets broadcast; the corpus side is matched map-side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+    // the dedup exchange carries only (query_id, neighbor_id, cosine):
+    // no embedding array reaches a shuffle exchange (FormattedMode
+    // lists each node's input columns on its own Input line)
+    val exchangeInputs = raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p.take(800))
+    assert(!exchangeInputs.exists(_.contains("_vec")),
+      s"wide rows crossed the exchange: ${exchangeInputs.mkString("; ").take(400)}")
+  }
+
+  test("q53: PQ encode/score join the broadcast codebook, never a shuffle cross") {
+    val p = planOf("q53_embed_pq_topk")
+    // quantizer tables travel as broadcasts (nested-loop for the cross
+    // with the 256-row codebook, hash for the (m, code) LUT probe)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
   test("q01: whole-stage codegen covers the aggregation pipeline") {
     // AQE's AdaptiveSparkPlan defers physical planning, hiding codegen
     // subtrees from a pre-execution explain — plan without it here.

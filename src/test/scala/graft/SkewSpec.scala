@@ -48,6 +48,7 @@ class SkewSpec extends SparkSpec {
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
@@ -57,6 +58,10 @@ class SkewSpec extends SparkSpec {
       .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
     try {
       conf.set("spark.sql.adaptive.enabled", "true")
+      // enough map partitions that the hot bucket is an outlier vs the
+      // median (with <=2 partitions the hot one IS the median and skew
+      // detection can never fire — a sibling suite may have lowered it)
+      conf.set("spark.sql.shuffle.partitions", "8")
       // force a sort-merge join (a broadcast join has no skew problem)
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
