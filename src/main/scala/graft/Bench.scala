@@ -30,8 +30,13 @@ object Bench {
       // (tiny, local) scale and pay off only on large shuffles — off for
       // the local bench, on in the library default (SparkEnv).
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // 16 shuffle partitions, not cores (32): measured 26.3s -> 25.0s /
+      // 25.5s across two rested REPS=2 A/Bs at sf0.1 — the sub-second
+      // tail pays per-task overhead on 32 near-empty partitions. Library
+      // default (SparkEnv) keeps cluster-safe sizing; this is bench-box
+      // sizing, like the broadcast-threshold note below.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -348,6 +348,23 @@ object TextQueries {
       Some(graft.sim.DataQuantizers.nearDupPairsSql("embeddings",
         threshold = 0.45, bits = 6, tables = 8, planeOffset = 140))),
 
+    // ---- embedding near-dup CLUSTERS: q44's deterministic pair list
+    // ---- closed transitively by pointer-doubling connected components
+    // ---- (the step that turns pairs into a deduplicatable partition
+    // ---- of the embedding space); oracled by a recursive CTE over the
+    // ---- identical edges — the embedding analog of q52 ---------------
+    Q("q94_embed_neardup_clusters",
+      (s, dir) => {
+        val pairs = graft.sim.DataQuantizers.nearDupPairs(
+          Tables.load(s, dir, "embeddings"), threshold = 0.45,
+          bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some(graft.sim.DataQuantizers.nearDupClustersSql("embeddings",
+        threshold = 0.45, bits = 6, tables = 8, planeOffset = 140))),
+
     // ---- label centroids + per-label cohesion (oracled) --------------
     Q("q43_label_cohesion",
       (s, dir) => {

@@ -188,22 +188,47 @@ object DataQuantizers {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** DuckDB oracle reproducing [[nearDupPairs]] exactly. */
-  def nearDupPairsSql(table: String, threshold: Double, bits: Int,
-                      tables: Int, planeOffset: Int): String =
-    s"""WITH ${bucketCte(table, bits, tables, planeOffset)},
+  private def nearDupPairCtes(table: String, threshold: Double, bits: Int,
+                              tables: Int, planeOffset: Int): String =
+    s"""${bucketCte(table, bits, tables, planeOffset)},
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |  WHERE a.id < b.id
-       |)
-       |SELECT id_a, id_b, cosine FROM (
-       |  SELECT cand.id_a, cand.id_b,
-       |    round(list_cosine_similarity(av.v, bv.v), 6) AS cosine
-       |  FROM cand JOIN corp av ON av.id = cand.id_a
-       |            JOIN corp bv ON bv.id = cand.id_b
-       |) WHERE cosine >= $threshold
+       |), pairs AS (
+       |  SELECT id_a, id_b, cosine FROM (
+       |    SELECT cand.id_a, cand.id_b,
+       |      round(list_cosine_similarity(av.v, bv.v), 6) AS cosine
+       |    FROM cand JOIN corp av ON av.id = cand.id_a
+       |              JOIN corp bv ON bv.id = cand.id_b
+       |  ) WHERE cosine >= $threshold
+       |)""".stripMargin
+
+  /** DuckDB oracle reproducing [[nearDupPairs]] exactly. */
+  def nearDupPairsSql(table: String, threshold: Double, bits: Int,
+                      tables: Int, planeOffset: Int): String =
+    s"""WITH ${nearDupPairCtes(table, threshold, bits, tables, planeOffset)}
+       |SELECT id_a, id_b, cosine FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB oracle for near-dup CLUSTERS: the same deterministic pair
+    * list closed transitively by a recursive CTE — min-id component
+    * labels, exactly [[graft.dedup.Dedup.connectedComponents]]'s
+    * contract over [[nearDupPairs]]'s edges. */
+  def nearDupClustersSql(table: String, threshold: Double, bits: Int,
+                         tables: Int, planeOffset: Int): String =
+    s"""WITH RECURSIVE ${nearDupPairCtes(table, threshold, bits, tables, planeOffset)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), cc(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+       |)
+       |SELECT id AS vec_id, MIN(comp) AS cluster_id
+       |FROM cc GROUP BY id
+       |ORDER BY vec_id""".stripMargin
 
   // ---- IVF (seed-row coarse quantizer) -------------------------------
 
