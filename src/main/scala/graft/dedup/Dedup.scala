@@ -67,6 +67,66 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
+  // ---- exact substring (span) dedup ----------------------------------
+
+  /** Per-document repeated-span statistics — the EXACT-SUBSTRING dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022; the Gopher/RefinedWeb pipelines run the
+    * same check with ~50-token spans): a position's k-token window is
+    * "duplicated" when the identical span occurs anywhere else in the
+    * corpus — another document, or a second position of the same one.
+    *
+    * Output: (idCol, n_spans, n_dup, dup_frac) for docs with >= 1
+    * window; `dup_frac` is the fraction of window positions covered by
+    * a corpus-duplicated span — the score RefinedWeb thresholds to drop
+    * or trim boilerplate-heavy documents.
+    *
+    * Scale shape: one explode to (doc, span) position rows, one count
+    * by span (hash shuffle on the span key — at production scale hash
+    * the span to 16 bytes first so the exchange carries fixed-width
+    * keys), one broadcast-free equi-join back, one per-doc aggregate.
+    * Never pairwise: corpus² never appears, exactly like the shingle
+    * inverted index. */
+  def spanStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", spanK: Int = 8): DataFrame = {
+    require(spanK >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nWin = size(toks) - (spanK - 1)
+    // non-distinct, position-preserving windows (unlike shingles(), a
+    // span repeated WITHIN a doc counts as duplicated)
+    val windows = when(nWin < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nWin),
+        i => concat_ws(" ", slice(toks, i, lit(spanK)))))
+    val pos = docs.select(col(idCol).as("id"), explode(windows).as("span"))
+    val counts = pos.groupBy("span").agg(count(lit(1)).as("occ"))
+    pos.join(counts, Seq("span"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** DuckDB oracle reproducing [[spanStats]] exactly (position windows,
+    * corpus-wide occurrence counts, single-division fraction). */
+  def spanStatsSql(table: String = "documents", idCol: String = "doc_id",
+                   textCol: String = "text", spanK: Int = 8): String =
+    s"""WITH pos AS MATERIALIZED (
+       |  SELECT $idCol AS id, unnest([array_to_string(toks[i:i+${spanK - 1}], ' ')
+       |    FOR i IN range(1, greatest(len(toks) - ${spanK - 2}, 1))]) AS span
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS toks FROM $table)
+       |), counts AS (
+       |  SELECT span, CAST(COUNT(*) AS BIGINT) AS occ FROM pos GROUP BY span
+       |)
+       |SELECT pos.id AS $idCol,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN counts.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN counts.occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+       |FROM pos JOIN counts ON pos.span = counts.span
+       |GROUP BY pos.id
+       |ORDER BY $idCol""".stripMargin
+
   // ---- MinHash -------------------------------------------------------
 
   /** k-permutation MinHash signature of the shingle set.

@@ -213,6 +213,15 @@ object TextQueries {
              |HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- exact-substring (span) dedup: per-doc repeated-span fraction
+    // ---- (Lee et al. ACL 2022 / Gopher / RefinedWeb exact-substring
+    // ---- pass; k=8-token spans over this short-doc corpus) -----------
+    Q("q95_span_dedup",
+      (s, dir) => Dedup.spanStats(Tables.loadParallel(s, dir, "documents"),
+          spanK = 8)
+        .orderBy("doc_id"),
+      Some(Dedup.spanStatsSql(spanK = 8))),
+
     // ---- near-dup clustering: pairs → connected components (the
     // ---- transitive-closure step that makes pairs deduplicatable;
     // ---- oracled via a DuckDB recursive CTE over the same exact

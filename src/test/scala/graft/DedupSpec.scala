@@ -243,4 +243,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 2))
   }
+
+  test("span stats: cross-doc copies and within-doc repeats both count") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 3 windows at k=8; all also in doc 2
+      (2L, "a b c d e f g h i j"), // exact copy → dup_frac 1.0 both
+      (3L, "p q r s t u v w x y"), // 3 unique windows → dup_frac 0.0
+      (4L, "m n o m n o m n o m n o m n o"), // period-3 text: every
+      //    8-token window repeats 3 positions apart within the doc
+      (5L, "too short") // < k tokens → no windows, excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStats(df, spanK = 8)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_spans", $"dup_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).sameElements(Array(1L, 2L, 3L, 4L)), got.mkString(", "))
+    assert(got(0) == ((1L, 3L, 1.0)) && got(1) == ((2L, 3L, 1.0)))
+    assert(got(2) == ((3L, 3L, 0.0)))
+    assert(got(3)._3 == 1.0, s"periodic text must be fully self-duplicated: ${got(3)}")
+  }
 }
