@@ -153,6 +153,14 @@ object Graft {
     streaming.AdmissionGate.dedupAdmission(docs, corpusPath, checkpoint,
       threshold = threshold)
 
+  /** Streaming EMBEDDING dedup admission: per micro-batch LSH self-
+    * collapse + corpus near-dup check (cosine >= threshold), appending
+    * only novel vectors (replay-idempotent via self-match masking). */
+  def embeddingAdmission(vectors: DataFrame, corpusPath: String,
+                         checkpoint: String, threshold: Double = 0.9) =
+    streaming.EmbeddingAdmission.nearDupAdmission(vectors, corpusPath,
+      checkpoint, threshold = threshold)
+
   /** Admission-gated corpus with a MATERIALIZED shingle index — the
     * 100 TB admission path: postings land once per admitted doc, each
     * batch probes only the index buckets it touches, and docs +

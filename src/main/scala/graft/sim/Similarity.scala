@@ -193,6 +193,44 @@ object Similarity {
     * recall; chasing weakly-similar pairs (cosine ≈ 0.45) needs fewer
     * bits or more tables — that regime is what [[bruteForceTopK]] is
     * for. */
+  /** Near-duplicate pairs of every `batch` vector against every
+    * `corpus` vector sharing an LSH bucket — the *incremental* shape
+    * (the embedding analog of [[graft.dedup.Dedup.crossJaccardPairs]]):
+    * an arriving micro-batch is checked against the standing corpus
+    * without corpus ever self-joining. The batch side is broadcast
+    * (micro-batches are small by contract); the corpus side is ONE scan
+    * with the bucket ids computed in the projection — no corpus
+    * shuffle, work O(corpus·tables) bucket probes + rescoring only on
+    * bucket-mates. Output: (batch_id, corpus_id, cosine).
+    *
+    * Self-matching is intentional: a vector already in the corpus
+    * matches itself at cosine 1.0, which is what makes replayed
+    * admission batches idempotent (see
+    * [[graft.streaming.EmbeddingAdmission]]). */
+  def crossNearDupPairs(corpus: DataFrame, batch: DataFrame,
+                        threshold: Double, bits: Int = 6, tables: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 0xD00DL): DataFrame = {
+    require(tables > 0, s"crossNearDupPairs needs at least one table, got $tables")
+    def bucketedT(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("tb", explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            VF.hyperplaneSignBits(col(vec), bits, seed = seed + 104729L * t)
+              .as("bucket"))
+        }: _*)))
+        .select(col(id), col(vec), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
+    bucketedT(corpus, "corpus_id", "c_vec")
+      .join(broadcast(bucketedT(batch, "batch_id", "b_vec")),
+        Seq("table", "bucket"))
+      .select(col("batch_id"), col("corpus_id"),
+        VF.cosine(col("b_vec"), col("c_vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy("batch_id", "corpus_id") // dedup across tables
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    bits: Int = 6, tables: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -27,7 +27,16 @@ class PortableSpec extends SparkSpec {
     val hof = array(PortableHash.coeffs(numHashes, seed).map { case (a, b) =>
       array_min(transform(col("bh"), h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
-    val both = docs.limit(50)
+    // corpus sample + adversarial rows: multi-byte UTF-8 (md5 runs over
+    // UTF-8 bytes in both engines), empty-ish and whitespace shapes
+    val adversarial = Seq(
+      (9101L, "héllo wörld ünïcode tökens ünïcode tökens héllo wörld möre"),
+      (9102L, "日本語 トークン 分割 テスト 日本語 トークン 分割 テスト 追加"),
+      (9103L, "emoji 🚀 mix 🚀 emoji 🚀 mix 🚀 tail 🚀 end"),
+      (9104L, "a  b   c a  b   c a  b   c") // repeated internal spaces
+    ).toDF("doc_id", "text")
+    val both = docs.select("doc_id", "text").limit(50)
+      .unionByName(adversarial)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       .withColumn("bh", base)
       .select(col("doc_id"),
