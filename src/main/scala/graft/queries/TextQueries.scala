@@ -374,6 +374,45 @@ object TextQueries {
       Some(graft.sim.DataQuantizers.nearDupClustersSql("embeddings",
         threshold = 0.45, bits = 6, tables = 8, planeOffset = 140))),
 
+    // ---- embedding ADMISSION gate, deterministic batch form: rows with
+    // ---- vec_id % 17 = 3 arrive as the batch, the rest are the
+    // ---- standing corpus; the oracle replays self-collapse (recursive
+    // ---- CC), the corpus probe, and every verdict — the driver-gated
+    // ---- counterpart of streaming.EmbeddingAdmission ------------------
+    Q("q96_embed_admission",
+      (s, dir) => graft.sim.DataQuantizers.admission(
+          Tables.load(s, dir, "embeddings"),
+          batchPred = col("vec_id") % 17 === 3, threshold = 0.45,
+          bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
+        .orderBy("vec_id"),
+      Some(graft.sim.DataQuantizers.admissionSql("embeddings",
+        threshold = 0.45, bits = 6, tables = 8, planeOffset = 140,
+        batchPred = "id % 17 = 3"))),
+
+    // ---- SemDeDup-shaped semantic dedup: seed-row IVF cells bound the
+    // ---- candidate pairs (Σ|cell|², never n²), within-cell components
+    // ---- keep one representative each (Abbas et al. 2023) -------------
+    Q("q97_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val (_, assigned) = TextQueries.seedIvfCached(s, dir, emb)
+        graft.sim.DataQuantizers.semanticDedup(assigned, emb, threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(graft.sim.DataQuantizers.semanticDedupSql("embeddings",
+        threshold = 0.4, nCentroids = 16, centOffset = 200))),
+
+    // ---- DSIR-shaped importance weights: hashed-bigram log-likelihood
+    // ---- ratio of the target slice (lang='en') vs the whole corpus
+    // ---- (Xie et al. 2023); md5-bucket features, q82-style ln grain ---
+    Q("q98_importance_weights",
+      (s, dir) => graft.text.Importance.importanceWeights(
+          Tables.loadParallel(s, dir, "documents"),
+          targetPred = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id"),
+      Some(graft.text.Importance.importanceWeightsSql("documents",
+        targetPred = "lang = 'en'", buckets = 256))),
+
     // ---- label centroids + per-label cohesion (oracled) --------------
     Q("q43_label_cohesion",
       (s, dir) => {

@@ -170,6 +170,15 @@ object DataQuantizers {
                    tables: Int, planeOffset: Int, cacheKey: String,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pl = planes(vectors, planeOffset, bits * tables, cacheKey, idCol, vecCol)
+    pairsWithPlanes(vectors, pl, threshold, bits, tables, idCol, vecCol)
+  }
+
+  /** [[nearDupPairs]] body against an externally-supplied plane set —
+    * lets a caller bucket a SUBSET of the table (e.g. an arriving
+    * batch) with planes drawn from the full table's designated rows. */
+  private def pairsWithPlanes(vectors: DataFrame, pl: Array[Array[Double]],
+                              threshold: Double, bits: Int, tables: Int,
+                              idCol: String, vecCol: String): DataFrame = {
     val banded = bucketed(vectors, pl, bits, tables, "id", idCol, vecCol)
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
@@ -445,4 +454,183 @@ object DataQuantizers {
        |WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---- batch admission (deterministic form) --------------------------
+
+  /** Deterministic embedding ADMISSION decision — the batch analog of
+    * [[graft.streaming.EmbeddingAdmission.admitBatch]] with
+    * data-derived hyperplanes so an independent engine replays the
+    * whole gate: rows matching `batchPred` are the arriving batch, the
+    * rest of the table is the standing corpus. The batch self-collapses
+    * (LSH pairs at rounded cosine >= `threshold` → connected
+    * components → min-id representative), then each representative is
+    * probed against corpus bucket-mates; output is EVERY batch row with
+    * its gate verdict:
+    *
+    * (vec_id, status) — `dup_in_batch` (a smaller-id near-dup rode the
+    * same batch), `dup_in_corpus` (its cluster's representative matched
+    * an already-admitted vector), or `admitted`.
+    *
+    * Scale shape: the batch side is broadcast-small by contract; the
+    * corpus side is ONE scan with bucket bits computed in the
+    * projection — no corpus shuffle, no corpus self-join; rescoring
+    * touches bucket-mates only. Component rounds are bounded by the
+    * batch's cluster diameter, never corpus size. */
+  def admission(emb: DataFrame, batchPred: Column, threshold: Double,
+                bits: Int, tables: Int, planeOffset: Int, cacheKey: String,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pl = planes(emb, planeOffset, bits * tables, cacheKey, idCol, vecCol)
+    val batch = emb.filter(batchPred)
+    val corpus = emb.filter(!batchPred)
+
+    val selfPairs =
+      pairsWithPlanes(batch, pl, threshold, bits, tables, idCol, vecCol)
+    // comp = min id of the within-batch similarity component; unpaired
+    // rows are their own representative
+    val lab = batch.select(col(idCol).as("id"))
+      .join(graft.dedup.Dedup.connectedComponents(selfPairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+
+    val reps = emb.select(col(idCol), col(vecCol))
+      .join(lab.where(col("id") === col("comp"))
+        .select(col("id").as(idCol)), Seq(idCol))
+    val cb = bucketed(corpus, pl, bits, tables, "corpus_id", idCol, vecCol)
+    val rb = bucketed(reps, pl, bits, tables, "batch_id", idCol, vecCol)
+    val rejected = cb.join(broadcast(rb), Seq("table", "bucket"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+      .join(broadcast(batch.select(col(idCol).as("batch_id"),
+        col(vecCol).as("bv"))), Seq("batch_id"))
+      .where(round(VF.cosine(col("bv"), col("cv")), 6) >= threshold)
+      .select(col("batch_id").as("id")).distinct()
+      .withColumn("rej", lit(1))
+
+    lab.join(rejected, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("comp") =!= col("id"), lit("dup_in_batch"))
+          .when(col("rej").isNotNull, lit("dup_in_corpus"))
+          .otherwise(lit("admitted")).as("status"))
+  }
+
+  /** DuckDB oracle reproducing [[admission]] exactly. `batchPred` is an
+    * id predicate (e.g. "id % 17 = 3") — rendered against each CTE's
+    * alias, so it must start with the column name `id`. */
+  def admissionSql(table: String, threshold: Double, bits: Int, tables: Int,
+                   planeOffset: Int, batchPred: String): String =
+    s"""WITH RECURSIVE ${bucketCte(table, bits, tables, planeOffset)},
+       |bcand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM buck a JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.id < b.id AND (a.$batchPred) AND (b.$batchPred)
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT bcand.id_a, bcand.id_b,
+       |      round(list_cosine_similarity(av.v, bv.v), 6) AS cosine
+       |    FROM bcand JOIN corp av ON av.id = bcand.id_a
+       |               JOIN corp bv ON bv.id = bcand.id_b
+       |  ) WHERE cosine >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), cc(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+       |), lab AS (
+       |  SELECT c.id, coalesce(mc.comp, c.id) AS comp
+       |  FROM (SELECT id FROM corp WHERE $batchPred) c
+       |  LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) mc
+       |    ON c.id = mc.id
+       |), xr AS (
+       |  SELECT DISTINCT rb.id
+       |  FROM buck cb JOIN buck rb ON cb.tbl = rb.tbl AND cb.bucket = rb.bucket
+       |  JOIN lab r ON rb.id = r.id AND r.id = r.comp
+       |  JOIN corp cv ON cv.id = cb.id
+       |  JOIN corp rv ON rv.id = rb.id
+       |  WHERE NOT (cb.$batchPred)
+       |    AND round(list_cosine_similarity(rv.v, cv.v), 6) >= $threshold
+       |)
+       |SELECT lab.id AS vec_id,
+       |  CASE WHEN lab.comp <> lab.id THEN 'dup_in_batch'
+       |       WHEN xr.id IS NOT NULL THEN 'dup_in_corpus'
+       |       ELSE 'admitted' END AS status
+       |FROM lab LEFT JOIN xr ON lab.id = xr.id
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- semantic dedup (cluster-then-prune) ---------------------------
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): partition the embedding space into
+    * coarse cells (here the seed-row IVF quantizer, so the partition is
+    * engine-reproducible), find within-cell pairs at rounded cosine >=
+    * `threshold`, close them into components, and keep one
+    * representative (min id) per component.
+    *
+    * Output: (vec_id, cell, kept) for every vector.
+    *
+    * Scale shape — the reason SemDeDup clusters first: candidate pairs
+    * are confined to cells, so the quadratic term is Σ|cell|², not n²;
+    * cells are sized by the quantizer (n/k expected), and the pair join
+    * carries narrow (id, cell) rows with vectors re-fetched by id only
+    * for rescoring. Component rounds are bounded by within-cell cluster
+    * diameter. At 100 TB the assignment is the cached ingest-time
+    * artifact ([[graft.sim.IndexCache]]); only cells touched by new
+    * data re-pair. */
+  def semanticDedup(asg: DataFrame, emb: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val narrow = asg.select(col("id"), col("cell"))
+    val pairs = narrow.select(col("cell"), col("id").as("id_a"))
+      .join(narrow.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .where(round(VF.cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // components cannot span cells (each id has exactly one cell), so
+    // the global closure equals the per-cell closure
+    val lab = narrow
+      .join(graft.dedup.Dedup.connectedComponents(pairs), Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(col("comp"), col("id")).as("comp"))
+    lab.select(col("id").as(idCol), col("cell").cast("long").as("cell"),
+      (col("comp") === col("id")).as("kept"))
+  }
+
+  /** DuckDB oracle reproducing [[semanticDedup]] over the seed-row IVF
+    * assignment exactly. */
+  def semanticDedupSql(table: String, threshold: Double, nCentroids: Int,
+                       centOffset: Int): String =
+    s"""WITH RECURSIVE corp AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM $table
+       |), ct AS MATERIALIZED (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM $table WHERE vec_id >= $centOffset AND vec_id < ${centOffset + nCentroids}
+       |), asg AS MATERIALIZED (
+       |  SELECT id, cell, v FROM (
+       |    SELECT c.id, ct.cell, c.v,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id
+       |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cell) AS rn
+       |    FROM corp c CROSS JOIN ct
+       |  ) WHERE rn = 1
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b,
+       |      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       |    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+       |  ) WHERE cosine >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), cc(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+       |)
+       |SELECT a.id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  coalesce(mc.comp, a.id) = a.id AS kept
+       |FROM asg a
+       |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) mc
+       |  ON a.id = mc.id
+       |ORDER BY vec_id""".stripMargin
 }

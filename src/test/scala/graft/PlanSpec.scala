@@ -59,6 +59,23 @@ class PlanSpec extends SparkSpec {
       s"wide rows crossed the exchange: ${exchangeInputs.mkString("; ").take(400)}")
   }
 
+  test("q96: admission probe broadcasts the batch; corpus never self-joins") {
+    val p = planOf("q96_embed_admission")
+    // the standing corpus is scanned, bucketed in the projection, and
+    // matched against broadcast batch-side buckets — a corpus self-join
+    // or cartesian here would be the 100-TB killer
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("q97: semantic-dedup candidates stay cell-bounded, no cartesian") {
+    val p = planOf("q97_semantic_dedup")
+    // within-cell pairing is an equi-join on cell over narrow (id, cell)
+    // rows; the only cross-shape allowed is the broadcast 1-row/centroid
+    // quantizer (BroadcastNestedLoopJoin), never a shuffle cartesian
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
   test("q53: PQ encode/score join the broadcast codebook, never a shuffle cross") {
     val p = planOf("q53_embed_pq_topk")
     // quantizer tables travel as broadcasts (nested-loop for the cross
