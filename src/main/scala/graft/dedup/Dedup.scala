@@ -307,14 +307,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dcomp")).as("nmin"))
+      // the change flag rides the update itself (least(comp, nmin) <
+      // comp ⟺ nmin < comp), so convergence costs one count over the
+      // checkpointed labels instead of a join against the old ones
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          coalesce(col("nmin") < col("comp"), lit(false)).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     edges.unpersist()
@@ -356,18 +358,21 @@ object Dedup {
         .agg(min(col("dcomp")).as("nmin"))
       val hooked = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // shortcut: comp(comp(id)) — jump to the label's own label
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          coalesce(col("nmin") < col("comp"), lit(false)).as("chg"))
+      // shortcut: comp(comp(id)) — jump to the label's own label; the
+      // change flag accumulates across both steps so convergence is one
+      // count over the checkpointed labels, not a join with the old ones
       val next = hooked
         .join(hooked.select(col("id").as("comp"), col("comp").as("gcomp")),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"),
+          (col("chg") ||
+            coalesce(col("gcomp") < col("comp"), lit(false))).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     edges.unpersist()
