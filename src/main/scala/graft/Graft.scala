@@ -170,6 +170,15 @@ object Graft {
   def indexedCorpus(path: String, shingleK: Int = 3): streaming.IndexedCorpus =
     new streaming.IndexedCorpus(path, shingleK = shingleK)
 
+  /** Embedding analog of [[indexedCorpus]]: admitted vectors land with
+    * their narrow LSH signature rows in one fenced manifest swap; each
+    * batch probes only the touched signature partitions, and rescoring
+    * touches candidate vectors, not the corpus. Stream into it with
+    * [[streaming.EmbeddingAdmission.nearDupAdmissionIndexed]]. */
+  def indexedVectorCorpus(path: String, bits: Int = 4,
+                          tables: Int = 8): streaming.IndexedVectorCorpus =
+    new streaming.IndexedVectorCorpus(path, bits = bits, tables = tables)
+
   /** Funnel depth / retention / sequence analytics (ClickHouse
     * windowFunnel, retention, sequenceMatch/Count analogs) — aggregate
     * columns for use inside `.agg(...)`. */

@@ -83,4 +83,21 @@ object EmbeddingAdmission {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** [[nearDupAdmission]] against a MATERIALIZED signature index
+    * ([[IndexedVectorCorpus]]) — signatures land once at admission and
+    * each batch probes only the index partitions its buckets hash
+    * into; the fence makes replays exactly-once (no reliance on
+    * self-match masking). */
+  def nearDupAdmissionIndexed(vectors: DataFrame, corpus: IndexedVectorCorpus,
+                              checkpoint: String, threshold: Double = 0.9,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpus.admit(batch, batchId, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -59,25 +57,10 @@ class IndexedCorpus(
   private def postingsDir(b: Long) = s"$path/postings/batch=$b"
 
   private def readManifest(fs: FileSystem): (Long, Seq[Long]) =
-    if (fs.exists(pointer)) {
-      val in = fs.open(pointer)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-      (lines.head.trim.toLong, lines.tail.map(_.trim.toLong))
-    } else (-1L, Nil)
+    BatchManifest.read(fs, pointer)
 
-  private def writeManifest(fs: FileSystem, last: Long, ids: Seq[Long]): Unit = {
-    val tmp = new HPath(path, s"_COMMITTED.tmp$last")
-    val out = fs.create(tmp, true)
-    try out.write((last.toString +: ids.map(_.toString))
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, pointer)) {
-      fs.delete(pointer, false)
-      require(fs.rename(tmp, pointer), s"manifest swap failed for $path")
-    }
-  }
+  private def writeManifest(fs: FileSystem, last: Long, ids: Seq[Long]): Unit =
+    BatchManifest.write(fs, path, pointer, last, ids)
 
   /** Highest committed batch id (fence), -1 when empty. */
   def lastBatchId(spark: SparkSession): Long = readManifest(fs(spark))._1
