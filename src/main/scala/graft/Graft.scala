@@ -273,6 +273,26 @@ object Graft {
                     capacity: Int, stratumCol: String): DataFrame =
     text.Corpus.packSequences(df, idCol, tokenCol, capacity, stratumCol)
 
+  /** DSIR-shaped importance weights: hashed-bigram log-likelihood ratio
+    * of the target slice (`targetPred`) vs the whole corpus. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        buckets: Int = 256): DataFrame =
+    text.Importance.importanceWeights(docs, targetPred, buckets)
+
+  /** DSIR resampling: accept with probability min(1, ratio) via a
+    * deterministic integer acceptance test (engine-portable). */
+  def resampleByImportance(docs: DataFrame, targetPred: Column,
+                           buckets: Int = 256): DataFrame =
+    text.Importance.resampleByWeight(docs, targetPred, buckets)
+
+  /** SemDeDup-shaped semantic dedup over a seed-row IVF assignment:
+    * within-cell near-dup components keep one representative each.
+    * `asg` = (id, cell, vec) from
+    * [[graft.sim.DataQuantizers.ivfAssignSeeded]]. */
+  def semanticDedup(asg: DataFrame, emb: DataFrame,
+                    threshold: Double = 0.4): DataFrame =
+    sim.DataQuantizers.semanticDedup(asg, emb, threshold)
+
   // ---- storage maintenance -------------------------------------------
 
   /** Background small-file compaction for a streaming parquet archive

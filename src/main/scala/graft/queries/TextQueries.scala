@@ -431,6 +431,16 @@ object TextQueries {
       Some(graft.text.Importance.importanceWeightsSql("documents",
         targetPred = "lang = 'en'", buckets = 256))),
 
+    // ---- DSIR resampling step: accept with probability min(1, ratio)
+    // ---- via the q81-style deterministic integer acceptance test -----
+    Q("q99_importance_resample",
+      (s, dir) => graft.text.Importance.resampleByWeight(
+          Tables.loadParallel(s, dir, "documents"),
+          targetPred = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id"),
+      Some(graft.text.Importance.resampleByWeightSql("documents",
+        targetPred = "lang = 'en'", buckets = 256))),
+
     // ---- label centroids + per-label cohesion (oracled) --------------
     Q("q43_label_cohesion",
       (s, dir) => {

@@ -75,12 +75,28 @@ object Importance {
           scale).as("logratio"))
   }
 
-  /** DuckDB oracle reproducing [[importanceWeights]] exactly.
-    * `targetPred` is SQL over `table`'s columns (e.g. "lang = 'en'"). */
-  def importanceWeightsSql(table: String, targetPred: String,
-                           buckets: Int = 256, idCol: String = "doc_id",
-                           textCol: String = "text", scale: Int = 4): String =
-    s"""WITH g AS MATERIALIZED (
+  /** The DSIR RESAMPLING step over [[importanceWeights]]: accept each
+    * document with probability min(1, p_target/p_source) — rejection
+    * sampling toward the target distribution — decided by the same
+    * deterministic integer acceptance test as
+    * [[Corpus.resampleToMixture]]: `hashBucket(id, 10^6) <
+    * round(10^6 · exp(min(logratio, 0)))`. Reproducible anywhere, no
+    * RNG state. Output: (idCol, p_accept_micro, kept). */
+  def resampleByWeight(docs: DataFrame, targetPred: Column,
+                       buckets: Int = 256, idCol: String = "doc_id",
+                       textCol: String = "text", scale: Int = 4): DataFrame = {
+    val w = importanceWeights(docs, targetPred, buckets, idCol, textCol, scale)
+    val p = round(lit(1000000.0) * exp(least(col("logratio"), lit(0.0))))
+      .cast("long")
+    w.select(col(idCol), p.as("p_accept_micro"),
+      (Corpus.hashBucket(col(idCol), 1000000) < p).as("kept"))
+  }
+
+  /** The weight pipeline as DuckDB CTEs ending in
+    * `w(idCol, n_bigrams, logratio)` — shared by both oracles. */
+  private def weightsCtes(table: String, targetPred: String, buckets: Int,
+                          idCol: String, textCol: String, scale: Int): String =
+    s"""g AS MATERIALIZED (
        |  SELECT $idCol, is_t,
        |    ('0x' || substr(md5(bg.u || ' ' || bg.w), 1, 15))::BIGINT % $buckets AS b
        |  FROM (
@@ -99,13 +115,37 @@ object Importance {
        |), dt AS (
        |  SELECT $idCol, b, CAST(COUNT(*) AS BIGINT) AS n_occ
        |  FROM g GROUP BY $idCol, b
+       |), w AS (
+       |  SELECT dt.$idCol, CAST(SUM(dt.n_occ) AS BIGINT) AS n_bigrams,
+       |    ROUND(SUM(dt.n_occ * ln(
+       |        ((cnt.tc + 1.0) / (tot.nt + $buckets.0)) /
+       |        ((cnt.sc + 1.0) / (tot.ns + $buckets.0)))) / SUM(dt.n_occ),
+       |      $scale) AS logratio
+       |  FROM dt JOIN cnt ON dt.b = cnt.b
+       |  CROSS JOIN tot
+       |  GROUP BY dt.$idCol
+       |)""".stripMargin
+
+  /** DuckDB oracle reproducing [[importanceWeights]] exactly.
+    * `targetPred` is SQL over `table`'s columns (e.g. "lang = 'en'"). */
+  def importanceWeightsSql(table: String, targetPred: String,
+                           buckets: Int = 256, idCol: String = "doc_id",
+                           textCol: String = "text", scale: Int = 4): String =
+    s"""WITH ${weightsCtes(table, targetPred, buckets, idCol, textCol, scale)}
+       |SELECT $idCol, n_bigrams, logratio FROM w ORDER BY $idCol""".stripMargin
+
+  /** DuckDB oracle reproducing [[resampleByWeight]] exactly. */
+  def resampleByWeightSql(table: String, targetPred: String,
+                          buckets: Int = 256, idCol: String = "doc_id",
+                          textCol: String = "text", scale: Int = 4): String =
+    s"""WITH ${weightsCtes(table, targetPred, buckets, idCol, textCol, scale)}
+       |SELECT $idCol, p_accept_micro,
+       |  ${Corpus.hashBucketSql(idCol, 1000000)} < p_accept_micro AS kept
+       |FROM (
+       |  SELECT $idCol,
+       |    CAST(round(1000000.0 * exp(least(logratio, 0))) AS BIGINT)
+       |      AS p_accept_micro
+       |  FROM w
        |)
-       |SELECT dt.$idCol, CAST(SUM(dt.n_occ) AS BIGINT) AS n_bigrams,
-       |  ROUND(SUM(dt.n_occ * ln(
-       |      ((cnt.tc + 1.0) / (tot.nt + $buckets.0)) /
-       |      ((cnt.sc + 1.0) / (tot.ns + $buckets.0)))) / SUM(dt.n_occ),
-       |    $scale) AS logratio
-       |FROM dt JOIN cnt ON dt.b = cnt.b
-       |CROSS JOIN tot
-       |GROUP BY dt.$idCol ORDER BY dt.$idCol""".stripMargin
+       |ORDER BY $idCol""".stripMargin
 }
