@@ -57,6 +57,8 @@ object SparkEntry {
     graft.sim.IndexCache.getOrBuild(spark, s"sh-index:$sfDir") {
       graft.dedup.Portable.simhashIndex(docs)
     }
+    // DSIR bucket model (q98/q99 train half)
+    graft.queries.TextQueries.dsirModelCached(spark, sfDir, docs)
     ()
   }
 

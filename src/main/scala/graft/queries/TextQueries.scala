@@ -57,6 +57,15 @@ object TextQueries {
         bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
     }
 
+  /** Cached DSIR bucket model (q98/q99's train half — `buckets` rows,
+    * target = lang='en'): the count tables are a deploy-time artifact
+    * exactly like the LM models. */
+  def dsirModelCached(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    graft.sim.IndexCache.getOrBuild(s, s"dsir-model:$dir") {
+      graft.text.Importance.trainBuckets(docs,
+        targetPred = col("lang") === "en", buckets = 256)
+    }
+
   /** Seed-row PQ index (codebooks + corpus codes) for `dir`'s
     * embeddings — the ingest-time half of q53. */
   def seedPqCached(s: SparkSession, dir: String,
@@ -424,20 +433,24 @@ object TextQueries {
     // ---- ratio of the target slice (lang='en') vs the whole corpus
     // ---- (Xie et al. 2023); md5-bucket features, q82-style ln grain ---
     Q("q98_importance_weights",
-      (s, dir) => graft.text.Importance.importanceWeights(
-          Tables.loadParallel(s, dir, "documents"),
-          targetPred = col("lang") === "en", buckets = 256)
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        graft.text.Importance
+          .scoreWeights(TextQueries.dsirModelCached(s, dir, d), d)
+          .orderBy("doc_id")
+      },
       Some(graft.text.Importance.importanceWeightsSql("documents",
         targetPred = "lang = 'en'", buckets = 256))),
 
     // ---- DSIR resampling step: accept with probability min(1, ratio)
     // ---- via the q81-style deterministic integer acceptance test -----
     Q("q99_importance_resample",
-      (s, dir) => graft.text.Importance.resampleByWeight(
-          Tables.loadParallel(s, dir, "documents"),
-          targetPred = col("lang") === "en", buckets = 256)
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        graft.text.Importance.resampleFromWeights(graft.text.Importance
+            .scoreWeights(TextQueries.dsirModelCached(s, dir, d), d))
+          .orderBy("doc_id")
+      },
       Some(graft.text.Importance.resampleByWeightSql("documents",
         targetPred = "lang = 'en'", buckets = 256))),
 

@@ -41,30 +41,37 @@ object Importance {
     pmod(conv(substring(md5(feature.cast("binary")), 1, 15), 16, 10)
       .cast("long"), lit(buckets.toLong))
 
-  /** Per-document importance weights of `docs` with the target slice
-    * selected by `targetPred` (a boolean over the document's columns).
-    * Output: (idCol, n_bigrams, logratio) for docs with >= 1 bigram,
-    * `logratio` rounded to `scale` decimals — positive means
-    * target-like. */
-  def importanceWeights(docs: DataFrame, targetPred: Column,
-                        buckets: Int = 256, idCol: String = "doc_id",
-                        textCol: String = "text", scale: Int = 4): DataFrame = {
+  /** Per-bucket model table (b, sc, tc, ns, nt) — the TRAIN half (one
+    * pass over the exploded grams yields BOTH distributions: the source
+    * count and, via the flag, the target count per bucket). `buckets`
+    * rows regardless of corpus size: a deploy-time artifact, cache it
+    * (e.g. via [[graft.sim.IndexCache]]). */
+  def trainBuckets(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val grams = docs.select(col(idCol), targetPred.as("is_t"),
         explode(LM.bigramPairs(col(textCol))).as("bg"))
-      .select(col(idCol), col("is_t"),
+      .select(col("is_t"),
         featureBucket(concat_ws(" ", col("bg.u"), col("bg.w")), buckets).as("b"))
-    // one pass over the exploded grams yields BOTH distributions: the
-    // source count and (via the flag) the target count per bucket
     val counts = grams.groupBy("b").agg(
       count(lit(1)).as("sc"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
-    val totals = counts.agg(sum(col("sc")).as("ns"), sum(col("tc")).as("nt"))
-    val docTerms = grams.groupBy(col(idCol), col("b"))
+    counts.crossJoin(counts.agg(sum(col("sc")).as("ns"),
+      sum(col("tc")).as("nt")))
+  }
+
+  /** Scoring half against a prebuilt [[trainBuckets]] model. */
+  def scoreWeights(model: DataFrame, docs: DataFrame, buckets: Int = 256,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   scale: Int = 4): DataFrame = {
+    val docTerms = docs.select(col(idCol),
+        explode(LM.bigramPairs(col(textCol))).as("bg"))
+      .select(col(idCol),
+        featureBucket(concat_ws(" ", col("bg.u"), col("bg.w")), buckets).as("b"))
+      .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("n_occ"))
     docTerms
-      .join(counts, Seq("b")) // every doc bucket exists in the source counts
-      .crossJoin(totals)
+      .join(model, Seq("b")) // every doc bucket exists in the source counts
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_bigrams"),
         round(
@@ -75,6 +82,17 @@ object Importance {
           scale).as("logratio"))
   }
 
+  /** Per-document importance weights of `docs` with the target slice
+    * selected by `targetPred` (a boolean over the document's columns).
+    * Output: (idCol, n_bigrams, logratio) for docs with >= 1 bigram,
+    * `logratio` rounded to `scale` decimals — positive means
+    * target-like. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        buckets: Int = 256, idCol: String = "doc_id",
+                        textCol: String = "text", scale: Int = 4): DataFrame =
+    scoreWeights(trainBuckets(docs, targetPred, buckets, idCol, textCol),
+      docs, buckets, idCol, textCol, scale)
+
   /** The DSIR RESAMPLING step over [[importanceWeights]]: accept each
     * document with probability min(1, p_target/p_source) — rejection
     * sampling toward the target distribution — decided by the same
@@ -84,8 +102,14 @@ object Importance {
     * RNG state. Output: (idCol, p_accept_micro, kept). */
   def resampleByWeight(docs: DataFrame, targetPred: Column,
                        buckets: Int = 256, idCol: String = "doc_id",
-                       textCol: String = "text", scale: Int = 4): DataFrame = {
-    val w = importanceWeights(docs, targetPred, buckets, idCol, textCol, scale)
+                       textCol: String = "text", scale: Int = 4): DataFrame =
+    resampleFromWeights(
+      importanceWeights(docs, targetPred, buckets, idCol, textCol, scale),
+      idCol)
+
+  /** The acceptance decision over a prebuilt weights frame
+    * ([[importanceWeights]] / [[scoreWeights]] output). */
+  def resampleFromWeights(w: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val p = round(lit(1000000.0) * exp(least(col("logratio"), lit(0.0))))
       .cast("long")
     w.select(col(idCol), p.as("p_accept_micro"),
