@@ -50,6 +50,7 @@ object SparkEntry {
     val docs = graft.sources.Tables.loadParallel(spark, sfDir, "documents")
     graft.queries.Analytics3.lmBigramCached(spark, sfDir, docs)
     graft.queries.Analytics3.lmTrigramCached(spark, sfDir, docs)
+    graft.queries.Analytics3.lmKneserNeyCached(spark, sfDir, docs)
     // minhash/simhash signature tables: one md5 pass per doc at ingest
     graft.sim.IndexCache.getOrBuild(spark, s"mh-index:$sfDir") {
       graft.dedup.Portable.minhashIndex(docs)

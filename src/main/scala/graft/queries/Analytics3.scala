@@ -34,6 +34,26 @@ object Analytics3 {
     (uni, big, vocab)
   }
 
+  /** Kneser–Ney count tables for `dir`'s documents (see
+    * [[lmBigramCached]]). */
+  def lmKneserNeyCached(s: SparkSession, dir: String, docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.sim.IndexCache
+    val big = IndexCache.getOrBuild(s, s"lmkn-big:$dir") {
+      graft.text.LanguageModel.trainKneserNey(docs)._1
+    }
+    val ctx = IndexCache.getOrBuild(s, s"lmkn-ctx:$dir") {
+      graft.text.LanguageModel.trainKneserNey(docs)._2
+    }
+    val n1pr = IndexCache.getOrBuild(s, s"lmkn-n1pr:$dir") {
+      graft.text.LanguageModel.trainKneserNey(docs)._3
+    }
+    val consts = IndexCache.getOrBuild(s, s"lmkn-consts:$dir") {
+      graft.text.LanguageModel.trainKneserNey(docs)._4
+    }
+    (big, ctx, n1pr, consts)
+  }
+
   /** Trigram LM count tables for `dir`'s documents (see
     * [[lmBigramCached]]). */
   def lmTrigramCached(s: SparkSession, dir: String, docs: DataFrame)
@@ -277,6 +297,54 @@ object Analytics3 {
              |JOIN bc ON d.u = bc.u AND d.w = bc.w
              |JOIN uni ON d.u = uni.u
              |CROSS JOIN v
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Kneser-Ney LM gate: absolute discounting + continuation
+    // ---- counts (Kneser & Ney '95; Chen & Goodman '99) — the standard
+    // ---- smoother; same counts-plus-one-ln-per-term portability as
+    // ---- q82, with the continuation distribution add-one guarded -----
+    Q("q100_lm_kneser_ney",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        val (big, ctx, n1pr, consts) = Analytics3.lmKneserNeyCached(s, dir, d)
+        graft.text.LanguageModel.scoreKneserNey(big, ctx, n1pr, consts, d)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), db AS (
+             |  SELECT doc_id, bg.u AS u, bg.w AS w FROM (
+             |    SELECT doc_id, unnest([{'u': t[i], 'w': t[i + 1]}
+             |      FOR i IN range(1, len(t))]) AS bg
+             |    FROM toks
+             |  )
+             |), bc AS MATERIALIZED (
+             |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY u, w
+             |), ctx AS (
+             |  SELECT u, CAST(SUM(c2) AS BIGINT) AS cu,
+             |    CAST(COUNT(*) AS BIGINT) AS n1p
+             |  FROM bc GROUP BY u
+             |), n1pr AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS npr FROM bc GROUP BY w
+             |), consts AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS btot,
+             |    CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM bc
+             |), docterms AS (
+             |  SELECT doc_id, u, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+             |  FROM db GROUP BY doc_id, u, w
+             |)
+             |SELECT d.doc_id,
+             |  CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+             |  ROUND(-SUM(d.n_occ * ln(
+             |      (greatest(bc.c2 - 0.75, 0.0) / ctx.cu) +
+             |      (((0.75 * ctx.n1p) / ctx.cu) *
+             |       ((n1pr.npr + 1.0) / (consts.btot + consts.vsz)))))
+             |    / SUM(d.n_occ), 4) AS cross_entropy
+             |FROM docterms d
+             |JOIN bc ON d.u = bc.u AND d.w = bc.w
+             |JOIN ctx ON d.u = ctx.u
+             |JOIN n1pr ON d.w = n1pr.w
+             |CROSS JOIN consts
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
     // ---- capstone: the curation funnel in ONE scan — quality rules,

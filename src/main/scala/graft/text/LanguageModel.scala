@@ -186,4 +186,67 @@ object LanguageModel {
     val (uni, totals, big, tri) = trainTrigram(reference, textCol)
     scoreTrigram(uni, totals, big, tri, docs, idCol, textCol, l3, l2, l1, scale)
   }
+
+  /** Count tables of the interpolated KNESER–NEY bigram model (Kneser &
+    * Ney 1995; Chen & Goodman 1999 formulation):
+    *
+    * `(big(u, w, c2), ctx(u, cu, n1p), n1pr(w, npr), consts(btot, vsz))`
+    *
+    * where `cu = Σ_w c(u,w)` (bigram-context mass), `n1p(u) = |{w :
+    * c(u,w) > 0}|` (distinct continuations of u — the discount mass
+    * router), `npr(w) = |{u : c(u,w) > 0}|` (distinct LEFT contexts of
+    * w — the continuation count that replaces raw frequency), `btot` =
+    * distinct bigram types, `vsz` = continuation vocabulary. All exact
+    * BIGINTs — the ingest-time artifact for [[scoreKneserNey]]. */
+  def trainKneserNey(reference: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val big = reference.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .groupBy(col("bg.u").as("u"), col("bg.w").as("w"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy("u")
+      .agg(sum(col("c2")).as("cu"), count(lit(1)).as("n1p"))
+    val n1pr = big.groupBy(col("w")).agg(count(lit(1)).as("npr"))
+    val consts = big.agg(count(lit(1)).as("btot"),
+      count_distinct(col("w")).as("vsz"))
+    (big, ctx, n1pr, consts)
+  }
+
+  /** Per-document cross-entropy under the interpolated Kneser–Ney
+    * bigram model with absolute discount `d`:
+    *
+    * `P(w|u) = max(c(uw)−d, 0)/cu + ((d·n1p(u))/cu) · Pcont(w)` with
+    * `Pcont(w) = (npr(w)+1)/(btot+vsz)` — the continuation distribution
+    * add-one smoothed so unseen words keep positive mass (the standard
+    * OOV guard); an unseen context backs off to `Pcont` alone.
+    *
+    * Same engine-portable discipline as [[scoreBigram]]: exact counts,
+    * one `ln` per distinct (doc, bigram), explicit operator association
+    * mirrored by the q100 oracle. Output: (idCol, n_bigrams,
+    * cross_entropy). */
+  def scoreKneserNey(big: DataFrame, ctx: DataFrame, n1pr: DataFrame,
+                     consts: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     d: Double = 0.75, scale: Int = 4): DataFrame = {
+    require(d > 0 && d < 1, s"absolute discount must be in (0,1): $d")
+    val docTerms = docs.select(col(idCol),
+        explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.u").as("u"), col("bg.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("w"))
+      .agg(count(lit(1)).as("n_occ"))
+    val pcont = (coalesce(col("npr"), lit(0L)) + lit(1.0)) /
+      (col("btot") + col("vsz"))
+    val p = when(col("cu").isNull, pcont)
+      .otherwise(
+        (greatest(coalesce(col("c2"), lit(0L)) - lit(d), lit(0.0)) / col("cu")) +
+          (((lit(d) * col("n1p")) / col("cu")) * pcont))
+    docTerms
+      .join(big, Seq("u", "w"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(n1pr, Seq("w"), "left")
+      .crossJoin(consts)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+        round(-sum(col("n_occ") * log(p)) / sum(col("n_occ")), scale)
+          .as("cross_entropy"))
+  }
 }

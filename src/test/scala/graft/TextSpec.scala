@@ -139,6 +139,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("Kneser-Ney LM: separates junk; continuation counts beat raw frequency") {
+    import graft.text.LanguageModel
+    // "san" appears often but ONLY after "the" — raw frequency is high,
+    // continuation count (distinct left contexts) is 1. "cat" appears
+    // less often but after varied contexts. KN's continuation
+    // distribution must prefer "cat" as a novel-context continuation.
+    val ref = Seq(
+      (1L, "the san the san the san the san"),
+      (2L, "a cat big cat my cat"),
+      (3L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val (big, ctx, n1pr, consts) = LanguageModel.trainKneserNey(ref)
+    val probe = Seq(
+      (10L, "the cat sat on a mat"), // in-distribution
+      (11L, "zz qq xx vv bb nn"),    // junk: unseen everything
+      (12L, "x")).toDF("doc_id", "text")
+    val got = LanguageModel
+      .scoreKneserNey(big, ctx, n1pr, consts, probe)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"))).toMap
+    assert(!got.contains(12L), "bigram-less doc must be absent")
+    assert(got(10L)._2 < got(11L)._2,
+      s"in-distribution ${got(10L)._2} must beat junk ${got(11L)._2}")
+    // continuation principle: P_cont ranks "cat" (3 left contexts)
+    // above "san" (1 left context, higher raw frequency)
+    val npr = n1pr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(npr("cat") > npr("san"),
+      s"continuation counts: cat=${npr("cat")} san=${npr("san")}")
+  }
+
   test("multimodal resize fits bounds, frame sampling emits per-frame rows") {
     val docs = Tables.load(spark, sfDir, "documents").limit(60)
     val media = Multimodal.synthesize(docs)
