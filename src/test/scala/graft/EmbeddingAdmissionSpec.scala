@@ -130,6 +130,14 @@ class EmbeddingAdmissionSpec extends SparkSpec {
     // the next real batch still lands
     assert(ids(ivc.admit(df(Seq(2L -> b)), 1L)) == Set(2L))
     assert(ids(ivc.readVecs(spark).get) == Set(1L, 2L))
+    // an all-duplicates batch advances the fence without adding a dir…
+    assert(ivc.admit(df(Seq(50L -> a)), 2L).isEmpty)
+    assert(ivc.lastBatchId(spark) == 2L)
+    assert(ids(ivc.readVecs(spark).get) == Set(1L, 2L))
+    // …and admission continues normally past it
+    val c = vec(rnd)
+    assert(ids(ivc.admit(df(Seq(60L -> c)), 3L)) == Set(60L))
+    assert(ids(ivc.readVecs(spark).get) == Set(1L, 2L, 60L))
   }
 
   test("streaming e2e over the indexed corpus") {
