@@ -42,14 +42,17 @@ object Analytics3 {
     val big = IndexCache.getOrBuild(s, s"lmkn-big:$dir") {
       graft.text.LanguageModel.trainKneserNey(docs)._1
     }
+    // ctx/n1pr/consts are tiny aggregates OVER the bigram table — build
+    // them from the persisted `big` handle so a cold warm() scans the
+    // corpus once, not four times
     val ctx = IndexCache.getOrBuild(s, s"lmkn-ctx:$dir") {
-      graft.text.LanguageModel.trainKneserNey(docs)._2
+      big.groupBy("u").agg(sum(col("c2")).as("cu"), count(lit(1)).as("n1p"))
     }
     val n1pr = IndexCache.getOrBuild(s, s"lmkn-n1pr:$dir") {
-      graft.text.LanguageModel.trainKneserNey(docs)._3
+      big.groupBy(col("w")).agg(count(lit(1)).as("npr"))
     }
     val consts = IndexCache.getOrBuild(s, s"lmkn-consts:$dir") {
-      graft.text.LanguageModel.trainKneserNey(docs)._4
+      big.agg(count(lit(1)).as("btot"), count_distinct(col("w")).as("vsz"))
     }
     (big, ctx, n1pr, consts)
   }

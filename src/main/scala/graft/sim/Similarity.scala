@@ -207,23 +207,46 @@ object Similarity {
     * matches itself at cosine 1.0, which is what makes replayed
     * admission batches idempotent (see
     * [[graft.streaming.EmbeddingAdmission]]). */
+  /** The LSH plane-seed schedule: table `t` hashes with seed
+    * `BandSeed + BandStride * t`. ONE definition, shared by
+    * [[nearDupPairs]], [[crossNearDupPairs]] and
+    * [[graft.streaming.IndexedVectorCorpus]] — the indexed admission
+    * gate's equivalence to the direct-scan gate depends on every site
+    * deriving buckets from the same schedule. */
+  val BandSeed: Long = 0xD00DL
+  val BandStride: Long = 104729L
+
+  /** Single-scan banding projection (all tables' buckets in one
+    * projection + one explode): (idAs[, vecAs], table, bucket). Pass
+    * `vecAs = None` for the NARROW form (the vector is consumed by the
+    * bucket bits and not carried — the signature-index shape). */
+  private[graft] def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                   idAs: String, vecAs: Option[String],
+                                   bits: Int, tables: Int,
+                                   seed: Long = BandSeed): DataFrame = {
+    require(tables > 0, s"banding needs at least one table, got $tables")
+    val withTb = df.select(col(idCol).as(idAs), col(vecCol).as("__v"))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          VF.hyperplaneSignBits(col("__v"), bits, seed = seed + BandStride * t)
+            .as("bucket"))
+      }: _*)))
+    vecAs match {
+      case Some(v) => withTb.select(col(idAs), col("__v").as(v),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      case None => withTb.select(col(idAs),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+  }
+
   def crossNearDupPairs(corpus: DataFrame, batch: DataFrame,
                         threshold: Double, bits: Int = 6, tables: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        seed: Long = 0xD00DL): DataFrame = {
-    require(tables > 0, s"crossNearDupPairs needs at least one table, got $tables")
-    def bucketedT(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .withColumn("tb", explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"),
-            VF.hyperplaneSignBits(col(vec), bits, seed = seed + 104729L * t)
-              .as("bucket"))
-        }: _*)))
-        .select(col(id), col(vec), col("tb.table").as("table"),
-          col("tb.bucket").as("bucket"))
-    bucketedT(corpus, "corpus_id", "c_vec")
-      .join(broadcast(bucketedT(batch, "batch_id", "b_vec")),
-        Seq("table", "bucket"))
+                        seed: Long = BandSeed): DataFrame = {
+    bandedBuckets(corpus, idCol, vecCol, "corpus_id", Some("c_vec"),
+        bits, tables, seed)
+      .join(broadcast(bandedBuckets(batch, idCol, vecCol, "batch_id",
+        Some("b_vec"), bits, tables, seed)), Seq("table", "bucket"))
       .select(col("batch_id"), col("corpus_id"),
         VF.cosine(col("b_vec"), col("c_vec")).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -234,17 +257,8 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    bits: Int = 6, tables: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(tables > 0, s"nearDupPairs needs at least one hash table, got $tables")
-    // single-scan banding: all tables' buckets in one projection + one
-    // explode (see lshTopK) instead of `tables` full corpus scans
-    val banded = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"),
-          VF.hyperplaneSignBits(col("vec"), bits, seed = 0xD00DL + 104729L * t)
-            .as("bucket"))
-      }: _*)))
-      .select(col("id"), col("vec"), col("tb.table").as("table"),
-        col("tb.bucket").as("bucket"))
+    val banded = bandedBuckets(vectors, idCol, vecCol, "id", Some("vec"),
+      bits, tables)
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table", "bucket"))

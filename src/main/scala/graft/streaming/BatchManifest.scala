@@ -23,7 +23,12 @@ private[streaming] object BatchManifest {
     } else (-1L, Nil)
 
   /** Atomic swap: write `_COMMITTED.tmp<last>` then rename over the
-    * pointer. */
+    * pointer with `Rename.OVERWRITE` (atomic on HDFS and posix). The
+    * plain `FileSystem.rename` + delete-then-rename fallback is kept
+    * only for filesystems without FileContext support — there a crash
+    * between the delete and the rename leaves NO manifest (fence reset,
+    * every committed batch orphaned), which is why the overwrite form
+    * is tried first. */
   def write(fs: FileSystem, root: String, pointer: HPath, last: Long,
             ids: Seq[Long]): Unit = {
     val tmp = new HPath(root, s"_COMMITTED.tmp$last")
@@ -31,9 +36,16 @@ private[streaming] object BatchManifest {
     try out.write((last.toString +: ids.map(_.toString))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, pointer)) {
-      fs.delete(pointer, false)
-      require(fs.rename(tmp, pointer), s"manifest swap failed for $root")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        if (!fs.rename(tmp, pointer)) {
+          fs.delete(pointer, false)
+          require(fs.rename(tmp, pointer), s"manifest swap failed for $root")
+        }
     }
   }
 }

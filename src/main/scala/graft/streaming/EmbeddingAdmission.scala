@@ -34,8 +34,11 @@ object EmbeddingAdmission {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  threshold: Double = 0.9, bits: Int = 4,
                  tables: Int = 8): DataFrame = {
-    require(threshold <= 1.0,
-      s"threshold > 1 breaks replay idempotence (self-match masking): $threshold")
+    // strict: at exactly 1.0 a replayed vector's float self-cosine can
+    // round to 0.99999999999999989 < threshold and slip past the mask —
+    // exact-duplicate gating belongs to hash dedup, not a cosine gate
+    require(threshold < 1.0,
+      s"threshold must be < 1 for replay idempotence (self-match masking): $threshold")
     val spark = batch.sparkSession
     // within-batch near-dup collapse (pairs → components → keep one)
     val pairs = Similarity.nearDupPairs(batch, threshold, bits, tables,

@@ -48,7 +48,7 @@ class IndexedVectorCorpus(
     val bits: Int = 4,
     val tables: Int = 8,
     val buckets: Int = 32,
-    val seed: Long = 0xD00DL) extends Serializable {
+    val seed: Long = Similarity.BandSeed) extends Serializable {
   require(buckets > 0, "buckets must be positive")
   require(tables > 0, "tables must be positive")
 
@@ -64,33 +64,34 @@ class IndexedVectorCorpus(
     BatchManifest.read(fs(spark), pointer)._1
 
   /** Committed vectors. */
-  def readVecs(spark: SparkSession): Option[DataFrame] = {
-    val ids = BatchManifest.read(fs(spark), pointer)._2
+  def readVecs(spark: SparkSession): Option[DataFrame] =
+    vecsFrom(spark, BatchManifest.read(fs(spark), pointer)._2)
+
+  /** Committed signature index (id, table, bucket, __vbucket). */
+  def readSigs(spark: SparkSession): Option[DataFrame] =
+    sigsFrom(spark, BatchManifest.read(fs(spark), pointer)._2)
+
+  // manifest-free forms: admit() reads the pointer once per batch and
+  // threads the committed ids through (the single-writer protocol means
+  // it cannot change inside the synchronized block — re-reading would
+  // just add metadata round trips on the streaming hot path)
+  private def vecsFrom(spark: SparkSession, ids: Seq[Long]): Option[DataFrame] =
     if (ids.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(ids.sorted.map(vecsDir): _*))
-  }
 
-  /** Committed signature index (id, table, bucket, __vbucket). */
-  def readSigs(spark: SparkSession): Option[DataFrame] = {
-    val ids = BatchManifest.read(fs(spark), pointer)._2
+  private def sigsFrom(spark: SparkSession, ids: Seq[Long]): Option[DataFrame] =
     if (ids.isEmpty) None
     else Some(spark.read.option("basePath", s"$path/sigs")
       .parquet(ids.sorted.map(sigsDir): _*).drop("batch"))
-  }
 
   /** Narrow signature rows of `vecs`: (id, table, bucket, __vbucket),
     * one per (vector, table) — the vector itself is consumed by the
-    * bucket projection and not carried. */
+    * bucket projection and not carried. The banding comes from
+    * [[Similarity.bandedBuckets]], the SAME schedule the direct-scan
+    * gate uses — the source of the indexed ≡ direct equivalence. */
   private def sigsOf(vecs: DataFrame): DataFrame =
-    vecs.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .withColumn("tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"),
-          VF.hyperplaneSignBits(col("__v"), bits, seed = seed + 104729L * t)
-            .as("bucket"))
-      }: _*)))
-      .select(col("id"), col("tb.table").as("table"),
-        col("tb.bucket").as("bucket"))
+    Similarity.bandedBuckets(vecs, idCol, vecCol, "id", None, bits, tables, seed)
       .withColumn("__vbucket",
         pmod(xxhash64(col("table"), col("bucket")), lit(buckets.toLong))
           .cast("int"))
@@ -114,7 +115,7 @@ class IndexedVectorCorpus(
     val batchSigs = sigsOf(selfDeduped)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val admitted = (readSigs(spark) match {
+    val admitted = (sigsFrom(spark, committed) match {
       case Some(index) if committed.nonEmpty =>
         // metadata-sized driver action: ≤ `buckets` distinct values —
         // partition pruning then skips every other bucket's files
@@ -132,7 +133,7 @@ class IndexedVectorCorpus(
         // the only wide read: candidate corpus ids re-join their
         // vectors; the batch side is broadcast-small by contract
         val dups = cand
-          .join(readVecs(spark).get.select(col(idCol).as("corpus_id"),
+          .join(vecsFrom(spark, committed).get.select(col(idCol).as("corpus_id"),
             col(vecCol).as("cv")), Seq("corpus_id"))
           .join(broadcast(selfDeduped.select(col(idCol).as("batch_id"),
             col(vecCol).as("bv"))), Seq("batch_id"))

@@ -49,7 +49,7 @@ object Importance {
   def trainBuckets(docs: DataFrame, targetPred: Column, buckets: Int = 256,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val grams = docs.select(col(idCol), targetPred.as("is_t"),
+    val grams = docs.select(targetPred.as("is_t"),
         explode(LM.bigramPairs(col(textCol))).as("bg"))
       .select(col("is_t"),
         featureBucket(concat_ws(" ", col("bg.u"), col("bg.w")), buckets).as("b"))
@@ -70,14 +70,25 @@ object Importance {
         featureBucket(concat_ws(" ", col("bg.u"), col("bg.w")), buckets).as("b"))
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("n_occ"))
+    // LEFT join: a bucket unseen in training still gets its add-one
+    // smoothed ratio (sc = tc = 0) instead of silently vanishing from
+    // the score — the case that appears exactly when scoring NEW docs
+    // against a cached model (the deploy split this API exists for).
+    // The totals ride every model row, so recover them from any match
+    // or from a 1-row broadcast for the all-unseen corner.
+    val totals = model.select(col("ns"), col("nt")).limit(1)
     docTerms
-      .join(model, Seq("b")) // every doc bucket exists in the source counts
+      .join(model.withColumnRenamed("ns", "m_ns")
+        .withColumnRenamed("nt", "m_nt"), Seq("b"), "left")
+      .crossJoin(totals)
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_bigrams"),
         round(
           sum(col("n_occ") * log(
-            ((col("tc") + lit(1.0)) / (col("nt") + lit(buckets.toDouble))) /
-              ((col("sc") + lit(1.0)) / (col("ns") + lit(buckets.toDouble))))) /
+            ((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+              (col("nt") + lit(buckets.toDouble))) /
+              ((coalesce(col("sc"), lit(0L)) + lit(1.0)) /
+                (col("ns") + lit(buckets.toDouble))))) /
             sum(col("n_occ")),
           scale).as("logratio"))
   }
