@@ -375,6 +375,23 @@ object TextQueries {
       Some(graft.sim.DataQuantizers.pqTopKSql("embeddings", k = 5, m = 8,
         dim = 64, codebookSize = 32, seedOffset = 240, queryPred = "id < 8"))),
 
+    // ---- IVF+PQ composed (FAISS IVFPQ shape): coarse cells prune the
+    // ---- corpus to nProbe cells, the integer LUT ADC-scores only
+    // ---- those cells' members — O(nProbe·cell·m) adds per query; both
+    // ---- halves are the cached ingest artifacts of q39/q53 -----------
+    Q("q101_embed_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val (cents, assigned) = TextQueries.seedIvfCached(s, dir, emb)
+        val (cb, enc) = TextQueries.seedPqCached(s, dir, emb)
+        graft.sim.DataQuantizers.ivfPqProbe(assigned, cents, cb, enc,
+            emb.filter(col("vec_id") < 8), k = 5, nProbe = 4, m = 8, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(graft.sim.DataQuantizers.ivfPqTopKSql("embeddings", k = 5,
+        nCentroids = 16, nProbe = 4, centOffset = 200, m = 8, dim = 64,
+        codebookSize = 32, seedOffset = 240, queryPred = "id < 8"))),
+
     // ---- LSH-bucketed embedding near-dup, data-derived hyperplanes
     // ---- (vec_id 140-187) — same full-pipeline oracle as q42; the
     // ---- seeded-RNG variant stays in Similarity.nearDupPairs ---------

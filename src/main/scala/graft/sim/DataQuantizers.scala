@@ -414,6 +414,115 @@ object DataQuantizers {
       idCol, vecCol)
   }
 
+  /** IVF+PQ composed — the standard large-corpus ANN layout (FAISS
+    * IVFPQ; Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the coarse quantizer prunes to `nProbe`
+    * cells per query, and only those cells' members are ADC-scored
+    * through the integer LUT. Work per query is
+    * O(nProbe·cell·m) LUT adds instead of O(corpus·dim) — the
+    * composition is what makes billion-vector serving tractable; both
+    * halves (cell assignment, PQ codes) are the cached ingest
+    * artifacts. (query_id, neighbor_id, adc_score, rank), ranked by
+    * exact BIGINT score, id tiebreak. */
+  def ivfPqProbe(asg: DataFrame, cents: DataFrame, cb: DataFrame,
+                 enc: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+                 m: Int, dim: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(VF.cosine(col("qv"), col("cvec")), 6).as("csim"))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+    val ip = chain((0 until sub).map(j => subElem(col("qv"), sub, j) * cbElem(j)))
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("m"), col("code"),
+        round(ip * 1000000.0).cast("long").as("ipq"))
+    val cand = asg.select(col("id"), col("cell"))
+      .join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id").asc)
+    cand.join(enc, Seq("id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("ipq")).as("s"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("s").cast("double") / 1000000.0).as("adc_score"), col("rank"))
+  }
+
+  /** DuckDB oracle reproducing [[ivfPqProbe]] exactly (the ivf + pq
+    * CTEs composed: probed cells bound the candidates, the LUT scores
+    * them). */
+  def ivfPqTopKSql(table: String, k: Int, nCentroids: Int, nProbe: Int,
+                   centOffset: Int, m: Int, dim: Int, codebookSize: Int,
+                   seedOffset: Int, queryPred: String): String = {
+    val sub = dim / m
+    val d2 = (1 to sub)
+      .map(j => s"(v[b.m * $sub + $j] - cv[$j]) * (v[b.m * $sub + $j] - cv[$j])")
+      .mkString(" + ")
+    val ip = (1 to sub).map(j => s"qv[b.m * $sub + $j] * cv[$j]").mkString(" + ")
+    s"""WITH corp AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM $table
+       |), ct AS MATERIALIZED (
+       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM $table WHERE vec_id >= $centOffset AND vec_id < ${centOffset + nCentroids}
+       |), asg AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id
+       |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cell) AS rn
+       |    FROM corp c CROSS JOIN ct
+       |  ) WHERE rn = 1
+       |), cb AS MATERIALIZED (
+       |  SELECT mm.m, code, sv[mm.m * $sub + 1 : mm.m * $sub + $sub] AS cv
+       |  FROM (SELECT vec_id - $seedOffset AS code, CAST(embedding AS DOUBLE[]) AS sv
+       |        FROM $table
+       |        WHERE vec_id >= $seedOffset AND vec_id < ${seedOffset + codebookSize})
+       |  CROSS JOIN (SELECT unnest(range($m)) AS m) mm
+       |), enc AS MATERIALIZED (
+       |  SELECT id, m, code FROM (
+       |    SELECT c.id, b.m, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id, b.m
+       |        ORDER BY round($d2, 6), b.code) AS rn
+       |    FROM (SELECT id, v FROM corp) c CROSS JOIN cb b
+       |  ) WHERE rn = 1
+       |), pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.id AS query_id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.id
+       |        ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC, ct.cell) AS rn
+       |    FROM corp q CROSS JOIN ct WHERE q.$queryPred
+       |  ) WHERE rn <= $nProbe
+       |), lut AS (
+       |  SELECT q.id AS query_id, b.m, b.code,
+       |    CAST(round(($ip) * 1000000.0) AS BIGINT) AS ipq
+       |  FROM (SELECT id, v AS qv FROM corp WHERE $queryPred) q CROSS JOIN cb b
+       |), cand AS (
+       |  SELECT DISTINCT pr.query_id, a.id
+       |  FROM asg a JOIN pr ON a.cell = pr.cell
+       |  WHERE a.id <> pr.query_id
+       |), sc AS (
+       |  SELECT c.query_id, e.id AS neighbor_id, SUM(l.ipq) AS s
+       |  FROM cand c JOIN enc e ON e.id = c.id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.code = e.code
+       |  GROUP BY c.query_id, e.id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  CAST(s AS DOUBLE) / 1000000.0 AS adc_score, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY s DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle reproducing [[pqTopK]] exactly. */
   def pqTopKSql(table: String, k: Int, m: Int, dim: Int, codebookSize: Int,
                 seedOffset: Int, queryPred: String): String = {

@@ -76,6 +76,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("q101: IVFPQ probes/LUT broadcast; candidates stay cell-bounded") {
+    val p = planOf("q101_embed_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
   test("q53: PQ encode/score join the broadcast codebook, never a shuffle cross") {
     val p = planOf("q53_embed_pq_topk")
     // quantizer tables travel as broadcasts (nested-loop for the cross
