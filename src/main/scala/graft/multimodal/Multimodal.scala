@@ -22,11 +22,13 @@ trait MediaDecoder extends Serializable {
   def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
 }
 
-/** The real decoder would bind an image/audio codec (JavaCPP/FFmpeg,
-  * ImageIO, ...). Those libraries are not in this container, so the
-  * binding is left unimplemented by design; the Spark-side plumbing
-  * (schema, partitioning, batch shape) is real and tested with
-  * [[FakeDecoder]]. */
+/** The codec-BOUND decoder would bind an image/audio codec
+  * (JavaCPP/FFmpeg, ImageIO, ...). Those libraries are not in this
+  * container, so the binding is left unimplemented by design. The
+  * codec-FREE formats are decoded for real by [[PortableDecoder]]
+  * (netpbm P6, concatenated-P6 streams, PCM WAV — pure JVM parsing,
+  * q102-oracled); the Spark-side plumbing (schema, partitioning, batch
+  * shape) is additionally exercised with [[FakeDecoder]]. */
 object NativeDecoder extends MediaDecoder {
   def decode(kind: String, bytes: Array[Byte]): MediaMeta = ???
   def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = ???
@@ -84,6 +86,19 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("bytes"))
+
+  /** REAL container synthesis for [[PortableDecoder]]: well-formed P6 /
+    * concatenated-P6 / PCM-WAV blobs whose header fields are pure
+    * functions of the id — so an independent engine can verify that
+    * decode inverts synthesis arithmetically, without parsing a byte
+    * (the q102 oracle). */
+  def synthesizePortable(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    val ids = docs.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map(id => MediaRow(id, PortableMedia.kindOf(id), PortableMedia.blob(id)))
+    }.toDF()
+  }
 
   /** Batched decode: blob → typed metadata + feature vector. */
   def decodeAll(media: DataFrame, decoder: MediaDecoder,

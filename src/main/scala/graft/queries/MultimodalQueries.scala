@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{FakeDecoder, Multimodal}
+import graft.multimodal.{FakeDecoder, Multimodal, PortableDecoder}
 import graft.sources.Tables
 
 /** Multimodal-column plumbing queries: opaque binary blobs with typed
@@ -61,6 +61,42 @@ object MultimodalQueries {
              |  CAST(strlen(text) AS INTEGER) AS n_bytes,
              |  TRUE AS decode_ok,
              |  CAST(8 AS INTEGER) AS n_features
+             |FROM documents
+             |ORDER BY media_id""".stripMargin)),
+
+    // ---- REAL decode, no codec libs: PortableDecoder parses actual
+    // ---- P6 / concatenated-P6 / PCM-WAV containers synthesized from
+    // ---- pure id functions — the oracle re-derives every header field
+    // ---- ARITHMETICALLY (header length via string length), so a pass
+    // ---- proves the parser inverts the synthesis end-to-end ----------
+    Q("q102_media_real_decode",
+      (s, dir) => Multimodal.decodeAll(
+          Multimodal.synthesizePortable(Tables.load(s, dir, "documents")),
+          PortableDecoder)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sampleRate").as("sample_rate"),
+          col("meta.nFrames").as("n_frames"),
+          col("n_bytes"), col("meta.ok").as("ok"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 4 + doc_id % 13 WHEN 2 THEN 8 ELSE 0 END AS INTEGER) AS width,
+             |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 4 + doc_id % 11 WHEN 2 THEN 8 ELSE 0 END AS INTEGER) AS height,
+             |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS INTEGER) AS sample_rate,
+             |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+             |       WHEN 1 THEN 500 + doc_id % 250
+             |       ELSE 2 + (doc_id // 3) % 3 END AS INTEGER) AS n_frames,
+             |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             |       WHEN 0 THEN LENGTH('P6' || chr(10) || CAST(4 + doc_id % 13 AS VARCHAR)
+             |         || ' ' || CAST(4 + doc_id % 11 AS VARCHAR) || chr(10) || '255' || chr(10))
+             |         + 3 * (4 + doc_id % 13) * (4 + doc_id % 11)
+             |       WHEN 1 THEN 44 + 2 * (500 + doc_id % 250)
+             |       ELSE (2 + (doc_id // 3) % 3)
+             |         * (LENGTH('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10)) + 192)
+             |       END AS INTEGER) AS n_bytes,
+             |  TRUE AS ok
              |FROM documents
              |ORDER BY media_id""".stripMargin))
   )
