@@ -643,4 +643,82 @@ object Dedup {
       .select(col("train_id").as(idCol)).distinct()
     train.join(hits, Seq(idCol), "left_anti")
   }
+
+  // ---- chunk-level dedup with text rewrite ---------------------------
+
+  /** Paragraph/chunk-level corpus dedup that REWRITES the document
+    * (MassiveText "repetition removal across documents", Rae et al.
+    * 2021 §A1.3; the removal counterpart of the [[spanStats]] audit):
+    * the text is cut into non-overlapping `chunkK`-token chunks, a
+    * chunk whose exact text occurs elsewhere in the corpus survives
+    * only at its first occurrence (smallest `(doc_id, pos)`), and each
+    * doc is re-assembled from its surviving chunks in position order.
+    *
+    * Output per doc: `n_chunks`, `n_kept`, the rebuilt `text_kept`,
+    * and `kept_frac` — the downstream filter key (MassiveText drops
+    * docs whose retained fraction falls below a threshold).
+    *
+    * Scale shape: explode to one row per chunk, ONE hash shuffle on
+    * the chunk key for the first-occurrence winner (map-side partial
+    * `min` — at production scale group on a 16-byte chunk hash so the
+    * exchange carries fixed-width keys), one equi-join back, one
+    * per-doc aggregate. Corpus² never appears. The per-doc re-assembly
+    * is a bounded `collect_list` (docs have bounded length by
+    * upstream contract — the same bound that makes `tokens()` safe). */
+  def chunkDedupRewrite(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", chunkK: Int = 4): DataFrame = {
+    require(chunkK >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    // ceil(n / k) in integer math; split("") = [""] so size >= 1 always,
+    // the greatest() guard mirrors the oracle's belt-and-braces form
+    val nChunks = floor((size(toks) + lit(chunkK - 1)) / lit(chunkK)).cast("int")
+    val chunks = transform(sequence(lit(1), greatest(nChunks, lit(1))),
+      j => struct(j.as("pos"),
+        concat_ws(" ", slice(toks, (j - lit(1)) * chunkK + lit(1), lit(chunkK)))
+          .as("chunk")))
+    val pos = docs.select(col(idCol).as("id"), explode(chunks).as("c"))
+      .select(col("id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    // first-occurrence winner per chunk text: min (id, pos) — a partial
+    // aggregate, so only one (chunk → winner) row per key crosses the wire
+    val winners = pos.groupBy("chunk")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    pos.join(winners, Seq("chunk"))
+      .withColumn("keep", col("id") === col("w.id") && col("pos") === col("w.pos"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_kept"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** DuckDB oracle reproducing [[chunkDedupRewrite]] exactly
+    * (non-overlapping position chunks, corpus-wide first-occurrence
+    * winner, position-ordered re-assembly, single-division fraction). */
+  def chunkDedupRewriteSql(table: String = "documents",
+                           idCol: String = "doc_id", textCol: String = "text",
+                           chunkK: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol, string_split($textCol, ' ') AS t FROM $table
+       |), pos AS MATERIALIZED (
+       |  SELECT $idCol AS id, unnest([{'pos': j,
+       |      'chunk': array_to_string(t[(j-1)*$chunkK+1 : j*$chunkK], ' ')}
+       |    FOR j IN range(1, 1 + greatest(CAST(ceil(len(t) / CAST($chunkK AS DOUBLE)) AS BIGINT), 1))]) AS c
+       |  FROM toks
+       |), pc AS (
+       |  SELECT id, c.pos AS pos, c.chunk AS chunk,
+       |    ROW_NUMBER() OVER (PARTITION BY c.chunk ORDER BY id, c.pos) AS rn
+       |  FROM pos
+       |)
+       |SELECT id AS $idCol,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text_kept,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+       |FROM pc GROUP BY id
+       |ORDER BY $idCol""".stripMargin
 }

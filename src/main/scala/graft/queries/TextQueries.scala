@@ -251,6 +251,16 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(Dedup.spanStatsSql(spanK = 8))),
 
+    // ---- chunk-level dedup with text rewrite (MassiveText repetition
+    // ---- removal across documents; the removal counterpart of q95's
+    // ---- span audit — first corpus occurrence survives, docs are
+    // ---- re-assembled from surviving chunks) -------------------------
+    Q("q103_chunk_dedup_rewrite",
+      (s, dir) => Dedup.chunkDedupRewrite(
+          Tables.loadParallel(s, dir, "documents"), chunkK = 4)
+        .orderBy("doc_id"),
+      Some(Dedup.chunkDedupRewriteSql(chunkK = 4))),
+
     // ---- near-dup clustering: pairs → connected components (the
     // ---- transitive-closure step that makes pairs deduplicatable;
     // ---- oracled via a DuckDB recursive CTE over the same exact

@@ -262,4 +262,30 @@ class DedupSpec extends SparkSpec {
     assert(got(2) == ((3L, 3L, 0.0)))
     assert(got(3)._3 == 1.0, s"periodic text must be fully self-duplicated: ${got(3)}")
   }
+
+  test("chunk dedup rewrite: first corpus occurrence survives, docs rebuilt") {
+    val df = Seq(
+      (1L, "a b c d x y z w"),   // both chunks original → kept verbatim
+      (2L, "a b c d p q r s"),   // first chunk is doc 1's → dropped
+      (3L, "p q r s p q r s"),   // pos-1 copy of doc 2's chunk AND a
+      //    within-doc repeat: both chunks lose to earlier occurrences
+      (4L, "t u v")              // single short chunk (< k tokens)
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupRewrite(df, chunkK = 4)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_chunks", $"n_kept", $"text_kept", $"kept_frac")
+      .as[(Long, Long, Long, String, Double)].collect()
+    assert(got(0) == ((1L, 2L, 2L, "a b c d x y z w", 1.0)), got(0).toString)
+    assert(got(1) == ((2L, 2L, 1L, "p q r s", 0.5)), got(1).toString)
+    assert(got(2) == ((3L, 2L, 0L, "", 0.0)), got(2).toString)
+    assert(got(3) == ((4L, 1L, 1L, "t u v", 1.0)), got(3).toString)
+  }
+
+  test("chunk dedup rewrite: within-doc winner is the earliest position") {
+    val df = Seq((7L, "a b c d e f g h a b c d")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupRewrite(df, chunkK = 4)
+      .select($"n_chunks", $"n_kept", $"text_kept")
+      .as[(Long, Long, String)].head()
+    assert(got == ((3L, 2L, "a b c d e f g h")), got.toString)
+  }
 }
