@@ -77,6 +77,39 @@ object Analytics3 {
     (uni, totals, big, tri)
   }
 
+  /** q82's scoring pipeline as a reusable oracle CTE prefix ending in
+    * `scored(doc_id, n_bigrams, cross_entropy)` — q82 selects it
+    * directly; q104 buckets over it. */
+  private val lmScoredCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), uni AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+      |), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uni),
+      |db0 AS (
+      |  SELECT doc_id, unnest([{'u': t[i], 'w': t[i + 1]}
+      |    FOR i IN range(1, len(t))]) AS bg
+      |  FROM toks
+      |), db AS (
+      |  SELECT doc_id, bg.u AS u, bg.w AS w FROM db0
+      |), bc AS (
+      |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY u, w
+      |), docterms AS (
+      |  SELECT doc_id, u, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM db GROUP BY doc_id, u, w
+      |), scored AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+      |    ROUND(-SUM(d.n_occ * ln((bc.c2 + 1.0) / (uni.c1 + v.vsz)))
+      |          / SUM(d.n_occ), 4) AS cross_entropy
+      |  FROM docterms d
+      |  JOIN bc ON d.u = bc.u AND d.w = bc.w
+      |  JOIN uni ON d.u = uni.u
+      |  CROSS JOIN v
+      |  GROUP BY d.doc_id
+      |)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- event-chain counting: sequence_count(view -> click ->
@@ -274,33 +307,45 @@ object Analytics3 {
         graft.text.LanguageModel.scoreBigram(uni, big, vocab, d)
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |), uni AS (
-             |  SELECT u, CAST(COUNT(*) AS BIGINT) AS c1
-             |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
-             |), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uni),
-             |db0 AS (
-             |  SELECT doc_id, unnest([{'u': t[i], 'w': t[i + 1]}
-             |    FOR i IN range(1, len(t))]) AS bg
-             |  FROM toks
-             |), db AS (
-             |  SELECT doc_id, bg.u AS u, bg.w AS w FROM db0
-             |), bc AS (
-             |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY u, w
-             |), docterms AS (
-             |  SELECT doc_id, u, w, CAST(COUNT(*) AS BIGINT) AS n_occ
-             |  FROM db GROUP BY doc_id, u, w
+      Some(lmScoredCte +
+        "\nSELECT doc_id, n_bigrams, cross_entropy FROM scored ORDER BY doc_id")),
+
+    // ---- CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
+    // ---- tercile cuts are exact order statistics of a deterministic
+    // ---- sample (the CCNet scale design — only the sample is rank-
+    // ---- sorted; cuts travel as broadcast scalars) -------------------
+    Q("q104_perplexity_buckets",
+      (s, dir) => {
+        val d = Tables.loadParallel(s, dir, "documents")
+        val (uni, big, vocab) = Analytics3.lmBigramCached(s, dir, d)
+        val scored = graft.text.LanguageModel.scoreBigram(uni, big, vocab, d)
+        val sample = graft.text.LanguageModel.scoreBigram(uni, big, vocab,
+          d.filter(col("doc_id") % 10 === 0))
+        graft.text.LanguageModel.perplexityBuckets(scored, sample)
+          .orderBy("bucket")
+      },
+      Some(lmScoredCte + """,
+             |s AS (
+             |  SELECT cross_entropy AS ce, doc_id FROM scored WHERE doc_id % 10 = 0
+             |), ranked AS (
+             |  SELECT ce, ROW_NUMBER() OVER (ORDER BY ce, doc_id) AS rn,
+             |    COUNT(*) OVER () AS n
+             |  FROM s
+             |), cuts AS (
+             |  SELECT MAX(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN ce END) AS c1,
+             |         MAX(CASE WHEN rn = CAST(ceil(n * 2.0 / 3.0) AS BIGINT) THEN ce END) AS c2
+             |  FROM ranked
              |)
-             |SELECT d.doc_id,
-             |  CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
-             |  ROUND(-SUM(d.n_occ * ln((bc.c2 + 1.0) / (uni.c1 + v.vsz)))
-             |        / SUM(d.n_occ), 4) AS cross_entropy
-             |FROM docterms d
-             |JOIN bc ON d.u = bc.u AND d.w = bc.w
-             |JOIN uni ON d.u = uni.u
-             |CROSS JOIN v
-             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+             |SELECT CASE WHEN cross_entropy <= c1 THEN 'head'
+             |            WHEN cross_entropy <= c2 THEN 'middle'
+             |            ELSE 'tail' END AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(cross_entropy) AS min_ce,
+             |  MAX(cross_entropy) AS max_ce,
+             |  ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(18, 4))) AS DOUBLE)
+             |    / COUNT(*), 4) AS avg_ce
+             |FROM scored CROSS JOIN cuts
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ---- Kneser-Ney LM gate: absolute discounting + continuation
     // ---- counts (Kneser & Ney '95; Chen & Goodman '99) — the standard

@@ -249,4 +249,46 @@ object LanguageModel {
         round(-sum(col("n_occ") * log(p)) / sum(col("n_occ")), scale)
           .as("cross_entropy"))
   }
+
+  /** CCNet-style head/middle/tail corpus split (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * 2020 §4.4): documents bucket by LM cross-entropy against tercile
+    * cut points, and downstream mixing samples the buckets at different
+    * rates.
+    *
+    * The cuts are exact order statistics (no interpolation — engine-
+    * portable on the score's fixed decimal grain) of `scoredSample`, a
+    * deterministic sample of the scored corpus. That is the scale
+    * design CCNet itself uses: thresholds come from a bounded sample —
+    * only the sample is rank-sorted (one window over ~0.1% of rows at
+    * production scale) — and travel to the corpus as two broadcast
+    * scalars; the corpus itself is never globally sorted.
+    *
+    * Sums aggregate in DECIMAL so partial-aggregation order cannot
+    * perturb the output. Output: one row per bucket with doc count and
+    * score envelope. */
+  def perplexityBuckets(scored: DataFrame, scoredSample: DataFrame,
+                        idCol: String = "doc_id",
+                        ceCol: String = "cross_entropy"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ranked = scoredSample
+      .select(col(ceCol).as("ce"), col(idCol))
+      .withColumn("rn", row_number().over(Window.orderBy(col("ce"), col(idCol))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val cuts = ranked.agg(
+      max(when(col("rn") === ceil(col("n") / lit(3.0)), col("ce"))).as("c1"),
+      max(when(col("rn") === ceil(col("n") * lit(2.0) / lit(3.0)), col("ce"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(ceCol) <= col("c1"), "head")
+          .when(col(ceCol) <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(ceCol)).as("min_ce"),
+        max(col(ceCol)).as("max_ce"),
+        round(sum(col(ceCol).cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)), 4).as("avg_ce"))
+  }
 }

@@ -200,4 +200,33 @@ class TextSpec extends SparkSpec {
     assert(out.where($"kind" === "image" && $"meta.width" < 64).count() == 0)
     assert(out.where($"kind" === "audio" && $"meta.sampleRate" < 8000).count() == 0)
   }
+
+  test("perplexity buckets: tercile cuts from the sample, stable stats") {
+    import graft.text.LanguageModel
+    // 9 scored docs; the "sample" is the full set, so the cut ranks are
+    // ceil(9/3)=3 -> ce=1.3 and ceil(18/3)=6 -> ce=1.6: head = {1.1,
+    // 1.2, 1.3}, middle = {1.4, 1.5, 1.6}, tail = {1.7, 1.8, 1.9}
+    val scored = (1 to 9).map(i => (i.toLong, 10L, (10 + i) / 10.0))
+      .toDF("doc_id", "n_bigrams", "cross_entropy")
+    val got = LanguageModel.perplexityBuckets(scored, scored)
+      .orderBy("bucket")
+      .select($"bucket", $"n_docs", $"min_ce", $"max_ce", $"avg_ce")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).sameElements(Array("head", "middle", "tail")))
+    assert(got.forall(_._2 == 3L), got.mkString(", "))
+    assert(got(0)._3 == 1.1 && got(0)._4 == 1.3 && got(0)._5 == 1.2)
+    assert(got(2)._3 == 1.7 && got(2)._4 == 1.9 && got(2)._5 == 1.8)
+  }
+
+  test("perplexity buckets: cuts come from the sample, not the corpus") {
+    import graft.text.LanguageModel
+    val scored = (1 to 100).map(i => (i.toLong, 10L, i.toDouble))
+      .toDF("doc_id", "n_bigrams", "cross_entropy")
+    // sample = low tercile only -> both cuts land inside it, so almost
+    // the whole corpus classifies as tail
+    val sample = scored.filter($"cross_entropy" <= 30.0)
+    val got = LanguageModel.perplexityBuckets(scored, sample)
+      .select($"bucket", $"n_docs").as[(String, Long)].collect().toMap
+    assert(got("tail") == 80L, got.toString) // cut2 = ce at rank 20
+  }
 }
