@@ -261,6 +261,15 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(Dedup.chunkDedupRewriteSql(chunkK = 4))),
 
+    // ---- BPE merge-candidate statistics (Sennrich et al. 2016): the
+    // ---- tokenizer-training step — frequency-weighted adjacent
+    // ---- symbol-pair counts over the distinct-word table -------------
+    Q("q105_bpe_pair_stats",
+      (s, dir) => TextAnalysis.bpePairStats(
+          Tables.loadParallel(s, dir, "documents"), topN = 20)
+        .orderBy("rank"),
+      Some(TextAnalysis.bpePairStatsSql(topN = 20))),
+
     // ---- near-dup clustering: pairs → connected components (the
     // ---- transitive-closure step that makes pairs deduplicatable;
     // ---- oracled via a DuckDB recursive CTE over the same exact

@@ -100,4 +100,61 @@ object TextAnalysis {
     val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
     array_min(transform(starts, i => xxhash64(text.substr(i, lit(k)))))
   }
+
+  /** BPE merge-candidate statistics (Sennrich, Haddow & Birch, "Neural
+    * machine translation of rare words with subword units", 2016 §3.2)
+    * — the training half of byte-pair encoding: each word is a symbol
+    * sequence (characters plus the `</w>` end-of-word marker), and the
+    * next merge rule is the adjacent symbol pair with the highest
+    * frequency-weighted count. Emits the top `topN` candidates as
+    * `(rank, sym_a, sym_b, pair_count)` with a deterministic
+    * (count DESC, pair ASC) tie-break.
+    *
+    * Scale shape: pair counting runs over the DISTINCT-word table
+    * (vocabulary-bounded — the corpus text is touched exactly once for
+    * the word-frequency aggregate), and the pair table itself is
+    * alphabet²-bounded, so the final rank window is over a tiny
+    * relation no matter the corpus size. */
+  def bpePairStats(docs: DataFrame, textCol: String = "text",
+                   topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val len = length(col("word"))
+    val pairs = transform(sequence(lit(1), len),
+      i => struct(
+        col("word").substr(i, lit(1)).as("a"),
+        when(i < len, col("word").substr(i + lit(1), lit(1)))
+          .otherwise(lit("</w>")).as("b")))
+    wc.select(explode(pairs).as("p"), col("freq"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))))
+      .where(col("rank") <= topN)
+      .select(col("rank"), col("sym_a"), col("sym_b"), col("pair_count"))
+  }
+
+  /** DuckDB oracle reproducing [[bpePairStats]] exactly. */
+  def bpePairStatsSql(table: String = "documents", textCol: String = "text",
+                      topN: Int = 20): String =
+    s"""WITH wc AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
+       |  WHERE len(w) > 0 GROUP BY w
+       |), pe AS MATERIALIZED (
+       |  SELECT unnest([{'a': substr(word, i, 1),
+       |      'b': CASE WHEN i < len(word) THEN substr(word, i + 1, 1)
+       |                ELSE '</w>' END}
+       |    FOR i IN range(1, len(word) + 1)]) AS p, freq
+       |  FROM wc
+       |), pc AS (
+       |  SELECT p.a AS sym_a, p.b AS sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
+       |  FROM pe GROUP BY 1, 2
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS INTEGER) AS rank,
+       |  sym_a, sym_b, pair_count
+       |FROM pc
+       |ORDER BY rank LIMIT $topN""".stripMargin
 }

@@ -201,6 +201,30 @@ class TextSpec extends SparkSpec {
     assert(out.where($"kind" === "audio" && $"meta.sampleRate" < 8000).count() == 0)
   }
 
+  test("bpe pair stats: frequency-weighted counts, deterministic tie-break") {
+    import graft.text.TextAnalysis
+    // words: ab x3, ac x1 -> pairs (a,b)=3, (b,</w>)=3, (a,c)=1, (c,</w>)=1;
+    // the (a,b)/(b,</w>) tie breaks on sym_a ascending
+    val docs = Seq((1L, "ab ab"), (2L, "ab ac")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, topN = 10)
+      .select($"rank", $"sym_a", $"sym_b", $"pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1, "a", "b", 3L)), got.mkString(", "))
+    assert(got(1) == ((2, "b", "</w>", 3L)))
+    assert(got(2) == ((3, "a", "c", 1L)))
+    assert(got(3) == ((4, "c", "</w>", 1L)))
+    assert(got.length == 4)
+  }
+
+  test("bpe pair stats: single-char words pair with the end marker only") {
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, topN = 10)
+      .select($"sym_a", $"sym_b", $"pair_count")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "</w>", 2L), ("b", "</w>", 1L)))
+  }
+
   test("perplexity buckets: tercile cuts from the sample, stable stats") {
     import graft.text.LanguageModel
     // 9 scored docs; the "sample" is the full set, so the cut ranks are
