@@ -102,4 +102,36 @@ object Versioned {
       .withColumn(target, coalesce(col("_backfill_total"), lit(0).cast("double")))
       .drop("_backfill_total")
   }
+
+  /** SCD Type-2 history from a change stream (Kimball's slowly-changing
+    * dimension; the history-table counterpart of [[latestByKey]]'s
+    * current-state view): every non-delete change version becomes a
+    * validity interval `[valid_from, valid_to)`, a successor version
+    * closes its predecessor, and a delete closes the last interval
+    * without opening a new one. `is_current` marks the open interval —
+    * a hard-deleted key ends with no current row.
+    *
+    * `lead` is computed over ALL events (deletes included) BEFORE the
+    * delete rows are dropped, which is what lets a delete close its
+    * predecessor without surviving as a row.
+    *
+    * Scale shape: one shuffle on the key, per-key sort by the version
+    * columns inside each partition (per-key event counts are bounded by
+    * churn, not corpus size). Equivalent to the reference replaying its
+    * topic into a history table instead of ReplacingMergeTree. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String], opCol: String,
+                  deleteOp: String = "d"): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val validFrom = col(orderCols.head)
+    changes
+      .withColumn("_next_from", lead(validFrom, 1).over(w))
+      .where(col(opCol) =!= deleteOp)
+      .withColumn("valid_from", validFrom)
+      .withColumn("valid_to", col("_next_from"))
+      .withColumn("is_current", col("_next_from").isNull)
+      .drop("_next_from")
+  }
 }

@@ -99,6 +99,42 @@ object CdcQueries {
              |WHERE o_orderkey % 7 <> 0
              |ORDER BY id""".stripMargin)),
 
+    // ---- SCD2 history: the change stream replayed into validity
+    // ---- intervals (Kimball type-2) — updates close their
+    // ---- predecessor, deletes close the last interval; the oracle
+    // ---- re-derives every interval arithmetically from the key -------
+    Q("q106_cdc_scd2_history",
+      (s, dir) => {
+        val decoded = EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow)
+        val events = decoded.select(
+          coalesce(col("_env.after.id"), col("_env.before.id")).as("id"),
+          col("_env.after.status").as("status"),
+          col("_env.op").as("op"),
+          col("_env.ts_ms").as("ts_ms"),
+          col("_env.source.lsn").as("lsn"))
+        graft.operators.Versioned
+          .scd2History(events, Seq("id"), Seq("ts_ms", "lsn"), "op")
+          .select(col("id"), col("status"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy("id", "valid_from")
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(o_orderkey AS INTEGER) AS id,
+             |    o_orderstatus AS status,
+             |    1700000000000 + o_orderkey * 10 AS ts,
+             |    o_orderkey % 3 = 0 AS has_u, o_orderkey % 7 = 0 AS has_d
+             |  FROM orders
+             |)
+             |SELECT id, status, ts AS valid_from,
+             |  CASE WHEN has_u THEN ts + 5 WHEN has_d THEN ts + 9 ELSE NULL END AS valid_to,
+             |  NOT (has_u OR has_d) AS is_current
+             |FROM base
+             |UNION ALL
+             |SELECT id, 'updated', ts + 5,
+             |  CASE WHEN has_d THEN ts + 9 ELSE NULL END, NOT has_d
+             |FROM base WHERE has_u
+             |ORDER BY id, valid_from""".stripMargin)),
+
     // ---- analytics over CDC-landed current state joined to dims:
     // ---- the "ClickHouse for analytics" intent, post-pipeline --------
     Q("q64_cdc_state_analytics",

@@ -57,4 +57,31 @@ class VersionedSpec extends SparkSpec {
     val m = out.select("id", "total").as[(Int, Double)].collect().toMap
     assert(m == Map(1 -> 15.0, 2 -> 7.5, 3 -> 0.0))
   }
+
+  test("scd2History: updates close predecessors, deletes close without opening") {
+    val changes = Seq(
+      (1, 10L, "r", "v1"), (1, 20L, "u", "v2"), (1, 30L, "d", null),
+      (2, 10L, "r", "w1"),                       // never touched again
+      (3, 10L, "r", "x1"), (3, 15L, "d", null)   // hard-deleted
+    ).toDF("id", "ts", "op", "payload")
+    val out = Versioned.scd2History(changes, Seq("id"), Seq("ts"), "op")
+      .select($"id", $"ts", $"valid_from", $"valid_to", $"is_current", $"payload")
+      .orderBy("id", "valid_from")
+      .as[(Int, Long, Long, Option[Long], Boolean, String)].collect()
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).sameElements(Array(
+      (1, 10L, Some(20L), false),   // closed by the update
+      (1, 20L, Some(30L), false),   // closed by the delete, no current row
+      (2, 10L, None, true),         // open interval
+      (3, 10L, Some(15L), false)    // delete closes, key has no current
+    )), out.mkString(", "))
+  }
+
+  test("scd2History: order tie-break by secondary column") {
+    val changes = Seq(
+      (1, 10L, 1L, "r", "a"), (1, 10L, 2L, "u", "b")
+    ).toDF("id", "ts", "lsn", "op", "payload")
+    val out = Versioned.scd2History(changes, Seq("id"), Seq("ts", "lsn"), "op")
+      .select($"payload", $"is_current").as[(String, Boolean)].collect().toMap
+    assert(out == Map("a" -> false, "b" -> true))
+  }
 }
