@@ -78,6 +78,19 @@ object ZOrder {
       ColumnBridge.expression(a.cast("long")),
       ColumnBridge.expression(b.cast("long"))))
 
+  /** ANSI-SQL rendering of [[MortonInterleave.interleave]] over the
+    * column expressions `a` and `b` — one `((x >> i) & 1) << p` term
+    * per bit, summed (the spread bits are disjoint, so `+` equals the
+    * bitwise OR of the kernel). Lets an external engine recompute the
+    * exact Morton key for oracle comparison. */
+  def mortonSql(a: String, b: String, bits: Int = 31): String = {
+    require(bits >= 1 && bits <= 31)
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"(((($a) >> $i) & 1) << ${2 * i})",
+      s"(((($b) >> $i) & 1) << ${2 * i + 1})"))
+    terms.mkString("(", " + ", ")")
+  }
+
   /** Write `df` as `numFiles` parquet parts range-clustered on the
     * Morton key of (a, b): every file covers a compact Z-curve segment,
     * so its min-max footer range is bounded in BOTH columns and a

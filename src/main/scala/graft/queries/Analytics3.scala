@@ -781,6 +781,37 @@ object Analytics3 {
              |  ROUND(SUM(v * exp((tsec - tref) / 604800.0))
              |      / SUM(exp((tsec - tref) / 604800.0)), 6) AS decayed_avg
              |FROM e JOIN r USING (user_id)
-             |GROUP BY e.user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY e.user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- Z-order (Morton) layout key: the Delta OPTIMIZE ZORDER BY
+    // ---- analog — bucketing the curve shows every bucket's (min,max)
+    // ---- envelope bounded in BOTH dimensions, which is exactly the
+    // ---- file-skipping property the layout buys at 100 TB; the oracle
+    // ---- recomputes the interleave bit-by-bit in SQL -----------------
+    Q("q107_zorder_layout",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val u = col("user_id").cast("long")
+        val h = floor(unix_timestamp(col("ts")) / lit(3600)).cast("long")
+        ev.select(graft.functions.ZOrder.zorder(u, h).as("z"),
+            u.as("u"), h.as("h"))
+          .groupBy(shiftright(col("z"), 12).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("u").as("min_u"), max("u").as("max_u"),
+            min("h").as("min_h"), max("h").as("max_h"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH uh AS (
+             |  SELECT user_id AS u,
+             |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+             |  FROM events
+             |), zt AS (
+             |  SELECT ${graft.functions.ZOrder.mortonSql("u", "h")} AS z, u, h
+             |  FROM uh
+             |)
+             |SELECT z >> 12 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(u) AS min_u, MAX(u) AS max_u,
+             |  MIN(h) AS min_h, MAX(h) AS max_h
+             |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
