@@ -32,6 +32,37 @@ object TextQueries {
     * Defined before [[all]]: object vals initialize in source order. */
   private val bm25Terms = Seq("customer", "query", "window", "stream")
 
+  /** q52's near-dup clustering pipeline as a reusable oracle CTE prefix
+    * ending in `cl(doc_id, comp)` — the min-label connected component of
+    * every doc that participates in a >= 0.5-Jaccard pair (doc_id < 200
+    * scope). q52 selects it directly; q108 picks winners over it. */
+  private val neardupClusterCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
+      |    SELECT doc_id,
+      |      list_distinct([array_to_string(toks[i:i+2], ' ')
+      |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id < 200)
+      |  ) WHERE len(sl) > 0
+      |), inv AS (
+      |  SELECT id, n, unnest(sh) AS shingle FROM sh
+      |), pairs AS (
+      |  SELECT x.id AS id_a, y.id AS id_b
+      |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+      |  GROUP BY x.id, y.id
+      |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), cc(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+      |), cl AS (
+      |  SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY id
+      |)""".stripMargin
+
   /** Seed-row IVF index (cells + assignments) for `dir`'s embeddings,
     * built once per (app, dir) via [[graft.sim.IndexCache]] — the
     * ingest-time half of q39; the oracle re-derives the identical
@@ -281,31 +312,56 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE sh AS (
-             |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
-             |    SELECT doc_id,
-             |      list_distinct([array_to_string(toks[i:i+2], ' ')
-             |        FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS sl
-             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             |          FROM documents WHERE doc_id < 200)
-             |  ) WHERE len(sl) > 0
-             |), inv AS (
-             |  SELECT id, n, unnest(sh) AS shingle FROM sh
-             |), pairs AS (
-             |  SELECT x.id AS id_a, y.id AS id_b
-             |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
-             |  GROUP BY x.id, y.id
-             |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(x.n) + ANY_VALUE(y.n) - COUNT(*) AS DOUBLE) >= 0.5
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION SELECT id_b, id_a FROM pairs
-             |), cc(id, comp) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+      Some(neardupClusterCte +
+        "\nSELECT doc_id, cluster_id FROM cl ORDER BY doc_id")),
+
+    // ---- canonical selection: dedup that keeps the BEST doc, not an
+    // ---- arbitrary one — per near-dup cluster the highest quality
+    // ---- score (stopword ratio, q31's key) wins, ties to the lowest
+    // ---- id; unclustered docs keep themselves -----------------------
+    Q("q108_canonical_selection",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("double")
+        val score = TextAnalysis.hitCount(TextAnalysis.tokens(col("text")), enStop)
+          .cast("double") / greatest(nTok, lit(1.0))
+        val clusters = Dedup.connectedComponents(
+            Dedup.jaccardPairs(d, threshold = 0.5))
+          .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cl")
+        val scored = d.select(col("doc_id"), score.as("score"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+        // winner = argmax (score, -doc_id): a partial-aggregable max of
+        // a 2-field struct, so per-cluster state is one row
+        val winners = scored.groupBy("cluster_id")
+          .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("w"))
+        scored.join(winners, Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"),
+            (col("score") === col("w.score") && -col("doc_id") === col("w.negid"))
+              .as("kept"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(neardupClusterCte + s""",
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$enStopSql], x))) AS DOUBLE)
+             |      / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS score
+             |  FROM documents WHERE doc_id < 200
+             |), wc AS (
+             |  SELECT sc.doc_id, sc.score,
+             |    COALESCE(cl.cluster_id, sc.doc_id) AS cluster_id
+             |  FROM sc LEFT JOIN cl USING (doc_id)
+             |), win AS (
+             |  SELECT cluster_id, doc_id AS win_id FROM (
+             |    SELECT cluster_id, doc_id,
+             |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+             |        ORDER BY score DESC, doc_id) AS rn
+             |    FROM wc) WHERE rn = 1
              |)
-             |SELECT id AS doc_id, MIN(comp) AS cluster_id
-             |FROM cc GROUP BY id
+             |SELECT wc.doc_id, wc.cluster_id, wc.doc_id = win.win_id AS kept,
+             |  ROUND(wc.score, 6) AS score
+             |FROM wc JOIN win USING (cluster_id)
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- brute-force cosine top-k (oracled in exact f64) -------------

@@ -281,6 +281,18 @@ class DedupSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 1L, "t u v", 1.0)), got(3).toString)
   }
 
+  test("canonical selection keeps the best-scored member, not the min id") {
+    // mirrors q108's argmax: winner = max (score, -id) per cluster
+    val scored = Seq((1L, 10L, 0.3), (2L, 10L, 0.7), (3L, 10L, 0.7), (9L, 9L, 0.1))
+      .toDF("doc_id", "cluster_id", "score")
+    val winners = scored.groupBy("cluster_id")
+      .agg(max(struct($"score", (-$"doc_id").as("negid"))).as("w"))
+    val kept = scored.join(winners, Seq("cluster_id"))
+      .where($"score" === $"w.score" && -$"doc_id" === $"w.negid")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L)) // score beats id; tie -> lower id
+  }
+
   test("chunk dedup rewrite: within-doc winner is the earliest position") {
     val df = Seq((7L, "a b c d e f g h a b c d")).toDF("doc_id", "text")
     val got = Dedup.chunkDedupRewrite(df, chunkK = 4)
