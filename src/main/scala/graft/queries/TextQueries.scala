@@ -292,6 +292,22 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(Dedup.chunkDedupRewriteSql(chunkK = 4))),
 
+    // ---- exact-k deterministic sample per stratum: bounded-heap
+    // ---- top-k on the portable hash rank (no window, no full sort —
+    // ---- the fixed-size partner of q57's fractional sample) ----------
+    Q("q109_stratified_exactk",
+      (s, dir) => Corpus.sampleExactK(
+          Tables.loadParallel(s, dir, "documents"), "lang", "doc_id", k = 10)
+        .orderBy("lang", "rank_hash", "doc_id"),
+      Some(s"""SELECT lang, doc_id, rank_hash FROM (
+             |  SELECT lang, doc_id,
+             |    ${Corpus.hashBucketSql("doc_id", 1 << 30)} AS rank_hash,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY ${Corpus.hashBucketSql("doc_id", 1 << 30)}, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10
+             |ORDER BY lang, rank_hash, doc_id""".stripMargin)),
+
     // ---- BPE merge-candidate statistics (Sennrich et al. 2016): the
     // ---- tokenizer-training step — frequency-weighted adjacent
     // ---- symbol-pair counts over the distinct-word table -------------

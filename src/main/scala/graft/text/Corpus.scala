@@ -142,4 +142,29 @@ object Corpus {
         floor((col("cum_tokens") - col(tokenCol)) / lit(capacity.toLong))
           .cast("long"))
   }
+
+  /** Deterministic EXACT-k sample per stratum — the fixed-size partner
+    * of [[sampleStratified]] (which keeps a fraction): each stratum
+    * keeps the k rows with the smallest [[hashBucket]] rank, so the
+    * pick is uniform-ish, reproducible anywhere the mixer runs, and
+    * independent of row order.
+    *
+    * Scale shape: the bounded-heap [[graft.functions.TopKAgg.topKBy]]
+    * aggregate reduces every partition to k rows per stratum BEFORE the
+    * shuffle — per-stratum cost is O(k), never a full sort, and a giant
+    * stratum cannot skew a window partition (there is no window).
+    * Output: (stratum, id, rank_hash) rows, k per stratum. */
+  def sampleExactK(df: DataFrame, stratumCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // negate: topKBy keeps the LARGEST scores; rank is smallest-first.
+    // hashBucket < 2^30 so the double round-trip is exact.
+    val rank = hashBucket(col(idCol), 1 << 30)
+    df.groupBy(col(stratumCol))
+      .agg(graft.functions.TopKAgg.topKBy(-rank.cast("double"),
+        col(idCol).cast("long"), k).as("picks"))
+      .select(col(stratumCol), explode(col("picks")).as("p"))
+      .select(col(stratumCol), col("p.id").as(idCol),
+        (-col("p.score")).cast("long").as("rank_hash"))
+  }
 }

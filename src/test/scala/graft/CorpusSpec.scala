@@ -139,4 +139,25 @@ class CorpusSpec extends SparkSpec {
     val total = d.agg(sum("n_tokens")).collect().head.getLong(0)
     assert(rows.map(_._3).sum == total)
   }
+
+  test("sampleExactK: k per stratum, matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Corpus.sampleExactK(docs, "lang", "doc_id", k = 7)
+    // exactly k (or the stratum size, if smaller) per stratum
+    val sizes = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val strata = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (l, n) =>
+      assert(sizes(l) == math.min(7L, n), s"lang $l: ${sizes.get(l)}")
+    }
+    // differential: the bounded-heap agg == row_number over the hash rank
+    val rank = Corpus.hashBucket($"doc_id", 1 << 30)
+    val win = docs.withColumn("rank_hash", rank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"rank_hash", $"doc_id")))
+      .where($"rn" <= 7).select($"lang", $"doc_id", $"rank_hash")
+    assertSameRows(got, win)
+    // reproducible under arbitrary row order
+    assertSameRows(got,
+      Corpus.sampleExactK(docs.orderBy($"n_chars".desc), "lang", "doc_id", 7))
+  }
 }
