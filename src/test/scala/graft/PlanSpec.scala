@@ -253,6 +253,48 @@ class PlanSpec extends SparkSpec {
       "bloom probe must not break codegen:\n" + p.take(1200))
   }
 
+  test("q103: chunk rewrite joins on the chunk key, no cartesian") {
+    val p = SparkEntry.queries("q103_chunk_dedup_rewrite")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "winner lookup must be an equi-join on chunk:\n" + p.take(800))
+    // the first-occurrence winner is a partial-aggregable min
+    assert(p.contains("partial_min"), p.take(800))
+  }
+
+  test("q106: SCD2 shuffles once on the key, no join at all") {
+    val p = SparkEntry.queries("q106_cdc_scd2_history")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"), "history needs only a window:\n" + p.take(800))
+    assert(p.contains("Exchange hashpartitioning(id"), p.take(800))
+  }
+
+  test("q107: z-order layout is scan + one aggregate exchange, no join") {
+    val p = SparkEntry.queries("q107_zorder_layout")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "bucket stats must pre-aggregate map-side:\n" + p.take(800))
+  }
+
+  test("q108: canonical selection has no cartesian anywhere") {
+    val p = SparkEntry.queries("q108_canonical_selection")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q109: exact-k sample pre-reduces to k rows before the exchange") {
+    val p = SparkEntry.queries("q109_stratified_exactk")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    val iPartial = p.indexOf("partial_top_k_by")
+    val iExchange = p.indexOf("Exchange hashpartitioning(lang")
+    assert(iPartial >= 0, "no partial top-k aggregation:\n" + p.take(800))
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "expected exchange above the partial top-k (top-down plan)")
+    assert(!p.contains("Window"), "the scale path must not use a window")
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
