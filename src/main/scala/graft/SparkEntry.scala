@@ -60,6 +60,8 @@ object SparkEntry {
     }
     // DSIR bucket model (q98/q99 train half)
     graft.queries.TextQueries.dsirModelCached(spark, sfDir, docs)
+    // near-dup components shared by q52 (clusters) and q108 (selection)
+    graft.queries.TextQueries.neardupClustersCached(spark, sfDir)
     ()
   }
 

@@ -88,6 +88,17 @@ object TextQueries {
         bits = 6, tables = 8, planeOffset = 140, cacheKey = dir)
     }
 
+  /** Cached near-dup components over the q37/q52 edge list (doc_id <
+    * 200 scope, Jaccard >= 0.5) — one ingest-time clustering shared by
+    * q52 (the clusters themselves) and q108 (canonical selection over
+    * them). */
+  def neardupClustersCached(s: SparkSession, dir: String): DataFrame =
+    graft.sim.IndexCache.getOrBuild(s, s"jaccard-cc:$dir") {
+      Dedup.connectedComponents(Dedup.jaccardPairs(
+        Tables.loadParallel(s, dir, "documents").filter(col("doc_id") < 200),
+        threshold = 0.5))
+    }
+
   /** Cached DSIR bucket model (q98/q99's train half — `buckets` rows,
     * target = lang='en'): the count tables are a deploy-time artifact
     * exactly like the LM models. */
@@ -322,12 +333,9 @@ object TextQueries {
     // ---- oracled via a DuckDB recursive CTE over the same exact
     // ---- Jaccard edge list as q37) -----------------------------------
     Q("q52_neardup_clusters",
-      (s, dir) => {
-        val d = Tables.loadParallel(s, dir, "documents").filter(col("doc_id") < 200)
-        Dedup.connectedComponents(Dedup.jaccardPairs(d, threshold = 0.5))
-          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => TextQueries.neardupClustersCached(s, dir)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id"),
       Some(neardupClusterCte +
         "\nSELECT doc_id, cluster_id FROM cl ORDER BY doc_id")),
 
@@ -341,8 +349,7 @@ object TextQueries {
         val nTok = TextAnalysis.tokenCount(col("text")).cast("double")
         val score = TextAnalysis.hitCount(TextAnalysis.tokens(col("text")), enStop)
           .cast("double") / greatest(nTok, lit(1.0))
-        val clusters = Dedup.connectedComponents(
-            Dedup.jaccardPairs(d, threshold = 0.5))
+        val clusters = TextQueries.neardupClustersCached(s, dir)
           .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cl")
         val scored = d.select(col("doc_id"), score.as("score"))
           .join(clusters, Seq("doc_id"), "left")
