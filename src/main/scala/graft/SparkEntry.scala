@@ -49,6 +49,7 @@ object SparkEntry {
     // the semantics — these are the same counts, landed early)
     val docs = graft.sources.Tables.loadParallel(spark, sfDir, "documents")
     graft.queries.Analytics3.lmBigramCached(spark, sfDir, docs)
+    graft.queries.Analytics3.lmScoredCached(spark, sfDir, docs)
     graft.queries.Analytics3.lmTrigramCached(spark, sfDir, docs)
     graft.queries.Analytics3.lmKneserNeyCached(spark, sfDir, docs)
     // minhash/simhash signature tables: one md5 pass per doc at ingest

