@@ -303,6 +303,57 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(Dedup.chunkDedupRewriteSql(chunkK = 4))),
 
+    // ---- vocabulary coverage curve: how many vocab entries cover 90 /
+    // ---- 95 / 99% of corpus token mass (the Zipf statistic behind
+    // ---- tokenizer vocab-size choices). The rank window runs over the
+    // ---- vocabulary table — bounded regardless of corpus size --------
+    Q("q110_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(
+        Tables.loadParallel(s, dir, "documents")),
+      Some("""WITH vc AS (
+             |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE len(token) > 0 GROUP BY token
+             |), r AS (
+             |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+             |    SUM(cnt) OVER (ORDER BY cnt DESC, token
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(cnt) OVER () AS n
+             |  FROM vc
+             |)
+             |SELECT CAST(MAX(rank) AS INTEGER) AS vocab_total,
+             |  CAST(MAX(n) AS BIGINT) AS total_tokens,
+             |  CAST(MIN(CASE WHEN cum >= n * 0.90 THEN rank END) AS INTEGER) AS vocab_90,
+             |  CAST(MIN(CASE WHEN cum >= n * 0.95 THEN rank END) AS INTEGER) AS vocab_95,
+             |  CAST(MIN(CASE WHEN cum >= n * 0.99 THEN rank END) AS INTEGER) AS vocab_99
+             |FROM r""".stripMargin)),
+
+    // ---- temperature-balanced mixture (T5/mT5 alpha-sampling,
+    // ---- Raffel et al. 2020 / Xue et al. 2021): per-stratum keep rate
+    // ---- proportional to count^alpha, applied via the deterministic
+    // ---- integer acceptance test — rates travel as a broadcast scalar
+    // ---- table, the corpus is filtered in one narrow pass ------------
+    Q("q111_temperature_mixture",
+      (s, dir) => Corpus.sampleTemperature(
+          Tables.loadParallel(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.3, massFrac = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
+        .orderBy("lang"),
+      Some(s"""WITH bl AS (
+             |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
+             |), z AS (
+             |  SELECT SUM(power(c, 0.3)) AS z, SUM(c) AS n_total FROM bl
+             |), rates AS (
+             |  SELECT lang,
+             |    ROUND(least(1.0, (power(c, 0.3) / z) * (n_total * 0.5) / c), 6) AS rate
+             |  FROM bl CROSS JOIN z
+             |)
+             |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(r.rate) AS rate
+             |FROM documents d JOIN rates r ON d.lang = r.lang
+             |WHERE CAST(${Corpus.hashBucketSql("d.doc_id", 1000000)} AS DOUBLE) < r.rate * 1e6
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // ---- exact-k deterministic sample per stratum: bounded-heap
     // ---- top-k on the portable hash rank (no window, no full sort —
     // ---- the fixed-size partner of q57's fractional sample) ----------

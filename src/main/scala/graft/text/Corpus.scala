@@ -143,6 +143,42 @@ object Corpus {
           .cast("long"))
   }
 
+  /** Per-stratum keep rates for a temperature-balanced mixture (the
+    * T5/mT5 alpha-sampling scheme — Raffel et al. 2020 §3.3.1, Xue et
+    * al. 2021 §3.1): target share of stratum `l` is
+    * `c_l^alpha / Σ c^alpha`, flattening the head so low-resource
+    * strata survive; `massFrac` sets the total kept mass. Output:
+    * `(stratumCol, rate)` with `rate` rounded to 6 decimals (the
+    * portability grain for the acceptance test).
+    *
+    * Scale shape: two aggregates over stratum counts (a stratum-bounded
+    * table); the rates are a broadcast scalar table. */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+                       alpha: Double = 0.3,
+                       massFrac: Double = 0.5): DataFrame = {
+    val byS = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("c"))
+    val z = byS.agg(sum(pow(col("c"), alpha)).as("z"),
+      sum(col("c")).as("n_total"))
+    byS.crossJoin(broadcast(z))
+      .withColumn("rate", round(
+        least(lit(1.0),
+          (pow(col("c"), alpha) / col("z")) * (col("n_total") * massFrac)
+            / col("c")), 6))
+      .select(col(stratumCol), col("rate"))
+  }
+
+  /** Apply [[temperatureRates]]: keep each row iff its [[hashBucket]]
+    * acceptance draw clears the stratum's rate — deterministic,
+    * order-independent, one narrow pass over the corpus with the rate
+    * table broadcast. Keeps all input columns plus `rate`. */
+  def sampleTemperature(df: DataFrame, stratumCol: String, idCol: String,
+                        alpha: Double = 0.3,
+                        massFrac: Double = 0.5): DataFrame =
+    df.join(broadcast(temperatureRates(df, stratumCol, alpha, massFrac)),
+        Seq(stratumCol))
+      .where(hashBucket(col(idCol), 1000000).cast("double")
+        < col("rate") * 1e6)
+
   /** Deterministic EXACT-k sample per stratum — the fixed-size partner
     * of [[sampleStratified]] (which keeps a fraction): each stratum
     * keeps the k rows with the smallest [[hashBucket]] rank, so the

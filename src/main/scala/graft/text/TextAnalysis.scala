@@ -101,6 +101,33 @@ object TextAnalysis {
     array_min(transform(starts, i => xxhash64(text.substr(i, lit(k)))))
   }
 
+  /** Vocabulary coverage curve — the Zipf statistic behind tokenizer
+    * vocab-size choices: the number of distinct tokens needed to cover
+    * 90 / 95 / 99% of corpus token mass. One row:
+    * `(vocab_total, total_tokens, vocab_90, vocab_95, vocab_99)`.
+    *
+    * Scale shape: the corpus is touched once for the token-count
+    * aggregate; the rank/cumsum window runs over the VOCABULARY table,
+    * which is bounded (~1e6 entries at web scale) regardless of corpus
+    * size, so the single-partition window is safe by construction. */
+  def vocabCoverage(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .agg(
+        max(col("rank")).as("vocab_total"),
+        max(col("n")).as("total_tokens"),
+        min(when(col("cum") >= col("n") * 0.90, col("rank"))).as("vocab_90"),
+        min(when(col("cum") >= col("n") * 0.95, col("rank"))).as("vocab_95"),
+        min(when(col("cum") >= col("n") * 0.99, col("rank"))).as("vocab_99"))
+  }
+
   /** BPE merge-candidate statistics (Sennrich, Haddow & Birch, "Neural
     * machine translation of rare words with subword units", 2016 §3.2)
     * — the training half of byte-pair encoding: each word is a symbol

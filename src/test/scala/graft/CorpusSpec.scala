@@ -140,6 +140,27 @@ class CorpusSpec extends SparkSpec {
     assert(rows.map(_._3).sum == total)
   }
 
+  test("temperature mixture: alpha flattens the head, mass lands near target") {
+    // 400 "hi" docs vs 100 "lo": at alpha=0.3 the low-resource stratum's
+    // keep rate must exceed the high-resource one's
+    val df = (0 until 500).map(i => (i.toLong, if (i < 400) "hi" else "lo"))
+      .toDF("doc_id", "lang")
+    val rates = Corpus.temperatureRates(df, "lang", alpha = 0.3, massFrac = 0.5)
+      .as[(String, Double)].collect().toMap
+    assert(rates("lo") > rates("hi"), rates.toString)
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // expected: q_hi = 400^.3/z, rate_hi = q_hi*250/400 (both < 1 here)
+    val z = math.pow(400, 0.3) + math.pow(100, 0.3)
+    def exp(c: Double) = math.min(1.0, math.pow(c, 0.3) / z * 250 / c)
+    assert(math.abs(rates("hi") - exp(400)) < 1e-6)
+    assert(math.abs(rates("lo") - exp(100)) < 1e-6)
+    // the applied sample keeps ~rate of each stratum (hash is uniform)
+    val kept = Corpus.sampleTemperature(df, "lang", "doc_id", 0.3, 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("hi") / 400.0 - rates("hi")) < 0.1, kept.toString)
+    assert(math.abs(kept("lo") / 100.0 - rates("lo")) < 0.15, kept.toString)
+  }
+
   test("sampleExactK: k per stratum, matches the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val got = Corpus.sampleExactK(docs, "lang", "doc_id", k = 7)

@@ -201,6 +201,17 @@ class TextSpec extends SparkSpec {
     assert(out.where($"kind" === "audio" && $"meta.sampleRate" < 8000).count() == 0)
   }
 
+  test("vocab coverage: hand-computed Zipf curve") {
+    import graft.text.TextAnalysis
+    // counts: a=90, b=5, c=4, d=1 (total 100) -> cum 90, 95, 99, 100
+    val text = (Seq.fill(90)("a") ++ Seq.fill(5)("b") ++
+      Seq.fill(4)("c") ++ Seq("d")).mkString(" ")
+    val got = TextAnalysis.vocabCoverage(Seq((1L, text)).toDF("doc_id", "text"))
+      .select($"vocab_total", $"total_tokens", $"vocab_90", $"vocab_95", $"vocab_99")
+      .as[(Int, Long, Int, Int, Int)].head()
+    assert(got == ((4, 100L, 1, 2, 3)), got.toString)
+  }
+
   test("bpe pair stats: frequency-weighted counts, deterministic tie-break") {
     import graft.text.TextAnalysis
     // words: ab x3, ac x1 -> pairs (a,b)=3, (b,</w>)=3, (a,c)=1, (c,</w>)=1;
