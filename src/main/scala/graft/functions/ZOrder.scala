@@ -85,9 +85,11 @@ object ZOrder {
     * exact Morton key for oracle comparison. */
   def mortonSql(a: String, b: String, bits: Int = 31): String = {
     require(bits >= 1 && bits <= 31)
+    // operands are cast to BIGINT inside each term: an INTEGER-typed
+    // column would otherwise overflow DuckDB's left shift at bit >= 31
     val terms = (0 until bits).flatMap(i => Seq(
-      s"(((($a) >> $i) & 1) << ${2 * i})",
-      s"(((($b) >> $i) & 1) << ${2 * i + 1})"))
+      s"(((CAST(($a) AS BIGINT) >> $i) & 1) << ${2 * i})",
+      s"(((CAST(($b) AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
     terms.mkString("(", " + ", ")")
   }
 

@@ -19,7 +19,7 @@ class Scd2StreamSpec extends SparkSpec {
   /** history ∪ open, projected to the batch operator's shape. */
   private def streamedView(state: graft.streaming.ParquetStateStore,
                            hist: String): DataFrame =
-    Scd2Stream.fullHistory(spark, state, hist, "ts").get
+    Scd2Stream.fullHistory(spark, state, hist, Seq("ts")).get
       .select($"id", $"ts", $"payload", $"valid_from", $"valid_to", $"is_current")
 
   private def batchView(all: DataFrame): DataFrame =
@@ -28,19 +28,19 @@ class Scd2StreamSpec extends SparkSpec {
 
   test("incremental == batch replay after every micro-batch prefix") {
     val root = tmpDir("graft-scd2")
-    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), "ts", buckets = 4)
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), Seq("ts"), buckets = 4)
     val b1 = ev((1, 10L, "r", "a1"), (2, 10L, "r", "b1"), (3, 10L, "r", "c1"))
     val b2 = ev((1, 20L, "u", "a2"), (3, 15L, "d", null.asInstanceOf[String]))
     val b3 = ev((1, 30L, "u", "a3"), (3, 40L, "r", "c2"), (4, 40L, "r", "d1"))
 
-    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     assertSameRows(streamedView(state, s"$root/hist"), batchView(b1))
 
-    Scd2Stream.applyBatch(b2, 1L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b2, 1L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     assertSameRows(streamedView(state, s"$root/hist"),
       batchView(b1.unionByName(b2)))
 
-    Scd2Stream.applyBatch(b3, 2L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b3, 2L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     val all = b1.unionByName(b2).unionByName(b3)
     assertSameRows(streamedView(state, s"$root/hist"), batchView(all))
 
@@ -52,31 +52,57 @@ class Scd2StreamSpec extends SparkSpec {
 
   test("replayed batch is idempotent (fence + history overwrite)") {
     val root = tmpDir("graft-scd2r")
-    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), "ts", buckets = 4)
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), Seq("ts"), buckets = 4)
     val b1 = ev((1, 10L, "r", "a1"), (1, 20L, "u", "a2"))
-    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     val before = streamedView(state, s"$root/hist").collect().toSet
     // crash-replay: same batch id re-applied verbatim
-    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     assert(streamedView(state, s"$root/hist").collect().toSet == before)
   }
 
   test("event redelivered in a LATER batch does not emit zero-length intervals") {
     val root = tmpDir("graft-scd2d")
-    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), "ts", buckets = 4)
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), Seq("ts"), buckets = 4)
     val b1 = ev((1, 10L, "r", "a1"), (1, 20L, "u", "a2"))
     val b2 = ev((1, 20L, "u", "a2"), (1, 30L, "u", "a3")) // (1,20) redelivered
-    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), "ts", "op")
-    Scd2Stream.applyBatch(b2, 1L, state, s"$root/hist", Seq("id"), "ts", "op")
+    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
+    Scd2Stream.applyBatch(b2, 1L, state, s"$root/hist", Seq("id"), Seq("ts"), "op")
     val want = batchView(ev((1, 10L, "r", "a1"), (1, 20L, "u", "a2"),
       (1, 30L, "u", "a3")))
     assertSameRows(streamedView(state, s"$root/hist"), want)
   }
 
+  test("same-instant changes survive via the orderCols tie-break") {
+    val root = tmpDir("graft-scd2t")
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"),
+      Seq("ts", "lsn"), buckets = 4)
+    val b1 = Seq((1, 10L, 1L, "r", "a1"), (1, 10L, 2L, "u", "a2"))
+      .toDF("id", "ts", "lsn", "op", "payload")
+    Scd2Stream.applyBatch(b1, 0L, state, s"$root/hist", Seq("id"),
+      Seq("ts", "lsn"), "op")
+    val got = Scd2Stream.fullHistory(spark, state, s"$root/hist", Seq("ts"))
+      .get.select($"payload", $"is_current").as[(String, Boolean)]
+      .collect().toMap
+    // both events kept: lsn=1 closed by lsn=2, lsn=2 current
+    assert(got == Map("a1" -> false, "a2" -> true), got.toString)
+  }
+
+  test("a batch id BEHIND the fence fails loudly (checkpoint reset)") {
+    val root = tmpDir("graft-scd2f")
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), Seq("ts"), buckets = 4)
+    Scd2Stream.applyBatch(ev((1, 10L, "r", "a1")), 5L, state,
+      s"$root/hist", Seq("id"), Seq("ts"), "op")
+    intercept[IllegalArgumentException] {
+      Scd2Stream.applyBatch(ev((2, 10L, "r", "b1")), 3L, state,
+        s"$root/hist", Seq("id"), Seq("ts"), "op")
+    }
+  }
+
   test("streaming e2e over a json file source") {
     val root = tmpDir("graft-scd2s")
     val src = tmpDir("graft-scd2s-src")
-    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), "ts", buckets = 4)
+    val state = Scd2Stream.openStore(s"$root/state", Seq("id"), Seq("ts"), buckets = 4)
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("ts", LongType),
       StructField("op", StringType), StructField("payload", StringType)))
@@ -92,7 +118,7 @@ class Scd2StreamSpec extends SparkSpec {
       """{"id":2,"ts":10,"op":"r","payload":"b1"}"""))
     val q = Scd2Stream.sink(
       spark.readStream.schema(schema).json(src),
-      state, s"$root/hist", Seq("id"), "ts", "op", s"$root/cp")
+      state, s"$root/hist", Seq("id"), Seq("ts"), "op", s"$root/cp")
     q.awaitTermination(60000)
 
     val got = streamedView(state, s"$root/hist")
@@ -104,7 +130,7 @@ class Scd2StreamSpec extends SparkSpec {
     land("f2.json", Seq("""{"id":2,"ts":30,"op":"d","payload":null}"""))
     val q2 = Scd2Stream.sink(
       spark.readStream.schema(schema).json(src),
-      state, s"$root/hist", Seq("id"), "ts", "op", s"$root/cp")
+      state, s"$root/hist", Seq("id"), Seq("ts"), "op", s"$root/cp")
     q2.awaitTermination(60000)
     val want2 = batchView(ev((1, 10L, "r", "a1"), (1, 20L, "u", "a2"),
       (2, 10L, "r", "b1"), (2, 30L, "d", null.asInstanceOf[String])))
