@@ -50,4 +50,37 @@ object RangeJoin {
                      loCol: String, hiCol: String): DataFrame =
     facts.join(broadcast(ranges),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
+  /** Interval × interval OVERLAP join — `[lLo, lHi]` meets `[rLo, rHi]`
+    * iff `lLo <= rHi && rLo <= lHi` (inclusive ends) — as an equi-join,
+    * with NO post-join dedup: both sides explode to the grid cells
+    * their interval spans, candidates meet on the cell, and a pair is
+    * emitted ONLY from the cell containing the overlap's start
+    * (`greatest(lLo, rLo)`), so each overlapping pair surfaces exactly
+    * once no matter how many cells the two intervals share. This is
+    * the standard distributed interval join (the one-sided [[
+    * binnedRangeJoin]] generalized to two interval sides).
+    *
+    * Cost: Σ cells(left) + Σ cells(right) rows through one hash
+    * equi-join — pick `binWidth` ≈ the typical interval width so the
+    * per-side replication factor stays near 2. All four bound columns
+    * must be numeric (map dates to epoch days first — a monotone
+    * transform preserves overlap). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lLo: String, lHi: String,
+                          rLo: String, rHi: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    def cells(lo: String, hi: String) = sequence(
+      floor(col(lo) / binWidth).cast("long"),
+      floor(col(hi) / binWidth).cast("long"))
+    val l = left.withColumn("_lcell", explode(cells(lLo, lHi)))
+    val r = right.withColumn("_rcell", explode(cells(rLo, rHi)))
+    val overlapStartCell =
+      floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long")
+    l.join(r, col("_lcell") === col("_rcell") &&
+        col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("_lcell") === overlapStartCell)
+      .drop("_lcell", "_rcell")
+  }
 }

@@ -161,6 +161,51 @@ object Analytics2 {
              |GROUP BY tier
              |ORDER BY tier""".stripMargin)),
 
+    // ---- interval × interval overlap join: lineitem [ship, receipt]
+    // ---- windows against order-derived maintenance windows — grid-
+    // ---- celled equi-join, each pair emitted once from the overlap-
+    // ---- start cell (no dedup pass); oracle is the naive overlap -----
+    Q("q112_interval_overlap",
+      (s, dir) => {
+        val epoch = lit("1970-01-01")
+        // the harness lineitem carries no receipt date; derive a
+        // deterministic transit time from the key (1-20 days) so the
+        // oracle reproduces the same interval arithmetically
+        val li = t(s, dir, "lineitem")
+          .withColumn("ship_d", datediff(col("l_shipdate"), epoch))
+          .withColumn("rcpt_d",
+            col("ship_d") + (col("l_orderkey") % 20) + 1)
+        val win = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey").as("window_id"),
+            datediff(col("o_orderdate"), epoch).as("w_lo"))
+          .withColumn("w_hi", col("w_lo") + 10)
+        graft.operators.RangeJoin.intervalOverlapJoin(
+            li, win, "ship_d", "rcpt_d", "w_lo", "w_hi", binWidth = 16.0)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec("l_quantity")).cast("double").as("qty"))
+          .orderBy("window_id")
+      },
+      Some("""WITH win AS (
+             |  SELECT o_orderkey AS window_id,
+             |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS w_lo,
+             |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 10 AS w_hi
+             |  FROM orders WHERE o_orderkey % 997 = 0
+             |), li AS (
+             |  SELECT l_quantity,
+             |    CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS ship_d,
+             |    CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+             |      + (l_orderkey % 20) + 1 AS rcpt_d
+             |  FROM lineitem
+             |)
+             |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+             |FROM li l JOIN win w
+             |  ON l.ship_d <= w.w_hi AND w.w_lo <= l.rcpt_d
+             |GROUP BY window_id
+             |ORDER BY window_id""".stripMargin)),
+
     // ---- lag/lead: inter-event gaps per user -------------------------
     Q("q46_event_gaps",
       (s, dir) => {

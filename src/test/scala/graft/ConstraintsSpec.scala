@@ -71,6 +71,29 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join == naive overlap, exactly once per pair") {
+    import graft.operators.RangeJoin
+    val rng = new scala.util.Random(11)
+    // random intervals spanning 0-6 grid cells at binWidth=10, so many
+    // pairs share several cells — the emit-once rule is what's on trial
+    val a = (0 until 300).map { i =>
+      val lo = rng.nextInt(200).toLong; (i.toLong, lo, lo + rng.nextInt(60))
+    }.toDF("aid", "a_lo", "a_hi")
+    val b = (0 until 80).map { i =>
+      val lo = rng.nextInt(200).toLong; (i.toLong, lo, lo + rng.nextInt(60))
+    }.toDF("bid", "b_lo", "b_hi")
+    val grid = RangeJoin.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10.0)
+      .select("aid", "bid")
+    val naive = a.crossJoin(b)
+      .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("aid", "bid")
+    assertSameRows(grid, naive)
+    // no duplicates: every surviving pair appears exactly once
+    assert(grid.count() == grid.distinct().count())
+    assert(grid.count() > 0)
+  }
+
   test("salted join == plain join (skew-spread correctness)") {
     // heavily skewed fact: 90% of rows share one key
     val fact = spark.range(0, 2000).selectExpr(

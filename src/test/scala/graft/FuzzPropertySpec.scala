@@ -64,6 +64,44 @@ class FuzzPropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 property: disjoint ordered intervals, one current per live key") {
+    val rng = new Random(97)
+    // random change streams: keys see 1-6 events at distinct timestamps,
+    // each non-initial event is update-or-delete; events after a delete
+    // legitimately re-open the key
+    val events = (0 until 60).flatMap { key =>
+      val n = 1 + rng.nextInt(6)
+      val times = Seq.fill(n)(rng.nextInt(1000).toLong).distinct.sorted
+      times.zipWithIndex.map { case (ts, i) =>
+        val op = if (i == 0) "r" else if (rng.nextInt(4) == 0) "d" else "u"
+        (key, ts, op, s"p$key-$i")
+      }
+    }
+    val df = events.toDF("id", "ts", "op", "payload")
+    val hist = graft.operators.Versioned
+      .scd2History(df, Seq("id"), Seq("ts"), "op")
+      .select($"id", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, Long, Option[Long], Boolean)].collect()
+
+    // row count: one interval per non-delete event
+    assert(hist.length == events.count(_._3 != "d"))
+    hist.groupBy(_._1).foreach { case (key, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // intervals are disjoint and ordered: each valid_to <= next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.isDefined, s"key $key: non-final interval left open")
+          assert(a._3.get <= b._2, s"key $key: overlapping intervals $a $b")
+        case _ => ()
+      }
+      // at most one current row, and only the last interval may be it
+      assert(rows.count(_._4) <= 1, s"key $key: multiple current rows")
+      rows.filter(_._4).foreach(r => assert(r == sorted.last))
+      // current <=> open
+      rows.foreach(r => assert(r._4 == r._3.isEmpty, s"key $key: $r"))
+    }
+  }
+
   test("pipeline property: planted edit pairs all survive the blocked join") {
     val rng = new Random(99)
     val n = 200

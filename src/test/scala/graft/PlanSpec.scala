@@ -295,6 +295,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the scale path must not use a window")
   }
 
+  test("q112: interval overlap plans as an equi-join on the grid cell") {
+    val p = SparkEntry.queries("q112_interval_overlap")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval join must meet on the cell key:\n" + p.take(800))
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
