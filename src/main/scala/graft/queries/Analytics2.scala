@@ -206,6 +206,19 @@ object Analytics2 {
              |GROUP BY window_id
              |ORDER BY window_id""".stripMargin)),
 
+    // ---- table profiling (ANALYZE TABLE analog): per-column nulls,
+    // ---- exact distincts, numeric envelope — one scan, one agg -------
+    Q("q113_table_profile",
+      (s, dir) => graft.operators.Profile.profile(t(s, dir, "orders"))
+        .orderBy("col_name"),
+      Some(graft.operators.Profile.profileSql("orders", Seq(
+        "o_orderkey" -> Some("o_orderkey"),
+        "o_custkey" -> Some("o_custkey"),
+        "o_orderstatus" -> None,
+        "o_totalprice" -> Some("o_totalprice"),
+        "o_orderdate" -> Some("epoch_us(o_orderdate)"),
+        "o_orderpriority" -> None)))),
+
     // ---- lag/lead: inter-event gaps per user -------------------------
     Q("q46_event_gaps",
       (s, dir) => {
