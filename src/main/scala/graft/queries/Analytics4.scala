@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.text.{Bpe, Chunking, Drift}
+
+/** Fourth analytics pack (round 6, session 4): tokenizer-artifact
+  * application, gaps-and-islands streaks, corpus drift monitoring,
+  * RAG sliding-window chunking, and decimal-exact rolling anomaly
+  * detection. */
+object Analytics4 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- BPE tokenizer application (Sennrich 2016): the tokenizer is
+    // ---- a FIXED artifact (ordered merge list), applied as a pure
+    // ---- per-row replace fold — map-only, codegen, no shuffle until
+    // ---- the final per-source reduce. The oracle runs the IDENTICAL
+    // ---- expression chain, so it proves the fold semantics ----------
+    Q("q114_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("text"),
+            expr(Bpe.encodedExpr("text", Bpe.SparkFlavor)).as("enc"))
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_words_doc"),
+            expr(Bpe.tokenCountExpr("enc")).cast("long").as("n_tokens_doc"),
+            expr("length(replace(text, ' ', ''))").cast("long")
+              .as("n_chars_doc"))
+        docs.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words_doc")).as("n_words"),
+            sum(col("n_tokens_doc")).as("n_tokens"),
+            sum(col("n_chars_doc")).as("n_chars"))
+          .withColumn("chars_per_token",
+            round(col("n_chars").cast("double") / col("n_tokens"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH enc AS (
+             |  SELECT source, text,
+             |    ${Bpe.encodedExpr("text", Bpe.DuckFlavor)} AS enc
+             |  FROM documents
+             |), d AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words_doc,
+             |    CAST(${Bpe.tokenCountExpr("enc")} AS BIGINT) AS n_tokens_doc,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_doc
+             |  FROM enc
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_words_doc) AS BIGINT) AS n_words,
+             |  CAST(SUM(n_tokens_doc) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chars_doc) AS BIGINT) AS n_chars,
+             |  ROUND(CAST(SUM(n_chars_doc) AS DOUBLE) / SUM(n_tokens_doc), 4) AS chars_per_token
+             |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- gaps-and-islands: per-user consecutive-active-day streaks
+    // ---- (the classic day − row_number() island key). One shuffle on
+    // ---- user_id; islands and streak stats reduce inside it ----------
+    Q("q115_activity_islands",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val streaks = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        val wm = Window.partitionBy(col("user_id"))
+        streaks
+          .withColumn("mx", max(col("len")).over(wm))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("len")).as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max(col("len")).as("max_streak"),
+            min(when(col("len") === col("mx"), col("start")))
+              .as("longest_start_day"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events
+             |), isl AS (
+             |  SELECT user_id, day,
+             |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM days
+             |), streaks AS (
+             |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             |    MIN(day) AS start
+             |  FROM isl GROUP BY user_id, grp
+             |), wm AS (
+             |  SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM streaks
+             |)
+             |SELECT user_id,
+             |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |  MAX(len) AS max_streak,
+             |  MIN(CASE WHEN len = mx THEN start END) AS longest_start_day
+             |FROM wm GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- unigram-distribution drift (corpus monitoring): smoothed KL
+    // ---- in both directions between the even/odd doc_id slices, per
+    // ---- lang; decimal-accumulated at the 9-decimal ln grain ---------
+    Q("q116_token_drift",
+      (s, dir) => Drift.unigramDrift(
+          Tables.loadParallel(s, dir, "documents"), col("doc_id") % 2)
+        .orderBy("lang"),
+      Some(Drift.unigramDriftSql("doc_id % 2"))),
+
+    // ---- RAG sliding-window chunking: size 32 / stride 24 (overlap 8)
+    // ---- with a portable md5 content fingerprint per chunk — map-only,
+    // ---- no shuffle; the oracle replays boundaries AND hashes --------
+    Q("q117_chunk_windows",
+      (s, dir) => Chunking.slidingChunks(
+          Tables.loadParallel(s, dir, "documents"), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(Chunking.slidingChunksSql(chunkSize = 32, stride = 24))),
+
+    // ---- rolling z-score anomaly flags: per-user trailing window of
+    // ---- 20 prior values; moments accumulate as DECIMAL (exact,
+    // ---- order-free) and the z arithmetic is the identical double
+    // ---- expression in both engines ----------------------------------
+    Q("q118_rolling_zscore",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+        val vdec = round(col("value"), 6).cast(DecimalType(18, 6))
+        val wn = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            vdec.as("vdec"))
+          .withColumn("vd", col("vdec").cast("double"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("vdec")).over(w).cast("double"))
+          .withColumn("s2",
+            sum((col("vdec") * col("vdec")).cast(DecimalType(38, 12)))
+              .over(w).cast("double"))
+        val variance = col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))
+        wn.withColumn("variance", variance)
+          .withColumn("z",
+            round((col("vd") - col("s1") / col("n")) /
+              sqrt(col("variance")), 4))
+          .filter(col("n") >= 8 && col("variance") > 0 &&
+            abs(col("z")) > 3)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            col("value"), col("z"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS vdec
+             |  FROM events
+             |), wn AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CAST(vdec AS DOUBLE) AS vd,
+             |    COUNT(*) OVER w AS n,
+             |    CAST(SUM(vdec) OVER w AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(vdec * vdec AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+             |), scored AS (
+             |  SELECT user_id, event_id, ts, value, n,
+             |    s2 / n - (s1 / n) * (s1 / n) AS variance,
+             |    ROUND((vd - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+             |  FROM wn
+             |)
+             |SELECT user_id, event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |  value, z
+             |FROM scored
+             |WHERE n >= 8 AND variance > 0 AND abs(z) > 3
+             |ORDER BY user_id, event_id""".stripMargin)))
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, Chunking, Drift}
+
+/** Unit semantics for the fourth analytics pack (q114–q118). The
+  * DuckDB oracle gates end-to-end parity; these pin the operator
+  * semantics on crafted inputs. */
+class Analytics4Spec extends SparkSpec {
+
+  private def tokenize(word: String): Seq[String] = {
+    import spark.implicits._
+    val enc = Seq(word).toDF("text")
+      .select(expr(Bpe.encodedExpr("text", Bpe.SparkFlavor)).as("e"))
+      .head().getString(0)
+    // "⟨a⟩⟨bc⟩" → Seq("a", "bc")
+    enc.stripPrefix("⟨").stripSuffix("⟩").split("⟩⟨").toSeq
+  }
+
+  test("bpe: deep merge chains resolve in rank order") {
+    assert(tokenize("the") == Seq("the"))
+    assert(tokenize("scan") == Seq("scan"))   // a+n, s+c, sc+an
+    assert(tokenize("small") == Seq("small")) // s+m, sm+a, sma+l, smal+l
+    // (a,t) at rank 10 fires before (d,a) at rank 13, blocking the
+    // d+a chain — real BPE rank-order behavior
+    assert(tokenize("data") == Seq("d", "at", "a"))
+    assert(tokenize("sort") == Seq("s", "ort"))
+  }
+
+  test("bpe: merges never cross word boundaries") {
+    import spark.implicits._
+    val enc = Seq("t h").toDF("text")
+      .select(expr(Bpe.encodedExpr("text", Bpe.SparkFlavor)).as("e"))
+      .head().getString(0)
+    assert(enc == "⟨t⟩ ⟨h⟩") // no th merge across the space
+  }
+
+  test("bpe: left-to-right non-overlapping replace = leftmost-first merge") {
+    import spark.implicits._
+    val aa = Seq(("a", "a")) // overlap-prone merge
+    val enc = Seq("aaa").toDF("text")
+      .select(expr(Bpe.encodedExpr("text", Bpe.SparkFlavor, aa)).as("e"))
+      .head().getString(0)
+    assert(enc == "⟨aa⟩⟨a⟩") // NOT ⟨a⟩⟨aa⟩, and NOT a second-pass ⟨aaa⟩
+  }
+
+  test("chunking: boundaries, tail chunk, fingerprints") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Chunking.slidingChunks(docs, chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val exp = Seq(
+      (1L, 0, 32, md5hex(words.slice(0, 32).mkString(" "))),
+      (1L, 1, 16, md5hex(words.slice(24, 40).mkString(" "))),
+      (2L, 0, 3, md5hex("a b c")))
+    assert(got.toSeq == exp)
+  }
+
+  test("drift: identical slices have zero KL, real slices non-negative") {
+    import spark.implicits._
+    // two sides with the same text per lang → p == q → KL exactly 0
+    val same = Seq(
+      (0L, "en", "a b b c"), (1L, "en", "a b b c"),
+      (2L, "de", "x y"), (3L, "de", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val z = Drift.unigramDrift(same, col("doc_id") % 2).collect()
+    assert(z.forall(r => r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0))
+    // smoothed distributions are proper → Gibbs: KL ≥ 0 on real data
+    val real = Drift.unigramDrift(
+      graft.sources.Tables.load(spark, sfDir, "documents"),
+      col("doc_id") % 2).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(5) >= 0.0))
+  }
+
+  test("islands: streak stats match a driver-side rescan") {
+    val got = SparkEntry.queries("q115_activity_islands")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent re-derivation: collect distinct (user, day) and scan
+    val days = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    val exp = days.toSeq.sortBy(_._1).map { case (u, ds) =>
+      val streaks = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), d) if d == cur.head + 1 =>
+          (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(s => (s.last, s.size.toLong)) // (startDay, len)
+      val mx = streaks.map(_._2).max
+      (u, ds.size.toLong, streaks.size.toLong, mx,
+        streaks.filter(_._2 == mx).map(_._1).min)
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("rolling z-score: flags need >=8 priors and replay exactly") {
+    val flagged = SparkEntry.queries("q118_rolling_zscore")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(flagged.nonEmpty)
+    // driver-side replay with exact BigDecimal moments
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2)) // µs order key matches (ts, event_id)
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val vd = rows.map(t => BigDecimal(t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      rows.indices.flatMap { i =>
+        val frame = vd.slice(math.max(0, i - 20), i)
+        val n = frame.size
+        if (n < 8) None else {
+          val s1 = frame.sum.toDouble
+          val s2 = frame.map(x => x * x).sum.toDouble
+          val variance = s2 / n - (s1 / n) * (s1 / n)
+          if (variance <= 0) None else {
+            val z = BigDecimal((vd(i).toDouble - s1 / n) / math.sqrt(variance))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(z) > 3) Some((u, rows(i)._2, z)) else None
+          }
+        }
+      }
+    }
+    assert(flagged.toSeq.sortBy(t => (t._1, t._2)) ==
+      exp.sortBy(t => (t._1, t._2)))
+  }
+}

@@ -303,6 +303,39 @@ class PlanSpec extends SparkSpec {
       "interval join must meet on the cell key:\n" + p.take(800))
   }
 
+  test("q114: BPE encode is map-only up to the per-source reduce") {
+    val p = planOf("q114_bpe_encode")
+    // the 24-merge fold must stay a projection — no join, no window,
+    // no extra exchange beyond the final per-source hash agg + sort
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    // map-side partial aggregation, so the source exchange carries 4
+    // longs per (task, source) — not per-doc rows
+    assert(p.contains("partial_sum(n_tokens_doc") &&
+      p.contains("hashpartitioning(source"), p.take(800))
+  }
+
+  test("q116: drift is one term shuffle plus a broadcast totals join") {
+    val p = planOf("q116_token_drift")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+    assert(p.contains("BroadcastExchange"),
+      "per-lang totals must broadcast back, not shuffle the term table")
+  }
+
+  test("q117: chunking is pure flatmap — no join, window, or hash shuffle") {
+    val p = planOf("q117_chunk_windows")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle; output partitioning follows the input")
+  }
+
+  test("q118: rolling z-score is a single user_id window, no join") {
+    val p = planOf("q118_rolling_zscore")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.indexOf("Exchange hashpartitioning(user_id") ==
+      p.lastIndexOf("Exchange hashpartitioning(user_id"),
+      "expected exactly one user_id exchange feeding the window")
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
