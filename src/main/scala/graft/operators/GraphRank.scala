@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over an edge list — the link-analysis /
+  * entity-importance operator (Page et al. 1999) in the Pregel
+  * iterate-join shape (Malewicz et al. 2010).
+  *
+  * Determinism discipline: ranks are BIGINT micro-units (1.0 =
+  * 1,000,000), contributions use integer floor division, and the
+  * damping update is `150000 + (85 · Σcontrib) div 100` — all-integer
+  * arithmetic, so every iteration is exact and partition-order-free,
+  * and a DuckDB oracle can unroll the identical chain. The floor
+  * division leaks a few units of mass per node per iteration, which
+  * is deterministic and identical in both engines.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list with
+  * the current rank vector on `src` plus one `groupBy(dst)` — the
+  * standard BSP step. The edge list and degree table are computed
+  * once and persisted (they're reused every iteration); both joins
+  * key on `src`, so the shuffle partitioning is reused across
+  * iterations. Iteration count is fixed (power iteration with d=0.85
+  * contracts by 0.85^i; 6 rounds is a ranking-stable truncation, and
+  * a fixed count is what makes the unrolled oracle possible).
+  */
+object GraphRank {
+
+  val Unit6: Long = 1000000L
+
+  /** Out-degree table for [[fixedPointPageRank]] — callers should
+    * cache this (and the edge list) once per dataset: both are reused
+    * by every iteration. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+
+  /** `edges(src, dst)` must already contain both directions for an
+    * undirected graph; `deg` is [[degrees]](edges), passed in so the
+    * caller can persist both across the iterations. Returns
+    * `node, rank_units` for the `topK` highest-ranked nodes (ties
+    * toward smaller node id). */
+  def fixedPointPageRank(edges: DataFrame, deg: DataFrame,
+                         iters: Int, topK: Int): DataFrame = {
+    require(iters >= 1 && topK >= 1, s"need iters/topK >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var rank = deg.select(col("src").as("node"), lit(Unit6).as("r"))
+    for (_ <- 1 to iters) {
+      rank = e
+        .join(rank, e("src") === rank("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    rank.orderBy(desc("r"), asc("node")).limit(topK)
+      .select(col("node"), col("r").as("rank_units"))
+  }
+
+  /** DuckDB mirror of [[fixedPointPageRank]]: the iteration chain
+    * unrolled as CTEs over an `eo(c, s)` bipartite pair CTE (both
+    * directions are added here, matching the Spark caller). */
+  def pageRankSql(eoCte: String, iters: Int, topK: Int): String = {
+    val base =
+      s"""WITH eo AS ($eoCte),
+         |edges AS (
+         |  SELECT c AS src, s AS dst FROM eo
+         |  UNION ALL
+         |  SELECT s AS src, c AS dst FROM eo
+         |), deg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+         |), r0 AS (
+         |  SELECT src AS node, CAST($Unit6 AS BIGINT) AS r FROM deg
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + (85 * CAST(SUM(p.r // d.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN r${i - 1} p ON e.src = p.node
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, r AS rank_units FROM r$iters " +
+      s"ORDER BY rank_units DESC, node LIMIT $topK"
+  }
+}

@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.GraphRank
+import graft.sim.{IndexCache, Similarity}
 import graft.sources.Tables
-import graft.text.{Bpe, Chunking, Drift}
+import graft.text.{Bpe, Chunking, Corpus, Drift}
 
 /** Fourth analytics pack (round 6, session 4): tokenizer-artifact
   * application, gaps-and-islands streaks, corpus drift monitoring,
@@ -181,5 +183,126 @@ object Analytics4 {
              |  value, z
              |FROM scored
              |WHERE n >= 8 AND variance > 0 AND abs(z) > 3
-             |ORDER BY user_id, event_id""".stripMargin)))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- market-basket co-occurrence (association rules): support +
+    // ---- lift for part pairs co-ordered in the same order. The self-
+    // ---- join keys on orderkey, so pair explosion is bounded by
+    // ---- items-per-order (~7 -> ~21 pairs), never corpus-squared ----
+    Q("q119_co_occurrence",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = items.agg(
+          countDistinct(col("ok")).as("n_orders"))
+        val pc = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        val pairs = items.select(col("ok"), col("pk").as("p1"))
+          .join(items.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+          .where(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+        pairs
+          .join(pc.select(col("pk").as("p1"), col("c").as("c1")), Seq("p1"))
+          .join(pc.select(col("pk").as("p2"), col("c").as("c2")), Seq("p2"))
+          .crossJoin(nOrders)
+          .where(col("support") >= 3)
+          .select(col("p1"), col("p2"), col("support"),
+            round(col("support").cast("double") * col("n_orders") /
+              (col("c1") * col("c2")), 6).as("lift"))
+          .orderBy(desc("support"), asc("p1"), asc("p2"))
+          .limit(100)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), n AS (
+             |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+             |), pc AS (
+             |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk
+             |), pairs AS (
+             |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk
+             |)
+             |SELECT p1, p2, support,
+             |  ROUND(CAST(support AS DOUBLE) * n_orders / (c1.c * c2.c), 6) AS lift
+             |FROM pairs
+             |CROSS JOIN n
+             |JOIN pc c1 ON pairs.p1 = c1.pk
+             |JOIN pc c2 ON pairs.p2 = c2.pk
+             |WHERE support >= 3
+             |ORDER BY support DESC, p1, p2
+             |LIMIT 100""".stripMargin)),
+
+    // ---- weighted sampling without replacement (Efraimidis-Spirakis
+    // ---- 2006): exact k per lang, inclusion probability proportional
+    // ---- to doc length; one bounded-heap pass on the portable hash
+    // ---- key, no global sort ----------------------------------------
+    Q("q120_weighted_sample",
+      (s, dir) => Corpus.sampleWeightedK(
+          Tables.loadParallel(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", k = 15)
+        .orderBy("lang", "doc_id"),
+      Some(s"""SELECT lang, doc_id, ROUND(key, 9) AS es_key FROM (
+             |  SELECT lang, doc_id,
+             |    ${Corpus.weightedKeySql("doc_id", "n_chars")} AS key,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY ${Corpus.weightedKeySql("doc_id", "n_chars")} DESC,
+             |        doc_id) AS rn
+             |  FROM documents WHERE n_chars > 0)
+             |WHERE rn <= 15
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- MMR diversified re-rank (Carbonell-Goldstein 1998): ANN
+    // ---- bounds the pool to 20, then 5 greedy picks at the round-6
+    // ---- cosine grain; the oracle unrolls the identical greedy chain
+    Q("q121_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.loadParallel(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+        val cand = emb.filter(col("vec_id").between(1, 400))
+        val pool = Similarity
+          .bruteForceTopK(cand, qv, k = 20, excludeSelf = false)
+          .select(col("neighbor_id").as("id"),
+            round(col("cosine"), 6).as("rel"))
+          .join(emb.select(col("vec_id").as("id"),
+            col("embedding").as("vec")), Seq("id"))
+        Similarity.mmrRerank(pool, k = 5, lambda = 0.7, mu = 0.3)
+      },
+      Some(Similarity.mmrSql(
+        """SELECT c.vec_id AS id, c.embedding AS emb,
+          |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rel
+          |  FROM embeddings q JOIN embeddings c ON c.vec_id BETWEEN 1 AND 400
+          |  WHERE q.vec_id = 0
+          |  QUALIFY ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) <= 20""".stripMargin,
+        k = 5, lambda = 0.7, mu = 0.3))),
+
+    // ---- fixed-point PageRank (Page 1999, Pregel iterate-join shape)
+    // ---- over the customer-supplier bipartite trade graph; all-
+    // ---- integer micro-unit arithmetic, 6 unrolled iterations -------
+    Q("q122_entity_rank",
+      (s, dir) => {
+        val eo = IndexCache.getOrBuild(s, s"pr-eo:$dir") {
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"))
+            .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_suppkey")),
+              col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"),
+              (lit(1000000L) + col("l_suppkey")).as("s"))
+            .distinct()
+        }
+        val edges = IndexCache.getOrBuild(s, s"pr-edges:$dir") {
+          eo.select(col("c").as("src"), col("s").as("dst"))
+            .unionByName(eo.select(col("s").as("src"), col("c").as("dst")))
+        }
+        val deg = IndexCache.getOrBuild(s, s"pr-deg:$dir") {
+          GraphRank.degrees(edges)
+        }
+        GraphRank.fixedPointPageRank(edges, deg, iters = 6, topK = 25)
+      },
+      Some(GraphRank.pageRankSql(
+        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        iters = 6, topK = 25))))
+
 }

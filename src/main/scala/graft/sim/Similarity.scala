@@ -268,4 +268,75 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversified-retrieval step of a RAG pipeline: greedily pick k
+    * results trading relevance against similarity to what's already
+    * picked: argmax λ·rel − μ·max_{s∈selected} sim(d, s).
+    *
+    * Scale shape: MMR is inherently sequential in k, so the scale
+    * design is pool-bounded — an ANN stage reduces the corpus to a
+    * small candidate pool (`pool` here, ≤ ~100 rows regardless of
+    * corpus size), and the k greedy steps run as chained bounded
+    * plans over the persisted pool and its pairwise similarity table
+    * (pool² rows, still bounded). All scoring stays in Spark
+    * expressions at the round-6 cosine grain, so the unrolled SQL
+    * oracle replays every pick exactly (ties toward smaller id).
+    *
+    * `pool` columns: id (long), vec (float array), rel (double,
+    * already rounded to 6). λ and μ are passed separately (not
+    * μ = 1−λ) so both render to identical SQL literals.
+    */
+  def mmrRerank(pool: DataFrame, k: Int, lambda: Double, mu: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = pool.persist()
+    val pairs = p.select(col("id").as("ida"), col("vec").as("va"))
+      .join(broadcast(p.select(col("id").as("idb"), col("vec").as("vb"))),
+        col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        round(VF.cosine(col("va"), col("vb")), 6).as("sim"))
+      .persist()
+    var sel = p.orderBy(desc("rel"), asc("id")).limit(1)
+      .select(col("id"), lit(1).as("rank"), col("rel").as("score"))
+    for (i <- 2 to k) {
+      val selIds = sel.select(col("id").as("selid"))
+      val pen = pairs.join(selIds, col("idb") === col("selid"))
+        .groupBy(col("ida")).agg(max(col("sim")).as("pen"))
+      val step = p.join(pen, col("id") === col("ida"))
+        .join(selIds, col("id") === col("selid"), "left_anti")
+        .select(col("id"),
+          (lit(lambda) * col("rel") - lit(mu) * col("pen")).as("score"))
+        .orderBy(desc("score"), asc("id")).limit(1)
+        .select(col("id"), lit(i).as("rank"), col("score"))
+      sel = sel.unionByName(step)
+    }
+    sel.select(col("rank"), col("id"), round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[mmrRerank]]: the greedy chain unrolled as
+    * CTEs over `poolCte`, which must yield pool(id, emb, rel). */
+  def mmrSql(poolCte: String, k: Int, lambda: Double, mu: Double): String = {
+    val base =
+      s"""WITH pool AS ($poolCte),
+         |pairs AS (
+         |  SELECT a.id AS ida, b.id AS idb,
+         |    ROUND(list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])), 6) AS sim
+         |  FROM pool a JOIN pool b ON a.id <> b.id
+         |),
+         |acc1 AS (SELECT id, 1 AS rank, rel AS score FROM pool ORDER BY rel DESC, id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""sel$i AS (
+         |  SELECT p.id, $i AS rank, $lambda * p.rel - $mu * MAX(pr.sim) AS score
+         |  FROM pool p
+         |  JOIN pairs pr ON pr.ida = p.id AND pr.idb IN (SELECT id FROM acc${i - 1})
+         |  WHERE p.id NOT IN (SELECT id FROM acc${i - 1})
+         |  GROUP BY p.id, p.rel
+         |  ORDER BY score DESC, p.id LIMIT 1
+         |),
+         |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT rank, id, ROUND(score, 6) AS score FROM acc$k ORDER BY rank"
+  }
 }

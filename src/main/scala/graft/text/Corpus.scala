@@ -203,4 +203,33 @@ object Corpus {
       .select(col(stratumCol), col("p.id").as(idCol),
         (-col("p.score")).cast("long").as("rank_hash"))
   }
+
+  /** Weighted sampling WITHOUT replacement, exact k per stratum —
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir"): each row draws key = ln(u) / w for a uniform
+    * u ∈ (0, 1] and the k largest keys win; inclusion probability is
+    * proportional to weight, and the choice is one bounded-heap pass
+    * (no global sort). u comes from the portable [[hashBucket]] mixer,
+    * so the draw is reproducible and a SQL oracle replays it exactly.
+    *
+    * Output: (stratum, id, es_key) rows, k per stratum, where es_key
+    * is the selection key rounded to 9 decimals. */
+  def sampleWeightedK(df: DataFrame, stratumCol: String, idCol: String,
+                      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(col(idCol), 1 << 30).cast("double") + lit(1.0)) /
+      lit(1073741824.0)
+    val key = log(u) / col(weightCol)
+    df.where(col(weightCol) > 0)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKAgg.topKBy(key, col(idCol).cast("long"), k)
+        .as("picks"))
+      .select(col(stratumCol), explode(col("picks")).as("p"))
+      .select(col(stratumCol), col("p.id").as(idCol),
+        round(col("p.score"), 9).as("es_key"))
+  }
+
+  /** DuckDB mirror of [[sampleWeightedK]]'s selection key. */
+  def weightedKeySql(id: String, weight: String): String =
+    s"(ln((CAST(${hashBucketSql(id, 1 << 30)} AS DOUBLE) + 1.0) / 1073741824.0) / $weight)"
 }

@@ -135,4 +135,63 @@ class Analytics4Spec extends SparkSpec {
     assert(flagged.toSeq.sortBy(t => (t._1, t._2)) ==
       exp.sortBy(t => (t._1, t._2)))
   }
+
+  test("pagerank: integer fixed-point matches hand computation on a path") {
+    import spark.implicits._
+    // undirected path 1-2-3: deg(1)=1, deg(2)=2, deg(3)=1
+    val eo = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val edges = eo.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eo.select(col("b").as("src"), col("a").as("dst")))
+    val deg = graft.operators.GraphRank.degrees(edges)
+    val got = graft.operators.GraphRank
+      .fixedPointPageRank(edges, deg, iters = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // iter1: r(1)=r(3)=150000+85*(1000000 div 2) div 100 = 575000
+    //        r(2)=150000+85*(1000000+1000000) div 100 = 1850000
+    // iter2: r(1)=r(3)=150000+85*(1850000 div 2) div 100 = 936250
+    //        r(2)=150000+85*(575000+575000) div 100 = 1127500
+    assert(got == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("pagerank: result is partition-order invariant") {
+    val s = spark
+    val dir = sfDir
+    val q = SparkEntry.queries("q122_entity_rank")
+    val a = q(s, dir).collect().toSeq
+    graft.sim.IndexCache.clear() // force a rebuild on fresh partitioning
+    val b = q(s, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mmr: greedy picks trade relevance against redundancy") {
+    import spark.implicits._
+    // b is a near-duplicate of a; c is dissimilar. MMR must pick a,
+    // then c (despite b's higher rel), then b.
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0.95),
+      (2L, Array(0.999f, 0.045f, 0.0f), 0.94),
+      (3L, Array(0.1f, 0.995f, 0.0f), 0.80))
+      .toDF("id", "vec", "rel")
+    val got = graft.sim.Similarity.mmrRerank(pool, k = 3,
+        lambda = 0.7, mu = 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("weighted sample without replacement matches the window form") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val got = graft.text.Corpus.sampleWeightedK(
+      docs, "lang", "doc_id", "n_chars", k = 15)
+    // reference formulation: full sort per stratum via window
+    val key = log((graft.text.Corpus.hashBucket(col("doc_id"), 1 << 30)
+      .cast("double") + lit(1.0)) / lit(1073741824.0)) / col("n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("key"), asc("doc_id"))
+    val exp = docs.where(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), key.as("key"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 15)
+      .select(col("lang"), col("doc_id"), round(col("key"), 9).as("es_key"))
+    assertSameRows(got, exp)
+  }
 }

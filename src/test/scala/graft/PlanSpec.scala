@@ -336,6 +336,42 @@ class PlanSpec extends SparkSpec {
       "expected exactly one user_id exchange feeding the window")
   }
 
+  test("q119: co-occurrence self-join keys on orderkey, no cartesian") {
+    val p = SparkEntry.queries("q119_co_occurrence")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // the only nested-loop join allowed is the 1-row n_orders scalar
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("Exchange hashpartitioning(ok"),
+      "pair generation must meet on the order key")
+  }
+
+  test("q120: weighted sample pre-reduces to k rows before the exchange") {
+    val p = SparkEntry.queries("q120_weighted_sample")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    val iPartial = p.indexOf("partial_top_k_by")
+    val iExchange = p.indexOf("Exchange hashpartitioning(lang")
+    assert(iPartial >= 0, "no partial top-k aggregation:\n" + p.take(800))
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "expected exchange above the partial top-k (top-down plan)")
+    assert(!p.contains("Window"), "the scale path must not use a window")
+  }
+
+  test("q121: MMR greedy steps run over the persisted bounded pool") {
+    val p = SparkEntry.queries("q121_mmr_rerank")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("InMemoryTableScan"),
+      "pool and pairs must be persisted, not recomputed per greedy step")
+  }
+
+  test("q122: PageRank iterations reuse the cached edge and degree tables") {
+    val p = SparkEntry.queries("q122_entity_rank")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("InMemoryTableScan"),
+      "edges/degrees must come from the ingest-time cache each iteration")
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
