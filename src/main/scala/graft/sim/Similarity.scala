@@ -289,7 +289,10 @@ object Similarity {
     */
   def mmrRerank(pool: DataFrame, k: Int, lambda: Double, mu: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val p = pool.persist()
+    // respect a caller-cached pool (IndexCache) — only persist here
+    // when the caller didn't
+    val p = if (pool.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pool.persist() else pool
     val pairs = p.select(col("id").as("ida"), col("vec").as("va"))
       .join(broadcast(p.select(col("id").as("idb"), col("vec").as("vb"))),
         col("ida") =!= col("idb"))

@@ -194,4 +194,24 @@ class Analytics4Spec extends SparkSpec {
       .select(col("lang"), col("doc_id"), round(col("key"), 9).as("es_key"))
     assertSameRows(got, exp)
   }
+
+  test("triangles: degree-oriented count matches brute force on K4+pendant") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5-1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val got = graft.operators.GraphRank
+      .trianglesPerNode(edges.toDF("p1", "p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // brute-force differential on the same graph
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = und.map(_._1).toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+  }
 }

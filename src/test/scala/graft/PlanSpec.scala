@@ -372,6 +372,14 @@ class PlanSpec extends SparkSpec {
       "edges/degrees must come from the ingest-time cache each iteration")
   }
 
+  test("q123: triangle wedges join on oriented sources, no cartesian") {
+    val p = SparkEntry.queries("q123_triangle_count")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedge generation and closure must be equi-joins:\n" + p.take(800))
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
