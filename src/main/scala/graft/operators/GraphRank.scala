@@ -87,6 +87,53 @@ object GraphRank {
       s"ORDER BY rank_units DESC, node LIMIT $topK"
   }
 
+  /** Bounded-depth BFS reachability: for every seed, the number of
+    * distinct nodes within `hops` edge traversals (the seed itself
+    * excluded). Classic Pregel frontier expansion: each hop joins only
+    * the NEW frontier against the edge list on `src` (the partitioning
+    * is reused across hops), anti-joins the visited set to keep the
+    * frontier minimal, and unions into visited. Depth is fixed, so
+    * the whole expansion is one static plan an oracle can unroll.
+    *
+    * `edges(src, dst)` must contain both directions for undirected
+    * graphs; `seeds` is one column `seed`. Returns (seed, reach). */
+  def kHopReach(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    var visited = seeds.select(col("seed"), col("seed").as("node"))
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val nxt = frontier.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+      visited = visited.unionByName(nxt)
+      frontier = nxt
+    }
+    visited.where(col("node") =!= col("seed"))
+      .groupBy(col("seed")).agg(count(lit(1)).as("reach"))
+  }
+
+  /** DuckDB mirror of [[kHopReach]]: unrolled CTE chain over
+    * `edgesCte` (must yield edges(src, dst), both directions) and
+    * `seedsCte` (must yield seeds(seed)). */
+  def kHopSql(edgesCte: String, seedsCte: String, hops: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesCte),
+         |seeds AS ($seedsCte),
+         |r0 AS (SELECT seed, seed AS node FROM seeds)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s"""r$i AS (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, node FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT r.seed, e.dst AS node
+         |    FROM r${i - 1} r JOIN edges e ON r.node = e.src))""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\n" +
+      s"SELECT seed, CAST(COUNT(*) AS BIGINT) AS reach FROM r$hops " +
+      "WHERE node <> seed GROUP BY seed ORDER BY seed"
+  }
+
   /** Per-node triangle participation counts — compact-forward triangle
     * enumeration (Latapy 2008) with degree-ordered orientation: every
     * undirected edge points from its lower-(degree, id) endpoint to the

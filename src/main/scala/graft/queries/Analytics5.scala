@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphRank, GroupOls, RankFusion, Skyline}
+import graft.sim.Similarity
+import graft.sources.Tables
+import graft.text.Relevance
+
+/** Fifth analytics pack (round 6, session 5): hybrid-retrieval rank
+  * fusion, Pareto skyline, association-rule mining, bounded-depth
+  * graph reachability, and per-group closed-form linear regression.
+  * Every query keeps the established determinism discipline — integer
+  * / decimal accumulation wherever partition order could leak into a
+  * double, fixed expression trees for the final double arithmetic —
+  * so each has an exact DuckDB oracle. */
+object Analytics5 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q124's lexical leg: the q74 query terms, re-declared here so the
+    * pack stays self-contained (same public BM25 operator). */
+  private val fuseTerms = Seq("customer", "query", "window", "stream")
+
+  /** q74-style DuckDB mirror of Relevance.bm25 over `documents`,
+    * yielding bm(id, score[round 6]). Constants are pre-folded the
+    * same way the Column tree folds them (k1=1.2, b=0.75). */
+  private def bm25Cte: String = {
+    val tfDefs = fuseTerms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$term')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfDefs = fuseTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")
+      .mkString(", ")
+    val terms = fuseTerms.indices.map { i =>
+      s"""(ln(CAST(1.0 AS DOUBLE) + ((n_docs - df_$i) + 0.5) / (df_$i + 0.5)) *
+         |      (tf_$i * CAST(2.2 AS DOUBLE)) /
+         |      (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avg_dl)))""".stripMargin
+    }.mkString(" +\n    ")
+    s"""bmbase AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfDefs
+       |  FROM documents
+       |), bmstats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl, $dfDefs
+       |  FROM bmbase
+       |), bm AS (
+       |  SELECT doc_id AS id, round($terms, 6) AS score
+       |  FROM bmbase CROSS JOIN bmstats)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- reciprocal-rank fusion (Cormack 2009): merge the BM25
+    // ---- lexical ranking with the dense ANN cosine ranking by rank
+    // ---- position only — the standard hybrid-search combiner. Both
+    // ---- legs are bounded top-50 lists produced by distributed
+    // ---- top-k; ranks come from a window over those 50 rows --------
+    Q("q124_rrf_fusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emb = Tables.loadParallel(s, dir, "embeddings")
+        // lexical leg: BM25 over documents, rounded to the oracle
+        // grain BEFORE ranking so ties resolve identically
+        val bmTop = Relevance.bm25(docs, fuseTerms)
+          .select(col("doc_id").as("id"), round(col("bm25"), 6).as("sc"))
+          .orderBy(desc("sc"), asc("id")).limit(50)
+        // dense leg: cosine against query vector 0
+        val annTop = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+            emb.filter(col("vec_id") === 0), k = 50, excludeSelf = false)
+          .select(col("neighbor_id").as("id"),
+            round(col("cosine"), 6).as("sc"))
+        // row_number over the bounded 50-row lists (single partition
+        // by construction — the lists are already top-k results)
+        val w = Window.orderBy(desc("sc"), asc("id"))
+        val rank = (df: DataFrame) =>
+          df.select(col("id"), row_number().over(w).as("rank"))
+        RankFusion.rrf(Seq(rank(bmTop), rank(annTop)), k = 60)
+          .select(col("id"), round(col("rrf"), 9).as("rrf"))
+          .orderBy(desc("rrf"), asc("id")).limit(15)
+      },
+      Some(s"""WITH $bm25Cte,
+              |bmr AS (
+              |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+              |  FROM (SELECT id, score FROM bm ORDER BY score DESC, id LIMIT 50) x
+              |), ann AS (
+              |  SELECT c.vec_id AS id,
+              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sc
+              |  FROM embeddings q, embeddings c
+              |  WHERE q.vec_id = 0 AND c.vec_id <> 0
+              |), annr AS (
+              |  SELECT id, ROW_NUMBER() OVER (ORDER BY sc DESC, id) AS rank
+              |  FROM (SELECT id, sc FROM ann ORDER BY sc DESC, id LIMIT 50) y
+              |)
+              |SELECT COALESCE(a.id, b.id) AS id,
+              |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank), 0) +
+              |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank), 0), 9) AS rrf
+              |FROM bmr a FULL OUTER JOIN annr b ON a.id = b.id
+              |ORDER BY rrf DESC, id LIMIT 15""".stripMargin)),
+
+    // ---- 2-D Pareto skyline (Borzsonyi 2001): parts undominated on
+    // ---- (minimize retail price, maximize size). Per-price MAX
+    // ---- aggregation + a running max over the bounded distinct-price
+    // ---- grid — never the O(n^2) dominance self-join ---------------
+    Q("q125_pareto_skyline",
+      (s, dir) => Skyline.pareto2d(
+          t(s, dir, "part")
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          xCol = "p_retailprice", yCol = "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(asc("p_retailprice"), asc("p_partkey")),
+      Some(Skyline.paretoSql(
+        "SELECT p_partkey, p_retailprice, p_size FROM part",
+        xCol = "p_retailprice", yCol = "p_size",
+        selectCols = "p_partkey, p_retailprice, p_size") +
+        "\nORDER BY p_retailprice, p_partkey")),
+
+    // ---- association rules over co-purchases (Agrawal 1993):
+    // ---- confidence and lift from three integer count tables —
+    // ---- pair support, antecedent support, corpus size. All ratios
+    // ---- are single divisions of exact int64 products, so ordering
+    // ---- and output agree bit-for-bit with the oracle --------------
+    Q("q126_assoc_rules",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = items.agg(
+          countDistinct(col("ok")).as("n_orders"))
+        val itemCnt = items.groupBy(col("pk"))
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = items.select(col("ok"), col("pk").as("p1"))
+          .join(items.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+          .where(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("ps"))
+          .where(col("ps") >= 2)
+        val rules = pairs
+          .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("ps"))
+          .unionByName(pairs
+            .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("ps")))
+        rules
+          .join(itemCnt.select(col("pk").as("antecedent"), col("cnt").as("ac")),
+            Seq("antecedent"))
+          .join(itemCnt.select(col("pk").as("consequent"), col("cnt").as("cc")),
+            Seq("consequent"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("antecedent"), col("consequent"),
+            col("ps").as("pair_support"),
+            round(col("ps").cast("double") / col("ac").cast("double"), 6)
+              .as("confidence"),
+            round((col("ps") * col("n_orders")).cast("double") /
+              (col("ac") * col("cc")).cast("double"), 6).as("lift"))
+          .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), n AS (
+             |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+             |), ic AS (
+             |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY pk
+             |), pairs AS (
+             |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS ps
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |), rules AS (
+             |  SELECT p1 AS antecedent, p2 AS consequent, ps FROM pairs
+             |  UNION ALL
+             |  SELECT p2, p1, ps FROM pairs
+             |)
+             |SELECT antecedent, consequent, ps AS pair_support,
+             |  ROUND(CAST(ps AS DOUBLE) / CAST(ac.cnt AS DOUBLE), 6) AS confidence,
+             |  ROUND(CAST(ps * n.n_orders AS DOUBLE) /
+             |        CAST(ac.cnt * cc.cnt AS DOUBLE), 6) AS lift
+             |FROM rules
+             |JOIN ic ac ON rules.antecedent = ac.pk
+             |JOIN ic cc ON rules.consequent = cc.pk
+             |CROSS JOIN n
+             |ORDER BY lift DESC, antecedent, consequent LIMIT 20""".stripMargin)),
+
+    // ---- bounded-depth BFS reachability on the customer–supplier
+    // ---- trade graph: 3-hop distinct-node reach for the 10 smallest
+    // ---- customer seeds. Frontier-only Pregel expansion over the
+    // ---- cached edge artifact -------------------------------------
+    Q("q127_khop_reach",
+      (s, dir) => {
+        val (edges, _) = Analytics4.prGraphCached(s, dir)
+        val seeds = edges.select(col("src"))
+          .where(col("src") < 1000000L).distinct()
+          .orderBy(asc("src")).limit(10)
+          .select(col("src").as("seed"))
+        GraphRank.kHopReach(edges, seeds, hops = 3).orderBy(asc("seed"))
+      },
+      Some(GraphRank.kHopSql(
+        edgesCte =
+          """SELECT c AS src, s AS dst FROM (
+            |    SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+            |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey) eo1
+            |  UNION ALL
+            |  SELECT s, c FROM (
+            |    SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+            |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey) eo2""".stripMargin,
+        seedsCte =
+          "SELECT DISTINCT src AS seed FROM edges WHERE src < 1000000 ORDER BY src LIMIT 10",
+        hops = 3))),
+
+    // ---- per-group OLS (closed form): regress extended price on
+    // ---- quantity per part brand. The five sufficient statistics
+    // ---- accumulate in DECIMAL (exact, order-free); slope and
+    // ---- intercept are a fixed double expression tree over their
+    // ---- exact values, so both engines emit identical bits ---------
+    Q("q128_group_ols",
+      (s, dir) => GroupOls.fit(
+          t(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+            .join(broadcast(t(s, dir, "part")
+              .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey")),
+          groupCol = "p_brand", xCol = "l_quantity", yCol = "l_extendedprice")
+        .withColumnRenamed("group", "brand")
+        .orderBy(asc("brand")),
+      Some("""WITH j AS (
+             |  SELECT p_brand AS brand,
+             |    CAST(l_quantity AS DECIMAL(12,2)) AS q,
+             |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |), g AS (
+             |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(q) AS DECIMAL(18,2)) AS sx,
+             |    CAST(SUM(p) AS DECIMAL(18,2)) AS sy,
+             |    CAST(SUM(q * p) AS DECIMAL(24,4)) AS sxy,
+             |    CAST(SUM(q * q) AS DECIMAL(24,4)) AS sxx
+             |  FROM j GROUP BY brand
+             |)
+             |SELECT brand, n,
+             |  ROUND(CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE) /
+             |        CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+             |        (CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE) /
+             |         CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)) *
+             |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
+             |FROM g ORDER BY brand""".stripMargin)))
+
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphRank, GroupOls, RankFusion, Skyline}
+
+/** Unit semantics for the fifth analytics pack (q124–q128). The
+  * DuckDB oracle gates end-to-end parity; these pin the operator
+  * semantics on crafted inputs. */
+class Analytics5Spec extends SparkSpec {
+
+  test("rrf: fuses ranks across lists, missing entries contribute 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = RankFusion.rrf(Seq(a, b), k = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(10L) == 1.0 / 61 + 1.0 / 62)
+    assert(got(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(got(30L) == 1.0 / 63) // only in list a
+    assert(got(40L) == 1.0 / 63) // only in list b
+    // 10 and 20 tie exactly (same rank multiset) — two-operand double
+    // addition is commutative, the operator's order-safety claim
+    assert(got(10L) == got(20L))
+  }
+
+  test("skyline: dominance semantics incl. duplicates and same-x ties") {
+    import spark.implicits._
+    // minimize x, maximize y
+    val rows = Seq(
+      (1L, 1.0, 5), // frontier (cheapest, best y at x=1)
+      (2L, 1.0, 3), // dominated: same x, smaller y
+      (3L, 2.0, 7), // frontier (y 7 > rmax 5)
+      (4L, 2.0, 7), // duplicate point — survives with 3
+      (5L, 3.0, 7), // dominated: 3/7 loses to 2/7 on price (strict)
+      (6L, 4.0, 9), // frontier
+      (7L, 5.0, 8)  // dominated by (4.0, 9)
+    ).toDF("id", "x", "y")
+    val got = Skyline.pareto2d(rows, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("khop: frontier expansion matches hand-computed reach on a path") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6 (undirected), seeds 1 and 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("seed")
+    val got = GraphRank.kHopReach(edges, seeds, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // from 1: {2,3,4}; from 3: {1,2,4,5,6} (6 at distance 3)
+    assert(got == Map(1L -> 3L, 3L -> 5L))
+  }
+
+  test("khop: reach never double-counts re-reached nodes") {
+    import spark.implicits._
+    // triangle 1-2-3: from seed 1 every node is re-reached each hop
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = GraphRank.kHopReach(edges, Seq(1L).toDF("seed"), hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("ols: exact fit recovered, per group, order-independently") {
+    import spark.implicits._
+    // group a: y = 2x + 1 exactly; group b: y = -0.5x + 10 exactly
+    val rows = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 4.0, 9.0),
+      ("b", 2.0, 9.0), ("b", 6.0, 7.0), ("b", 10.0, 5.0), ("b", 0.0, 10.0))
+    val got = GroupOls.fit(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((3L, 2.0, 1.0)))
+    assert(got("b") == ((4L, -0.5, 10.0)))
+    // permutation invariance: decimal accumulation is order-free
+    val shuffled = GroupOls.fit(rows.reverse.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(shuffled == got)
+  }
+
+  test("ols: zero x-variance group yields null slope, not a crash") {
+    import spark.implicits._
+    val rows = Seq(("c", 5.0, 1.0), ("c", 5.0, 2.0))
+    val r = GroupOls.fit(rows.toDF("g", "x", "y"), "g", "x", "y").collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+}

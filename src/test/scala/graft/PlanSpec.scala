@@ -372,6 +372,51 @@ class PlanSpec extends SparkSpec {
       "edges/degrees must come from the ingest-time cache each iteration")
   }
 
+  test("q124: both fusion legs are bounded top-k before any window") {
+    val p = SparkEntry.queries("q124_rrf_fusion")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 leg must bound to top-50 via distributed top-k:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q125: skyline never self-joins the full table") {
+    val p = SparkEntry.queries("q125_pareto_skyline")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no O(n^2) dominance join:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded frontier must broadcast back to the table")
+  }
+
+  test("q126: rule stats meet on equi-joins with a single scalar cross") {
+    val p = SparkEntry.queries("q126_assoc_rules")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("Exchange hashpartitioning(ok"),
+      "pair generation must meet on the order key")
+  }
+
+  test("q127: k-hop expansion is frontier equi-joins on the cached graph") {
+    val p = SparkEntry.queries("q127_khop_reach")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("InMemoryTableScan"),
+      "each hop must reuse the ingest-time edge cache")
+  }
+
+  test("q128: OLS is one hash aggregation with partial map-side combine") {
+    val p = SparkEntry.queries("q128_group_ols")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(800))
+    assert(!p.contains("Window"), "no window in the scale path")
+    assert(p.contains("BroadcastHashJoin"),
+      "the part dimension must broadcast")
+  }
+
   test("q123: triangle wedges join on oriented sources, no cartesian") {
     val p = SparkEntry.queries("q123_triangle_count")(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
