@@ -63,4 +63,36 @@ object GapFill {
     filled.select((g :+ col("__tick").cast("timestamp").as("tick")) ++
       outAggs: _*)
   }
+
+  /** Linear interpolation across a (possibly gap-filled) tick series:
+    * null `valueCol` entries take
+    * `vp + (vn − vp) · (t − tp)/(tn − tp)` from the nearest non-null
+    * neighbors on each side; non-null entries pass through, and ticks
+    * with a missing neighbor (before the first / after the last
+    * observation) stay null. The arithmetic is a fixed double
+    * expression tree per row, so a SQL oracle replays it exactly.
+    *
+    * Scale shape: two frame-bounded window passes (last non-null
+    * looking back, first non-null looking forward) partitioned by the
+    * group — the windows run over the DENSE AXIS (span/step rows per
+    * group, already orders of magnitude smaller than the fact table),
+    * not over raw events. `tickCol` must be integral (epoch seconds).
+    */
+  def interpolate(df: DataFrame, groupCols: Seq[String], tickCol: String,
+                  valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(g: _*).orderBy(col(tickCol))
+    val wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col(valueCol).isNotNull,
+      struct(col(tickCol).as("t"), col(valueCol).as("v")))
+    val prev = last(obs, ignoreNulls = true).over(wp)
+    val next = first(obs, ignoreNulls = true).over(wn)
+    val ratio = (col(tickCol) - prev.getField("t")).cast("double") /
+      (next.getField("t") - prev.getField("t")).cast("double")
+    val interp = prev.getField("v") +
+      (next.getField("v") - prev.getField("v")) * ratio
+    df.withColumn(valueCol, coalesce(col(valueCol), interp))
+  }
 }

@@ -33,19 +33,25 @@ object GroupOls {
           yCol: String): DataFrame = {
     val q = col(xCol).cast(DecimalType(12, 2))
     val p = col(yCol).cast(DecimalType(12, 2))
+    // width discipline: every product must keep w1+w2 <= 38 so the
+    // oracle engine stays on its exact int128 decimal path (DuckDB
+    // hard-caps at width 38 and overflows int64 otherwise), and
+    // w1+w2+1 <= 38 so Spark never enters precision-loss scale
+    // trimming. Hence the narrow(14,2) × wide(23,2) split below.
     val g = df.groupBy(col(groupCol).as("group")).agg(
       count(lit(1)).as("n"),
-      sum(q).cast(DecimalType(18, 2)).as("sx"),
-      sum(p).cast(DecimalType(18, 2)).as("sy"),
-      sum(q * p).cast(DecimalType(24, 4)).as("sxy"),
-      sum(q * q).cast(DecimalType(24, 4)).as("sxx"))
-    val cnt = col("n").cast(DecimalType(12, 0))
-    val num = (cnt * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (cnt * col("sxx") - col("sx") * col("sx")).cast("double")
+      sum(q).cast(DecimalType(14, 2)).as("sxn"),
+      sum(q).cast(DecimalType(23, 2)).as("sxw"),
+      sum(p).cast(DecimalType(23, 2)).as("sy"),
+      sum(q * p).cast(DecimalType(29, 4)).as("sxy"),
+      sum(q * q).cast(DecimalType(29, 4)).as("sxx"))
+    val cnt = col("n").cast(DecimalType(8, 0))
+    val num = (cnt * col("sxy") - col("sxn") * col("sy")).cast("double")
+    val den = (cnt * col("sxx") - col("sxn") * col("sxw")).cast("double")
     // try_divide: zero x-variance → null slope, matching DuckDB's
     // NULL-on-division-by-zero default (ANSI Spark would throw)
     val slope = try_divide(num, den)
-    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val xbar = col("sxw").cast("double") / col("n").cast("double")
     val ybar = col("sy").cast("double") / col("n").cast("double")
     g.select(col("group"), col("n"),
       round(slope, 6).as("slope"),

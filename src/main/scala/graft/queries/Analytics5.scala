@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphRank, GroupOls, RankFusion, Skyline}
+import graft.operators.{GapFill, GraphRank, GroupOls, RankFusion, Skyline}
 import graft.sim.Similarity
 import graft.sources.Tables
 import graft.text.Relevance
@@ -231,19 +231,137 @@ object Analytics5 {
              |  FROM lineitem JOIN part ON l_partkey = p_partkey
              |), g AS (
              |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
-             |    CAST(SUM(q) AS DECIMAL(18,2)) AS sx,
-             |    CAST(SUM(p) AS DECIMAL(18,2)) AS sy,
-             |    CAST(SUM(q * p) AS DECIMAL(24,4)) AS sxy,
-             |    CAST(SUM(q * q) AS DECIMAL(24,4)) AS sxx
+             |    CAST(SUM(q) AS DECIMAL(14,2)) AS sxn,
+             |    CAST(SUM(q) AS DECIMAL(23,2)) AS sxw,
+             |    CAST(SUM(p) AS DECIMAL(23,2)) AS sy,
+             |    CAST(SUM(q * p) AS DECIMAL(29,4)) AS sxy,
+             |    CAST(SUM(q * q) AS DECIMAL(29,4)) AS sxx
              |  FROM j GROUP BY brand
              |)
              |SELECT brand, n,
-             |  ROUND(CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE) /
-             |        CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             |  ROUND(CAST(CAST(n AS DECIMAL(8,0)) * sxy - sxn * sy AS DOUBLE) /
+             |        CAST(CAST(n AS DECIMAL(8,0)) * sxx - sxn * sxw AS DOUBLE), 6) AS slope,
              |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
-             |        (CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE) /
-             |         CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)) *
-             |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
-             |FROM g ORDER BY brand""".stripMargin)))
+             |        (CAST(CAST(n AS DECIMAL(8,0)) * sxy - sxn * sy AS DOUBLE) /
+             |         CAST(CAST(n AS DECIMAL(8,0)) * sxx - sxn * sxw AS DOUBLE)) *
+             |        (CAST(sxw AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
+             |FROM g ORDER BY brand""".stripMargin)),
+
+    // ---- linear interpolation over a gap-filled tick grid: the
+    // ---- WITH FILL ... INTERPOLATE analog. Dense axis from the span
+    // ---- row, then two frame-bounded window passes over the AXIS
+    // ---- (span/step rows per group), never over raw events ---------
+    Q("q129_linear_interp",
+      (s, dir) => {
+        val filled = GapFill.fillTimeSeries(
+            t(s, dir, "events"), tsCol = "ts", groupCols = Seq("event_type"),
+            aggs = Map("v" -> (sum(dec("value")).cast("double") /
+              count(lit(1)).cast("double"))),
+            stepSec = 900L,
+            fill = Map("v" -> lit(null).cast("double")))
+          .withColumn("tsec", unix_timestamp(col("tick")))
+        // NO round on the output: the expression tree is mirrored
+        // op-for-op, so the doubles are already bit-identical, and
+        // rounding is what DIVERGES here — interpolated averages can
+        // land exactly on a decimal half (e.g. 8.1903125), where
+        // Spark's round (shortest-string HALF_UP) and DuckDB's
+        // (binary-double scaling) disagree by one ulp
+        GapFill.interpolate(filled, Seq("event_type"), "tsec", "v")
+          .select(col("event_type"),
+            date_format(col("tick"), "yyyy-MM-dd HH:mm:ss").as("tick"),
+            col("v").as("avg_value"))
+          .orderBy("event_type", "tick")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, (epoch_us(ts) // 1000000 // 900) * 900 AS tick,
+             |         CAST(value AS DECIMAL(12,2)) AS dv
+             |  FROM events
+             |), obs AS (
+             |  SELECT event_type, tick,
+             |    CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+             |  FROM e GROUP BY 1, 2
+             |), span AS (
+             |  SELECT event_type, MIN(tick) AS lo, MAX(tick) AS hi FROM e GROUP BY 1
+             |), axis AS (
+             |  SELECT event_type, unnest(generate_series(lo, hi, 900)) AS tick FROM span
+             |), filled AS (
+             |  SELECT a.event_type, a.tick, o.v
+             |  FROM axis a LEFT JOIN obs o
+             |    ON a.event_type = o.event_type AND a.tick = o.tick
+             |), ip AS (
+             |  SELECT event_type, tick, v,
+             |    last_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             |      OVER wp AS tp,
+             |    last_value(v IGNORE NULLS) OVER wp AS vp,
+             |    first_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             |      OVER wn AS tn,
+             |    first_value(v IGNORE NULLS) OVER wn AS vn
+             |  FROM filled
+             |  WINDOW wp AS (PARTITION BY event_type ORDER BY tick
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         wn AS (PARTITION BY event_type ORDER BY tick
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |)
+             |SELECT event_type,
+             |  strftime(make_timestamp(tick * 1000000), '%Y-%m-%d %H:%M:%S') AS tick,
+             |  COALESCE(v, vp + (vn - vp) *
+             |    (CAST(tick - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))) AS avg_value
+             |FROM ip ORDER BY event_type, tick""".stripMargin)),
+
+    // ---- positional phrase search: postings of the 3 phrase terms
+    // ---- (selective filter BEFORE any join), closed with equi-joins
+    // ---- on (doc, aligned position) ---------------------------------
+    Q("q130_phrase_search",
+      (s, dir) => Relevance.phraseSearch(t(s, dir, "documents"),
+          Seq("stream", "table", "hash"))
+        .orderBy(desc("occurrences"), asc("doc_id")),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+             |), occ AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(range(1, len(s) - 1),
+             |      i -> s[i] = 'stream' AND s[i+1] = 'table' AND s[i+2] = 'hash'))
+             |      AS BIGINT) AS occurrences
+             |  FROM sp)
+             |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
+             |ORDER BY occurrences DESC, doc_id""".stripMargin)),
+
+    // ---- exact rolling median (7-row frame) per supplier: bounded
+    // ---- collect + in-array order statistics; the frame is 7 rows so
+    // ---- the sort is O(1) per row. Median arithmetic is a fixed
+    // ---- double tree over DECIMAL-exact elements ---------------------
+    Q("q131_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-6, 0)
+        val arr = sort_array(collect_list(dec("l_quantity")).over(w))
+        val n = size(arr)
+        val a = element_at(arr, shiftright(n + lit(1), 1)).cast("double")
+        val b = element_at(arr, shiftright(n, 1) + lit(1)).cast("double")
+        t(s, dir, "lineitem").where(col("l_suppkey") < 20)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"),
+            round((a + b) / lit(2.0), 6).as("median7"))
+          .orderBy("l_suppkey", "ship_ts", "l_orderkey", "l_linenumber")
+      },
+      Some("""WITH f AS (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             |    CAST(l_quantity AS DECIMAL(12,2)) AS q
+             |  FROM lineitem WHERE l_suppkey < 20
+             |), r AS (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             |    list_sort(list(q) OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+             |  FROM f
+             |)
+             |SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+             |  ROUND((CAST(l[(len(l) + 1) // 2] AS DOUBLE) +
+             |         CAST(l[len(l) // 2 + 1] AS DOUBLE)) / CAST(2 AS DOUBLE), 6)
+             |    AS median7
+             |FROM r
+             |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber""".stripMargin)))
 
 }

@@ -100,4 +100,34 @@ object Relevance {
     }.reduceLeft(_ + _)
     base.crossJoin(broadcast(stats)).select(col(idCol), score.as("bm25"))
   }
+
+  /** Positional phrase search: documents containing the exact token
+    * sequence `phrase`, with occurrence counts (overlapping starts
+    * each count). The classic positional-inverted-index query: build
+    * (doc, position) postings per phrase term, then close the phrase
+    * with equi-joins on (doc, alignedPosition) — term i must sit at
+    * `pos(first) + i`.
+    *
+    * Scale shape: postings are filtered to the phrase's terms BEFORE
+    * any join (highly selective — the postings lists of 2–5 fixed
+    * terms, not the full token explosion), and every join is an
+    * equi-join on (doc, pos), so the work is O(Σ postings of the
+    * phrase terms) however large the corpus. No window, no broadcast
+    * of anything corpus-sized. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 tokens, got $phrase")
+    val pos = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    def postings(term: String, offset: Int): DataFrame =
+      pos.where(col("tok") === term)
+        .select(col(idCol), (col("pos") - offset).as("pos"))
+    phrase.zipWithIndex
+      .map { case (term, i) => postings(term, i) }
+      .reduce(_.join(_, Seq(idCol, "pos")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("occurrences"))
+  }
 }

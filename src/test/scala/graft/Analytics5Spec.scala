@@ -83,6 +83,43 @@ class Analytics5Spec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("interpolate: linear fill between neighbors, edges stay null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 0L, Some(10.0)), ("a", 10L, None), ("a", 20L, None),
+      ("a", 30L, Some(40.0)), ("a", 40L, None),
+      ("b", 0L, None), ("b", 10L, Some(5.0)))
+    val df = rows.toDF("g", "t", "v")
+    val got = graft.operators.GapFill.interpolate(df, Seq("g"), "t", "v")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("a", 10L)) == Some(20.0)) // 10 + (40-10) * 1/3
+    assert(got(("a", 20L)) == Some(30.0))
+    assert(got(("a", 0L)) == Some(10.0))  // observed passes through
+    assert(got(("a", 40L)) == None)       // no right neighbor
+    assert(got(("b", 0L)) == None)        // no left neighbor
+    assert(got(("b", 10L)) == Some(5.0))
+  }
+
+  test("phrase search: overlapping starts count, cross-doc isolation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a a a y"),     // "a a" at positions 1 and 2 → 2
+      (2L, "a b a b a"),     // "a b" twice, "b a" twice
+      (3L, "a"),             // too short
+      (4L, "b a")            // phrase reversed only
+    ).toDF("doc_id", "text")
+    val aa = graft.text.Relevance.phraseSearch(docs, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aa == Map(1L -> 2L))
+    val ab = graft.text.Relevance.phraseSearch(docs, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ab == Map(2L -> 2L))
+    val aba = graft.text.Relevance.phraseSearch(docs, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aba == Map(2L -> 2L)) // overlapping at positions 0 and 2
+  }
+
   test("ols: zero x-variance group yields null slope, not a crash") {
     import spark.implicits._
     val rows = Seq(("c", 5.0, 1.0), ("c", 5.0, 2.0))

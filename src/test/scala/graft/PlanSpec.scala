@@ -417,6 +417,33 @@ class PlanSpec extends SparkSpec {
       "the part dimension must broadcast")
   }
 
+  test("q129: interpolation windows run over the dense axis, not events") {
+    val p = SparkEntry.queries("q129_linear_interp")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("Generate explode(sequence"),
+      "dense axis must come from sequence()+explode off the span row:\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q130: phrase postings filter before the position joins") {
+    val p = SparkEntry.queries("q130_phrase_search")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "phrase closure must be equi-joins on (doc, pos):\n" + p.take(800))
+    assert(p.contains("Generate posexplode"), p.take(800))
+  }
+
+  test("q131: rolling median is one bounded-frame window pass") {
+    val p = SparkEntry.queries("q131_rolling_median")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("specifiedwindowframe(RowFrame, -6, currentrow"),
+      "frame must be ROWS BETWEEN 6 PRECEDING AND CURRENT ROW:\n" +
+        p.take(1200))
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
+
   test("q123: triangle wedges join on oriented sources, no cartesian") {
     val p = SparkEntry.queries("q123_triangle_count")(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
