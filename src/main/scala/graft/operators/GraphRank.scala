@@ -134,6 +134,62 @@ object GraphRank {
       "WHERE node <> seed GROUP BY seed ORDER BY seed"
   }
 
+  /** Synchronous label propagation (Raghavan 2007) with a
+    * deterministic tiebreak: labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors'
+    * PREVIOUS labels, ties toward the smaller label. Synchronous
+    * update + total tiebreak make the fixed-iteration run exactly
+    * reproducible (asynchronous LPA is run-order dependent — useless
+    * for an oracle).
+    *
+    * Scale shape: per round, one equi-join of the edge list with the
+    * label vector on `dst` and two key-partitioned aggregations
+    * ((node, label) counts, then per-node argmax via a `max(struct)`
+    * partial aggregate — no window). Iterations bounded.
+    *
+    * `edges(src, dst)` must contain both directions. Returns
+    * (node, community) after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val msgs = edges
+        .join(lbl.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+      // argmax(count, tie -> min label) as a partial-aggregable
+      // max(struct(count, -label)) — no window over the node set
+      lbl = msgs.groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** DuckDB mirror of [[labelPropagation]]: unrolled CTE chain over
+    * `edgesCte` (must yield edges(src, dst), both directions). Ends
+    * with `lp$iters(node, community)` — callers append the final
+    * SELECT. */
+  def lpaSql(edgesCte: String, iters: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesCte),
+         |lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (
+         |  SELECT e.src AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM edges e JOIN lp${i - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2
+         |), lp$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM m$i) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps,\nlp AS (SELECT node, lbl AS community FROM lp$iters)"
+  }
+
   /** Per-node triangle participation counts — compact-forward triangle
     * enumeration (Latapy 2008) with degree-ordered orientation: every
     * undirected edge points from its lower-(degree, id) endpoint to the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{GapFill, GraphRank, GroupOls, RankFusion, Skyline}
-import graft.sim.Similarity
+import graft.sim.{IndexCache, Similarity}
 import graft.sources.Tables
 import graft.text.Relevance
 
@@ -362,6 +362,159 @@ object Analytics5 {
              |         CAST(l[len(l) // 2 + 1] AS DOUBLE)) / CAST(2 AS DOUBLE), 6)
              |    AS median7
              |FROM r
-             |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber""".stripMargin)))
+             |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- synchronous label propagation (Raghavan 2007) on the
+    // ---- co-purchase graph: 3 deterministic rounds (min-label ties),
+    // ---- then community sizes. Per round: one equi-join + two
+    // ---- key-partitioned aggregations, argmax via max(struct) ------
+    Q("q132_lpa_communities",
+      (s, dir) => GraphRank.labelPropagation(undEdgesCached(s, dir), iters = 3)
+        .groupBy(col("community")).agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), asc("community")).limit(20),
+      Some(GraphRank.lpaSql(
+        edgesCte =
+          """SELECT p1 AS src, p2 AS dst FROM (
+            |    SELECT DISTINCT a.pk AS p1, b.pk AS p2
+            |    FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+            |    JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+            |      ON a.ok = b.ok AND a.pk < b.pk) e1
+            |  UNION ALL
+            |  SELECT p2, p1 FROM (
+            |    SELECT DISTINCT a.pk AS p1, b.pk AS p2
+            |    FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+            |    JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+            |      ON a.ok = b.ok AND a.pk < b.pk) e2""".stripMargin,
+        iters = 3) +
+        """
+          |SELECT community, CAST(COUNT(*) AS BIGINT) AS size
+          |FROM lp GROUP BY community
+          |ORDER BY size DESC, community LIMIT 20""".stripMargin)),
+
+    // ---- first/last-touch revenue attribution: IGNORE-NULLS window
+    // ---- scans assign each purchase the nearest / earliest non-
+    // ---- purchase touch strictly before it; revenue accumulates in
+    // ---- DECIMAL per (model, channel) ------------------------------
+    Q("q133_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val p = t(s, dir, "events")
+          .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+          .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("lt"), col("ft"), dec("value").as("dv"))
+        p.select(lit("last").as("model"),
+            coalesce(col("lt"), lit("direct")).as("channel"), col("dv"))
+          .unionByName(p.select(lit("first").as("model"),
+            coalesce(col("ft"), lit("direct")).as("channel"), col("dv")))
+          .groupBy(col("model"), col("channel"))
+          .agg(sum(col("dv")).cast("double").as("revenue"),
+            count(lit(1)).as("conversions"))
+          .orderBy("model", "channel")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(value AS DECIMAL(12,2)) AS dv,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER wb AS lt,
+             |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER wb AS ft
+             |  FROM events
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), p AS (SELECT * FROM o WHERE event_type = 'purchase')
+             |SELECT model, channel, CAST(SUM(dv) AS DOUBLE) AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS conversions
+             |FROM (
+             |  SELECT 'last' AS model, COALESCE(lt, 'direct') AS channel, dv FROM p
+             |  UNION ALL
+             |  SELECT 'first', COALESCE(ft, 'direct'), dv FROM p
+             |) u GROUP BY model, channel ORDER BY model, channel""".stripMargin)),
+
+    // ---- session path mining: 30-min sessionization, then each
+    // ---- session's ordered event-type path via array_sort over
+    // ---- collected structs (collection order never matters), then
+    // ---- top paths --------------------------------------------------
+    Q("q134_session_paths",
+      (s, dir) => {
+        val assigned = graft.streaming.Sessionize
+          .assign(t(s, dir, "events"), gapMinutes = 30)
+        val sorted = array_sort(collect_list(
+          struct(col("ts").as("t"), col("event_id").as("e"),
+            col("event_type").as("y"))))
+        assigned.groupBy(col("user_id"), col("session_seq"))
+          .agg(array_join(transform(sorted, x => x.getField("y")), ">")
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), asc("path")).limit(15)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS nw
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), s AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM g
+             |), paths AS (
+             |  SELECT user_id, sess,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM s GROUP BY user_id, sess
+             |)
+             |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+             |FROM paths GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)),
+
+    // ---- exact weighted median per group: cumulative-weight crossing
+    // ---- over DECIMAL-exact weights; the qualifying set is an upper
+    // ---- suffix of the price order, so MIN(price) reads the median
+    // ---- off without a second sort. `cw >= tw - cw` avoids widening
+    // ---- the decimal beyond either engine's 38-digit cap ------------
+    Q("q135_weighted_median",
+      (s, dir) => {
+        val wcum = Window.partitionBy(col("flag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy(col("flag"))
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("w"))
+          .withColumn("cw", sum(col("w")).over(wcum))
+          .withColumn("tw", sum(col("w")).over(wall))
+          .where(col("cw") >= col("tw") - col("cw"))
+          .groupBy(col("flag"))
+          .agg(min(col("l_extendedprice")).as("wmedian"))
+          .orderBy("flag")
+      },
+      Some("""WITH f AS (
+             |  SELECT l_returnflag AS flag, l_extendedprice, l_orderkey,
+             |    l_linenumber, CAST(l_quantity AS DECIMAL(12,2)) AS w
+             |  FROM lineitem
+             |), c AS (
+             |  SELECT flag, l_extendedprice,
+             |    SUM(w) OVER (PARTITION BY flag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    SUM(w) OVER (PARTITION BY flag) AS tw
+             |  FROM f
+             |)
+             |SELECT flag, MIN(l_extendedprice) AS wmedian
+             |FROM c WHERE cw >= tw - cw GROUP BY flag ORDER BY flag""".stripMargin)))
+
+  /** q132's undirected co-purchase edge list (both directions of the
+    * q123 artifact), cached per (app, dir) — every LPA round rejoins
+    * it. */
+  def undEdgesCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, s"tri-und:$dir") {
+      val e = Analytics4.triEdgesCached(s, dir)
+      e.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
+    }
 
 }

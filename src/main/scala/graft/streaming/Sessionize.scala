@@ -28,11 +28,13 @@ object Sessionize {
                            session_end: Timestamp, n_events: Long,
                            total_value: Double)
 
-  /** Batch sessionization: deterministic ordering by (ts, event_id). */
-  def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
+  /** Per-event session assignment (deterministic (ts, event_id)
+    * ordering): the input rows plus a per-user `session_seq`.
+    * [[batch]] aggregates this; path/funnel analyses group over it. */
+  def assign(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val withGap = events
+    events
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
       // µs-integer gap compare: exact and identical to DuckDB epoch_us
       .withColumn("_new",
@@ -41,6 +43,12 @@ object Sessionize {
             gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("_new")).over(byUser))
+      .drop("_prev", "_new")
+  }
+
+  /** Batch sessionization: deterministic ordering by (ts, event_id). */
+  def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val withGap = assign(events, gapMinutes)
     withGap.groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),

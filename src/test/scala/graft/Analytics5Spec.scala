@@ -120,6 +120,48 @@ class Analytics5Spec extends SparkSpec {
     assert(aba == Map(2L -> 2L)) // overlapping at positions 0 and 2
   }
 
+  test("lpa: two dense clusters converge to their min labels") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val edges = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = graft.operators.GraphRank.labelPropagation(edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hand-traced sync rounds: cluster one settles on 1; the bridge
+    // leaks label 3 into cluster two, which settles on it — two clean
+    // communities with deterministic (if non-obvious) labels
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("weighted median: crossing point respects exact weights") {
+    import spark.implicits._
+    // weights 1,1,10 on prices 10,20,30 → median 30 (10 of 12 mass);
+    // weights 3,3 on prices 5,6 → first crossing at 5 (cw=3 >= tw-cw=3)
+    val rows = Seq(
+      ("A", 10.0, 1L, 1, 1.0), ("A", 20.0, 2L, 1, 1.0), ("A", 30.0, 3L, 1, 10.0),
+      ("B", 5.0, 4L, 1, 3.0), ("B", 6.0, 5L, 1, 3.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity")
+    rows.createOrReplaceTempView("wm_rows")
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Long.MinValue, 0)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+    val got = rows
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("w"))
+      .withColumn("cw", sum(col("w")).over(w1))
+      .withColumn("tw", sum(col("w")).over(w2))
+      .where(col("cw") >= col("tw") - col("cw"))
+      .groupBy(col("flag")).agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("A" -> 30.0, "B" -> 5.0))
+  }
+
   test("ols: zero x-variance group yields null slope, not a crash") {
     import spark.implicits._
     val rows = Seq(("c", 5.0, 1.0), ("c", 5.0, 2.0))

@@ -444,6 +444,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in this plan")
   }
 
+  test("q132: LPA rounds reuse the cached undirected edge list") {
+    val p = SparkEntry.queries("q132_lpa_communities")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("InMemoryTableScan"),
+      "each round must scan the ingest-time edge cache")
+    assert(!p.contains("Window"), "argmax must be max(struct), not a window")
+  }
+
+  test("q133/q135: attribution and weighted median plans are join-free") {
+    for (q <- Seq("q133_attribution", "q135_weighted_median")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert(!p.contains("Join"), s"$q must not join:\n" + p.take(600))
+    }
+  }
+
   test("q123: triangle wedges join on oriented sources, no cartesian") {
     val p = SparkEntry.queries("q123_triangle_count")(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
