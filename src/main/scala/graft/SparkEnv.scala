@@ -23,6 +23,11 @@ object SparkEnv {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The harness timestamps are parquet µs with isAdjustedToUTC=false;
+      // without this they'd infer as TIMESTAMP_NTZ and every
+      // unix_micros/window call would type-mismatch. Reading them as
+      // LTZ in the UTC session gives the same instants DuckDB sees.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
@@ -30,6 +35,7 @@ object SparkEnv {
     * driver-owned mains that build their own session). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 }
