@@ -469,6 +469,47 @@ class PlanSpec extends SparkSpec {
       "wedge generation and closure must be equi-joins:\n" + p.take(800))
   }
 
+  test("q142/q145: sliding actives and bitmap distinct never cartesian; bitmap partial-aggregates") {
+    for (q <- Seq("q142_sliding_actives", "q145_bitmap_distinct")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n" + p.take(800))
+    }
+    // the bitmap agg must fold map-side (partial_bitmap_distinct before
+    // the exchange), so only O(domain/8) bytes per task cross the wire
+    val p = SparkEntry.queries("q145_bitmap_distinct")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("partial_bitmap_distinct"),
+      "bitmap distinct must partially aggregate before the exchange:\n" +
+        p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "customer dim must broadcast:\n" + p.take(800))
+  }
+
+  test("q149/q156: prefix and weighted-Jaccard joins are equi-joins, no cartesian") {
+    for (q <- Seq("q149_ppjoin_prefix", "q156_weighted_jaccard")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from the token index:\n" + p.take(800))
+    }
+  }
+
+  test("q152/q155: ordered stat passes run on grouped/bounded rows, scalar joins broadcast") {
+    for (q <- Seq("q152_ks_test", "q155_cusum_changepoint",
+        "q158_autocorrelation")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(800))
+      // the single-partition window must consume an aggregate (distinct
+      // values / month grid), never the raw row stream
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q must reduce before the ordered pass:\n" + p.take(800))
+    }
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
