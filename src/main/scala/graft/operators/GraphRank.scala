@@ -231,13 +231,25 @@ object GraphRank {
         when(col("k1") < col("k2"), col("k2")).otherwise(col("k1")).as("dkey"))
   }
 
-  /** Triangle enumeration over [[orientEdges]] output. */
-  def trianglesFromOriented(oe: DataFrame): DataFrame = {
+  /** Triangle enumeration over [[orientEdges]] output.
+    *
+    * The wedge stream is the BIG side (bounded by arboricity but still
+    * ~degree × |E| rows); the closure probe only needs the |E|-row
+    * oriented edge list. With `broadcastClosure` (default) that list
+    * broadcasts, so wedges stream map-side through the probe and are
+    * never shuffled — measured 20 s → ~7 s at sf0.1 (1.2M edges, ~50M
+    * wedges). Set it false when |E| exceeds driver/executor memory;
+    * the fallback shuffles both sides on (b, c), and the web-scale
+    * path is bucketing both by (b, c) at ingest. */
+  def trianglesFromOriented(oe: DataFrame,
+      broadcastClosure: Boolean = true): DataFrame = {
+    val closure = oe.select(col("src").as("b"), col("dst").as("c"))
     val tri = oe.select(col("src"), col("dst").as("b"), col("dkey").as("bk"))
       .join(oe.select(col("src"), col("dst").as("c"), col("dkey").as("ck")),
         Seq("src"))
       .where(col("bk") < col("ck"))
-      .join(oe.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .join(if (broadcastClosure) broadcast(closure) else closure,
+        Seq("b", "c"))
       .select(col("src").as("a"), col("b"), col("c"))
     tri.select(col("a").as("node"))
       .unionByName(tri.select(col("b").as("node")))
