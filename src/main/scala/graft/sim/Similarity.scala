@@ -299,21 +299,35 @@ object Similarity {
       .select(col("ida"), col("idb"),
         round(VF.cosine(col("va"), col("vb")), 6).as("sim"))
       .persist()
-    var sel = p.orderBy(desc("rel"), asc("id")).limit(1)
-      .select(col("id"), lit(1).as("rank"), col("rel").as("score"))
-    for (i <- 2 to k) {
-      val selIds = sel.select(col("id").as("selid"))
-      val pen = pairs.join(selIds, col("idb") === col("selid"))
+    // Each greedy step picks exactly ONE row, so the selected set is
+    // metadata-sized by construction (<= k ids) — collect each pick and
+    // drive the next step with a literal id list. A lazily-chained
+    // union would re-evaluate every earlier step per iteration (O(k²)
+    // bounded jobs); this runs exactly k bounded jobs over the
+    // persisted pool + pairs.
+    val first = p.orderBy(desc("rel"), asc("id")).limit(1)
+      .select(col("id"), col("rel").as("score"))
+      .collect()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    first.foreach(r => picked += ((r.getLong(0), 1, r.getDouble(1))))
+    var i = 2
+    while (i <= k && picked.length == i - 1) {
+      val selIds: Seq[Any] = picked.map(_._1).toSeq
+      val pen = pairs.where(col("idb").isin(selIds: _*))
         .groupBy(col("ida")).agg(max(col("sim")).as("pen"))
       val step = p.join(pen, col("id") === col("ida"))
-        .join(selIds, col("id") === col("selid"), "left_anti")
+        .where(!col("id").isin(selIds: _*))
         .select(col("id"),
           (lit(lambda) * col("rel") - lit(mu) * col("pen")).as("score"))
         .orderBy(desc("score"), asc("id")).limit(1)
-        .select(col("id"), lit(i).as("rank"), col("score"))
-      sel = sel.unionByName(step)
+        .collect()
+      step.foreach(r => picked += ((r.getLong(0), i, r.getDouble(1))))
+      i += 1
     }
-    sel.select(col("rank"), col("id"), round(col("score"), 6).as("score"))
+    val spark = pool.sparkSession
+    import spark.implicits._
+    picked.toSeq.toDF("id", "rank", "score")
+      .select(col("rank"), col("id"), round(col("score"), 6).as("score"))
       .orderBy("rank")
   }
 
