@@ -356,12 +356,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the scale path must not use a window")
   }
 
-  test("q121: MMR greedy steps run over the persisted bounded pool") {
-    val p = SparkEntry.queries("q121_mmr_rerank")(spark, sfDir)
-      .queryExecution.explainString(SimpleMode)
+  test("q121: MMR result is the driver-folded bounded pick set") {
+    // the greedy steps collect one pick each over the persisted pool;
+    // the RESULT plan must therefore be a bounded local relation (k
+    // rows), not a re-execution of the greedy chain
+    val df = SparkEntry.queries("q121_mmr_rerank")(spark, sfDir)
+    val p = df.queryExecution.explainString(SimpleMode)
     assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("InMemoryTableScan"),
-      "pool and pairs must be persisted, not recomputed per greedy step")
+    assert(p.contains("LocalTableScan"),
+      "picks must land as a bounded local relation:\n" + p.take(600))
+    assert(df.count() <= 5, "pick set must stay <= k")
   }
 
   test("q122: PageRank iterations reuse the cached edge and degree tables") {
