@@ -115,7 +115,9 @@ object Analytics12 {
       Some("""WITH b AS (
              |  SELECT user_id, ts, event_id,
              |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
-             |        ORDER BY ts, event_id) IS DISTINCT FROM event_type
+             |          ORDER BY ts, event_id) IS NULL
+             |        OR LAG(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) <> event_type
              |      THEN 1 ELSE 0 END AS boundary
              |  FROM events
              |), runs AS (
