@@ -55,9 +55,12 @@ object Bench {
     // JVM/codegen warmup outside any query's timing window
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.warm(spark, sfDir)
-    // dev loop only: comma-separated name filter (driver leaves it unset)
+    // dev loop only: comma-separated name filter (driver leaves it
+    // unset); whitespace trimmed, empty value = no filter
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -206,8 +206,9 @@ object GraphRank {
     * `edges` is one row per undirected edge (p1, p2), p1 != p2, no
     * duplicates. Returns (node, triangles), one row per node in >= 1
     * triangle. */
-  def trianglesPerNode(edges: DataFrame): DataFrame =
-    trianglesFromOriented(orientEdges(edges))
+  def trianglesPerNode(edges: DataFrame,
+      broadcastClosure: Boolean = true): DataFrame =
+    trianglesFromOriented(orientEdges(edges), broadcastClosure)
 
   /** Degree-ordered orientation of an undirected edge list — the
     * ingest-time half of [[trianglesPerNode]]: callers that iterate

@@ -135,15 +135,12 @@ object Analytics10 {
     // ---- (the q116 discipline), so r_k is engine-portable -----------
     Q("q158_autocorrelation",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
-            .cast("double").as("x"))
+        val monthly = monthlyRevenue(t(s, dir, "orders"), byStatus = false)
+          .select(col("mon"), col("rev").cast("double").as("x"))
           .withColumn("rn", row_number().over(Window.orderBy("mon")))
         val stats = monthly.agg(
           (sum(col("x").cast(DecimalType(28, 2))).cast("double") /
-            count(lit(1)).cast("double")).as("mu"),
-          count(lit(1)).as("nm"))
+            count(lit(1)).cast("double")).as("mu"))
         val centered = monthly.crossJoin(broadcast(stats))
           .select(col("rn"), (col("x") - col("mu")).as("d"))
         val den = centered.agg(
@@ -194,9 +191,7 @@ object Analytics10 {
     // ---- month grid; the Holt/ACF partner for forecast adjustment ---
     Q("q159_seasonal_index",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev"))
+        val monthly = monthlyRevenue(t(s, dir, "orders"), byStatus = false)
         val overall = monthly.agg(
           (sum(col("rev").cast(DecimalType(28, 2))).cast("double") /
             count(lit(1)).cast("double")).as("grand"))

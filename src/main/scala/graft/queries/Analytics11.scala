@@ -130,9 +130,6 @@ object Analytics11 {
           .withColumn("pick", row_number().over(
             Window.partitionBy("bucket")
               .orderBy(desc_nulls_last("area"), asc("rn"))))
-          .where(col("pick") === 1 ||
-            (col("bucket") === 0 && col("rn") === 1) ||
-            (col("bucket") === LttbBuckets - 1 && col("rn") === col("nd")))
         // endpoint rule: bucket 0 keeps the FIRST point, last bucket the
         // LAST point, interior buckets the max-area point
         picked

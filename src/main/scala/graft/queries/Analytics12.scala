@@ -31,11 +31,8 @@ object Analytics12 {
     // ---- ride the fold state ----------------------------------------
     Q("q166_capped_running_sum",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(col("o_orderstatus").as("status"),
-            to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
-            .cast("double").as("rev"))
+        val monthly = monthlyRevenue(t(s, dir, "orders"), byStatus = true)
+          .select(col("status"), col("mon"), col("rev").cast("double").as("rev"))
         val mean = monthly.groupBy("status").agg(
           (sum(col("rev").cast(DecimalType(28, 2))).cast("double") /
             count(lit(1)).cast("double")).as("mu"))

@@ -73,11 +73,8 @@ object Analytics8 {
     // ---- unrolls the identical recurrence as a recursive CTE --------
     Q("q147_holt_smoothing",
       (s, dir) => {
-        val daily = t(s, dir, "orders")
-          .groupBy(col("o_orderstatus").as("status"),
-            to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
-            .cast("double").as("rev"))
+        val daily = monthlyRevenue(t(s, dir, "orders"), byStatus = true)
+          .select(col("status"), col("mon"), col("rev").cast("double").as("rev"))
         daily.groupBy("status")
           .agg(array_sort(collect_list(struct(col("mon"), col("rev")))).as("xs"))
           .select(col("status"), size(col("xs")).as("n_months"),

@@ -135,7 +135,11 @@ object Analytics9 {
             Window.partitionBy("c_nationkey").orderBy(col("sp"), col("o_custkey"))))
           .withColumn("nn", count(lit(1)).over(Window.partitionBy("c_nationkey")))
           .withColumn("wt",
-            (lit(2) * col("i") - col("nn") - 1).cast(DecimalType(6, 0)))
+            // DECIMAL(10,0) holds |2i - n - 1| for any group the rank
+            // window itself could survive (the q153-fix width rule:
+            // size the decimal so overflow is impossible, not merely
+            // unlikely — a silent null here would corrupt the sum)
+            (lit(2) * col("i") - col("nn") - 1).cast(DecimalType(10, 0)))
         ranked.groupBy("c_nationkey")
           .agg(count(lit(1)).as("n_cust"),
             sum(col("wt") * col("sp")).as("num"),
@@ -159,7 +163,7 @@ object Analytics9 {
              |  FROM spend JOIN customer ON o_custkey = c_custkey
              |)
              |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
-             |  ROUND(CAST(SUM(CAST(2 * i - n - 1 AS DECIMAL(6,0)) * sp) AS DOUBLE)
+             |  ROUND(CAST(SUM(CAST(2 * i - n - 1 AS DECIMAL(10,0)) * sp) AS DOUBLE)
              |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(sp) AS DOUBLE)), 6)
              |    AS gini
              |FROM ranked
@@ -212,9 +216,7 @@ object Analytics9 {
     // ---- bounded month grid, not raw rows ---------------------------
     Q("q155_cusum_changepoint",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev"))
+        val monthly = monthlyRevenue(t(s, dir, "orders"), byStatus = false)
         val wCum = Window.orderBy("mon")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.orderBy("mon")

@@ -24,4 +24,18 @@ package object queries {
 
   /** SQL-side mirror of [[dec]]. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+
+  /** Monthly revenue series over `orders` — the shared base of the
+    * time-series queries (q147/q155/q158/q159/q166): decimal-exact
+    * money sum per calendar month, optionally keyed by status. Single-
+    * sourced so the decimal discipline can't drift between the packs
+    * (each oracle mirrors this exact shape in SQL). Columns:
+    * [status,] mon (date), rev (decimal). */
+  def monthlyRevenue(orders: DataFrame, byStatus: Boolean): DataFrame = {
+    val mon = to_date(date_trunc("month", col("o_orderdate"))).as("mon")
+    val keys =
+      if (byStatus) Seq(col("o_orderstatus").as("status"), mon) else Seq(mon)
+    orders.groupBy(keys: _*)
+      .agg(sum(dec("o_totalprice")).as("rev"))
+  }
 }
