@@ -514,6 +514,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q171/q172/q175: basket and co-occurrence joins stay equi-join only") {
+    for (q <- Seq("q171_apriori_triples", "q172_supplier_similarity",
+        "q175_lang_vocab_overlap")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from the basket/posting index:\n" + p.take(800))
+    }
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")
