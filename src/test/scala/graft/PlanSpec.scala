@@ -525,6 +525,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q181/q183: graph metrics probe cached artifacts, equi-joins only") {
+    for (q <- Seq("q181_clustering_coeff", "q183_modularity")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      // BroadcastNestedLoopJoin is permitted ONLY as the 1-row scalar
+      // broadcast (the q119 idiom); a cartesian over data is not
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(800))
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must consume the cached edge/triangle artifacts:\n" + p.take(600))
+    }
+  }
+
   test("topic routing contract (S1/S2 naming)") {
     assert(CdcSource.topicFor("poc", "public", "products") == "poc.public.products")
     assert(CdcSource.parseTopic("poc.public.products")

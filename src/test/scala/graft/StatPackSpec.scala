@@ -97,6 +97,23 @@ class StatPackSpec extends SparkSpec {
         assert(bal >= -1e-6, s"$st balance $bal below floor") }
   }
 
+  test("graph metrics stay in range; k-core peel is monotone") {
+    q("q181_clustering_coeff").select("cc").as[Double].collect()
+      .foreach(c => assert(c >= 0.0 && c <= 1.0, s"cc $c out of range"))
+    val Array((_, r)) = q("q182_assortativity")
+      .select("n_edges", "assortativity").as[(Long, Double)].collect()
+    assert(r >= -1.0 && r <= 1.0, s"assortativity $r out of range")
+    q("q183_modularity").select("q_c").as[Double].collect()
+      .foreach(x => assert(x <= 1.0 && x >= -1.0, s"q_c $x out of range"))
+    val peel = q("q185_kcore_peel")
+      .select("round", "n_nodes", "n_edges")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    peel.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3,
+        "peel must shrink monotonically")
+    }
+  }
+
   test("q151 Benford digits cover 1..9 and observations conserve") {
     val rows = q("q151_benford_audit")
       .select("digit", "o").as[(Int, Long)].collect()
