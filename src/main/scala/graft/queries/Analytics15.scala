@@ -275,13 +275,16 @@ object Analytics15 {
       Some {
         val rounds = (1 to CoreRounds).map { r =>
           val prev = if (r == 1) "pairs" else s"e${r - 1}"
-          s"""s$r AS (
+          // MATERIALIZED is load-bearing: the rounds reference each
+          // other 2-3x, and inlining re-evaluates the whole peel chain
+          // combinatorially (observed: >22 GB on the sf0.1 graph)
+          s"""s$r AS MATERIALIZED (
              |  SELECT x FROM (
              |    SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
              |      SELECT p1 AS x FROM $prev UNION ALL SELECT p2 FROM $prev)
              |    GROUP BY x)
              |  WHERE d >= $CoreK
-             |), e$r AS (
+             |), e$r AS MATERIALIZED (
              |  SELECT p1, p2 FROM $prev
              |  WHERE p1 IN (SELECT x FROM s$r) AND p2 IN (SELECT x FROM s$r)
              |)""".stripMargin
