@@ -36,7 +36,7 @@ object TextQueries {
     * ending in `cl(doc_id, comp)` — the min-label connected component of
     * every doc that participates in a >= 0.5-Jaccard pair (doc_id < 200
     * scope). q52 selects it directly; q108 picks winners over it. */
-  private val neardupClusterCte: String =
+  private[queries] val neardupClusterCte: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
       |    SELECT doc_id,
