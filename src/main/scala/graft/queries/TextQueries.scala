@@ -36,6 +36,18 @@ object TextQueries {
     * ending in `cl(doc_id, comp)` — the min-label connected component of
     * every doc that participates in a >= 0.5-Jaccard pair (doc_id < 200
     * scope). q52 selects it directly; q108 picks winners over it. */
+  /** q40's oracle — shared with q206's retrieval evaluation, which
+    * uses the exact top-k as its relevance ground truth. */
+  private[queries] val q40Sql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+      |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |WHERE q.vec_id < 8
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private[queries] val neardupClusterCte: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (
@@ -447,14 +459,7 @@ object TextQueries {
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
       },
-      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-             |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
-             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-             |WHERE q.vec_id < 8
-             |QUALIFY rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(q40Sql)),
 
     // ---- embedding near-dup pairs, bounded brute force (oracled) -----
     Q("q41_embed_neardup",

@@ -142,6 +142,43 @@ class StatPack2Spec extends SparkSpec {
     }
   }
 
+  test("q206: retrieval metrics in [0,1]; perfect recall forces perfect NDCG") {
+    q("q206_ann_eval").select("n_hits", "recall", "ndcg")
+      .as[(Long, Double, Double)].collect()
+      .foreach { case (h, r, n) =>
+        assert(r >= 0.0 && r <= 1.0 && n >= 0.0 && n <= 1.0, s"($h,$r,$n)")
+        if (r == 1.0) assert(n == 1.0, s"full recall but ndcg $n")
+        if (h == 0) assert(n == 0.0, s"no hits but ndcg $n")
+      }
+  }
+
+  test("q207: greedy gains are non-increasing (submodularity) and coverage accumulates") {
+    val rows = q("q207_greedy_coverage")
+      .select("step", "gain", "cum_tokens").as[(Int, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"gain increased at step ${b._1}")
+      assert(b._3 == a._3 + b._2, s"coverage leak at step ${b._1}")
+    }
+    assert(rows.head._3 == rows.head._2)
+  }
+
+  test("q208: equi-depth buckets conserve rows and boundaries ascend") {
+    val total = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    val rows = q("q208_equidepth_histogram")
+      .select("lang", "bucket", "n", "hi")
+      .as[(String, Int, Long, Option[Double])].collect()
+    assert(rows.map(_._3).sum == total)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val his = rs.sortBy(_._2).flatMap(_._4)
+      his.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a <= b, s"$lang: boundaries not ascending ($a > $b)")
+      }
+      assert(rs.find(_._2 == 8).forall(_._4.isEmpty), s"$lang: bucket 8 has hi")
+    }
+  }
+
   test("packs 17-19: no cartesian products; per-group windows stay partitioned") {
     val names = Seq("q191_spearman_rank", "q192_mann_whitney", "q193_theil_sen",
       "q194_window_gallery", "q196_centroid_cosine", "q198_bootstrap_ci",
