@@ -179,6 +179,29 @@ class StatPack2Spec extends SparkSpec {
     }
   }
 
+  test("q209: merged-state windows ramp with the calendar and stay in bound") {
+    val rows = q("q209_sliding_distinct")
+      .select("day", "n_days", "exact_users", "est_ok")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val firstDay = rows.head._1
+    rows.foreach { case (d, nd, ex, ok) =>
+      assert(nd == math.min(d - firstDay + 1, 7), s"day $d window $nd")
+      assert(ex > 0 && ok, s"day $d exact $ex ok=$ok")
+    }
+  }
+
+  test("q210: decode emits a contiguous sequence of attested continuations") {
+    val rows = q("q210_lm_greedy_decode")
+      .select("step", "token", "cnt").as[(Int, String, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "steps not contiguous")
+    rows.foreach { case (st, tok, c) =>
+      assert(tok.nonEmpty && c >= 1, s"step $st token '$tok' cnt $c")
+    }
+    assert(rows.length >= 3, "decode died before the first trigram step")
+  }
+
   test("packs 17-19: no cartesian products; per-group windows stay partitioned") {
     val names = Seq("q191_spearman_rank", "q192_mann_whitney", "q193_theil_sen",
       "q194_window_gallery", "q196_centroid_cosine", "q198_bootstrap_ci",
