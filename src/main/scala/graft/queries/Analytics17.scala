@@ -281,18 +281,7 @@ object Analytics17 {
     // ---- group-by — value columns are declared, so no extra pass to
     // ---- discover them ----------------------------------------------
     Q("q195_pivot_matrix",
-      (s, dir) => {
-        val z = lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")
-        t(s, dir, "orders")
-          .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
-            col("o_orderstatus").as("status"), dec("o_totalprice").as("p"))
-          .groupBy("mon").pivot("status", Seq("F", "O", "P")).agg(sum(col("p")))
-          .select(col("mon"),
-            coalesce(col("F"), z).cast("double").as("f_rev"),
-            coalesce(col("O"), z).cast("double").as("o_rev"),
-            coalesce(col("P"), z).cast("double").as("p_rev"))
-          .orderBy("mon")
-      },
+      (s, dir) => statusRevenueWide(t(s, dir, "orders")).orderBy("mon"),
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS mon,
              |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
              |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS f_rev,

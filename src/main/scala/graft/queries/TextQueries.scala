@@ -32,10 +32,6 @@ object TextQueries {
     * Defined before [[all]]: object vals initialize in source order. */
   private val bm25Terms = Seq("customer", "query", "window", "stream")
 
-  /** q52's near-dup clustering pipeline as a reusable oracle CTE prefix
-    * ending in `cl(doc_id, comp)` — the min-label connected component of
-    * every doc that participates in a >= 0.5-Jaccard pair (doc_id < 200
-    * scope). q52 selects it directly; q108 picks winners over it. */
   /** q40's oracle — shared with q206's retrieval evaluation, which
     * uses the exact top-k as its relevance ground truth. */
   private[queries] val q40Sql: String =
@@ -48,6 +44,10 @@ object TextQueries {
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q52's near-dup clustering pipeline as a reusable oracle CTE prefix
+    * ending in `cl(doc_id, comp)` — the min-label connected component of
+    * every doc that participates in a >= 0.5-Jaccard pair (doc_id < 200
+    * scope). q52 selects it directly; q108 picks winners over it. */
   private[queries] val neardupClusterCte: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id AS id, sl AS sh, len(sl) AS n FROM (

@@ -25,6 +25,22 @@ package object queries {
   /** SQL-side mirror of [[dec]]. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
 
+  /** Month × status revenue matrix with DECLARED value columns
+    * (F/O/P), zero-filled — q195 surfaces it directly, q202 unpivots
+    * it back to long form; single-sourced so the two stay exact
+    * inverses. Columns: mon (yyyy-MM string), f_rev, o_rev, p_rev. */
+  def statusRevenueWide(orders: DataFrame): DataFrame = {
+    val z = lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")
+    orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_orderstatus").as("status"), dec("o_totalprice").as("p"))
+      .groupBy("mon").pivot("status", Seq("F", "O", "P")).agg(sum(col("p")))
+      .select(col("mon"),
+        coalesce(col("F"), z).cast("double").as("f_rev"),
+        coalesce(col("O"), z).cast("double").as("o_rev"),
+        coalesce(col("P"), z).cast("double").as("p_rev"))
+  }
+
   /** Monthly revenue series over `orders` — the shared base of the
     * time-series queries (q147/q155/q158/q159/q166): decimal-exact
     * money sum per calendar month, optionally keyed by status. Single-

@@ -18,9 +18,13 @@ class ContractSpec extends SparkSpec {
   }
 
   test("oracles only reference harness tables") {
-    val known = graft.sources.Tables.names.toSet
+    // DuckDB table functions the oracles may scan (integer spines)
+    val tableFns = Set("range", "generate_series", "unnest")
+    val known = graft.sources.Tables.names.toSet ++ tableFns
     val tableRef = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    SparkEntry.oracleSql.foreach { case (name, rawSql) =>
+      // EXTRACT(field FROM expr) uses FROM as a keyword, not a scan
+      val sql = rawSql.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
       tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // subquery openers and CTE names are fine; flag unknown bare ids
         // (a recursive CTE may declare a column list: `cc(id, comp) AS (`;
