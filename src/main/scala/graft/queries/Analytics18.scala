@@ -29,28 +29,39 @@ object Analytics18 {
     996340L, 999406L, 999917L)
   private val BootstrapB = 64
 
-  /** χ²/Cramér's V for one categorical column pair — counts are exact;
+  /** χ²/Cramér's V for a set of categorical column pairs, computed off
+    * ONE fact scan: each row explodes into a (pair, a, b) triple per
+    * requested pair, and every downstream aggregate/join is keyed by
+    * `pair` — the alternative (one plan chain per pair) scans the fact
+    * table per pair and triples the stage count. Counts are exact;
     * each cell's χ² contribution is quantized to the 1e-9 grid and
-    * summed as BIGINT, so the total is partition-order independent. */
-  private def cramersV(df: DataFrame, aCol: Column, bCol: Column,
-                       pairName: String): DataFrame = {
-    val cells = df.select(aCol.as("a"), bCol.as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
-    val rows = cells.groupBy("a").agg(sum(col("o")).as("rs"))
-    val cols = cells.groupBy("b").agg(sum(col("o")).as("cs"))
-    val tot = cells.agg(sum(col("o")).as("n"),
+    * summed as BIGINT, so the total is partition-order independent.
+    * Grouping values are compared as strings (injective renderings),
+    * which leaves every count unchanged. */
+  private def cramersV(df: DataFrame,
+                       pairs: Seq[(String, Column, Column)]): DataFrame = {
+    val tagged = df.select(explode(array(pairs.map { case (name, a, b) =>
+        struct(lit(name).as("pair"), a.cast("string").as("a"),
+          b.cast("string").as("b"))
+      }: _*)).as("t"))
+      .select(col("t.pair").as("pair"), col("t.a").as("a"), col("t.b").as("b"))
+    val cells = tagged.groupBy("pair", "a", "b").agg(count(lit(1)).as("o"))
+      .persist() // Σ r×c-bounded; consumed by marginals, totals, join
+    val rows = cells.groupBy("pair", "a").agg(sum(col("o")).as("rs"))
+    val cols = cells.groupBy("pair", "b").agg(sum(col("o")).as("cs"))
+    val tot = cells.groupBy("pair").agg(sum(col("o")).as("n"),
       countDistinct(col("a")).as("r"),
       countDistinct(col("b")).as("c"))
     val e = col("rs").cast("double") * col("cs").cast("double") /
       col("n").cast("double")
     val contrib = (col("o").cast("double") - e) *
       (col("o").cast("double") - e) / e
-    val q = cells.join(rows, Seq("a")).join(cols, Seq("b"))
-      .crossJoin(broadcast(tot))
-      .select(col("n"), col("r"), col("c"),
+    cells.join(rows, Seq("pair", "a")).join(cols, Seq("pair", "b"))
+      .join(broadcast(tot), Seq("pair"))
+      .select(col("pair"), col("n"), col("r"), col("c"),
         round(contrib * 1e9).cast("long").as("cq"))
-    q.groupBy("n", "r", "c").agg(sum(col("cq")).as("chi2q"))
-      .select(lit(pairName).as("pair"), col("n"),
+      .groupBy("pair", "n", "r", "c").agg(sum(col("cq")).as("chi2q"))
+      .select(col("pair"), col("n"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
         round(col("chi2q").cast("double") / 1e9, 6).as("chi2"),
         round(sqrt((col("chi2q").cast("double") / 1e9) /
@@ -379,12 +390,10 @@ object Analytics18 {
       (s, dir) => {
         val o = t(s, dir, "orders")
         val mon = to_date(date_trunc("month", col("o_orderdate")))
-        cramersV(o, col("o_orderstatus"), col("o_orderpriority"),
-            "status_x_priority")
-          .unionByName(cramersV(o, col("o_orderstatus"), mon,
-            "status_x_month"))
-          .unionByName(cramersV(o, col("o_orderpriority"), mon,
-            "priority_x_month"))
+        cramersV(o, Seq(
+            ("status_x_priority", col("o_orderstatus"), col("o_orderpriority")),
+            ("status_x_month", col("o_orderstatus"), mon),
+            ("priority_x_month", col("o_orderpriority"), mon)))
           .orderBy("pair")
       },
       Some(Seq(
