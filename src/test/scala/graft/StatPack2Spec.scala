@@ -202,6 +202,43 @@ class StatPack2Spec extends SparkSpec {
     assert(rows.length >= 3, "decode died before the first trigram step")
   }
 
+  test("q211: skew report internal consistency") {
+    q("q211_key_skew_report")
+      .select("n_rows", "n_keys", "max_per_key", "top1_share", "skew_ratio")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .foreach { case (n, k, mx, share, ratio) =>
+        assert(k <= n && mx >= 1 && mx * k >= n,
+          s"count pigeonhole broken: n=$n k=$k max=$mx")
+        assert(share > 0.0 && share <= 1.0 && ratio >= 1.0,
+          s"share $share ratio $ratio")
+      }
+  }
+
+  test("q212: anomalies are a small minority and z centers near zero") {
+    val rows = q("q212_seasonal_anomaly")
+      .select("z", "is_anomaly").as[(Option[Double], Boolean)].collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.count(_._2)
+    assert(flagged <= rows.length / 5, s"$flagged/${rows.length} anomalous")
+    val zs = rows.flatMap(_._1)
+    val medZ = zs.sorted.apply(zs.length / 2)
+    assert(math.abs(medZ) < 0.5, s"robust z median $medZ far from 0")
+  }
+
+  test("q200: all association pairs come off ONE tagged fact pass") {
+    val p = SparkEntry.queries("q200_cramers_v")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // the tagged explode produces every (pair, a, b) triple and all
+    // marginal/total consumers read the PERSISTED cell table — the
+    // InMemoryTableScan nodes prove cache service (the cached
+    // relation's child plan reprints per consumer, so a textual scan
+    // count can't distinguish one materialization from many; the
+    // single-materialization guarantee is persist() semantics)
+    assert(p.contains("Generate explode"), p.take(600))
+    assert(p.contains("InMemoryTableScan"),
+      "cells not served from cache:\n" + p.take(600))
+  }
+
   test("packs 17-19: no cartesian products; per-group windows stay partitioned") {
     val names = Seq("q191_spearman_rank", "q192_mann_whitney", "q193_theil_sen",
       "q194_window_gallery", "q196_centroid_cosine", "q198_bootstrap_ci",
