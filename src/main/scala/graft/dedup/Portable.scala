@@ -90,7 +90,7 @@ object Portable {
   /** Word k-gram shingle CTEs (DuckDB) — the exact mirror of
     * [[Dedup.shingles]] over `string_split(text, ' ')` tokens, proven
     * byte-parity by the q37 oracle. Emits `sh(id, sh, n)`. */
-  private def shingleCte(k: Int, table: String, idCol: String,
+  private[graft] def shingleCte(k: Int, table: String, idCol: String,
                          textCol: String): String =
     s"""sh AS MATERIALIZED (
        |  SELECT $idCol AS id, sl AS sh, len(sl) AS n FROM (
