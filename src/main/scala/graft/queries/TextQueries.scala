@@ -32,6 +32,30 @@ object TextQueries {
     * Defined before [[all]]: object vals initialize in source order. */
   private val bm25Terms = Seq("customer", "query", "window", "stream")
 
+  /** q33's oracle — the stopword-argmax langid heuristic mirrored in
+    * SQL; shared with q263's confusion matrix, which aggregates the
+    * same per-doc predictions. */
+  private[queries] val q33Sql: String = {
+    def hits(lang: String) = {
+      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> list_contains([$words], x)))"
+    }
+    val byCodeDesc = TextAnalysis.stopwords.keys.toSeq.sorted.reverse
+    val mx = byCodeDesc.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val caseArms = byCodeDesc.init
+      .map(l => s"WHEN h_$l = $mx THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  CASE WHEN $mx = 0 THEN 'und' $caseArms
+       |       ELSE '${byCodeDesc.last}' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, lang, ${TextAnalysis.stopwords.keys.toSeq.sorted
+            .map(l => s"${hits(l)} AS h_$l").mkString(", ")}
+       |  FROM documents
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q40's oracle — shared with q206's retrieval evaluation, which
     * uses the exact top-k as its relevance ground truth. */
   private[queries] val q40Sql: String =
@@ -200,26 +224,7 @@ object TextQueries {
         .select(col("doc_id"), col("lang").as("lang_declared"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      Some {
-        def hits(lang: String) = {
-          val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(string_split(text, ' '), x -> list_contains([$words], x)))"
-        }
-        val byCodeDesc = TextAnalysis.stopwords.keys.toSeq.sorted.reverse
-        val mx = byCodeDesc.map(l => s"h_$l").mkString("greatest(", ", ", ")")
-        val caseArms = byCodeDesc.init
-          .map(l => s"WHEN h_$l = $mx THEN '$l'")
-          .mkString(" ")
-        s"""SELECT doc_id, lang AS lang_declared,
-           |  CASE WHEN $mx = 0 THEN 'und' $caseArms
-           |       ELSE '${byCodeDesc.last}' END AS lang_pred
-           |FROM (
-           |  SELECT doc_id, lang, ${TextAnalysis.stopwords.keys.toSeq.sorted
-                .map(l => s"${hits(l)} AS h_$l").mkString(", ")}
-           |  FROM documents
-           |)
-           |ORDER BY doc_id""".stripMargin
-      }),
+      Some(q33Sql)),
 
     // ---- content fingerprints, oracled on equivalence structure: the
     // ---- raw xxhash64 values are engine-specific (spec-asserted in
