@@ -328,12 +328,8 @@ object Analytics2 {
     // ---- (linear candidate generation — the cartesian formulation is
     // ---- the differential partner in DedupSpec) ----------------------
     Q("q48_fuzzy_names",
-      (s, dir) => {
-        val c = t(s, dir, "customer").filter(col("c_custkey") <= 1500)
-          .select(col("c_custkey").as("id"), col("c_name").as("name"))
-        graft.dedup.Dedup.fuzzyPairs(c, maxDist = 2)
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => Analytics33.fuzzyPairsCached(s, dir)
+        .orderBy("id_a", "id_b"),
       Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
              |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
              |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
