@@ -40,18 +40,27 @@ object GraphRank {
     * `node, rank_units` for the `topK` highest-ranked nodes (ties
     * toward smaller node id). */
   def fixedPointPageRank(edges: DataFrame, deg: DataFrame,
-                         iters: Int, topK: Int): DataFrame = {
+                         iters: Int, topK: Int,
+                         broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 1 && topK >= 1, s"need iters/topK >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    var rank = deg.select(col("src").as("node"), lit(Unit6).as("r"))
+    // the rank vector is node-sized; localCheckpoint per iteration
+    // keeps the plan flat (analysis over the nested join chain grows
+    // superlinearly in `iters` otherwise). `broadcastRanks` is the
+    // small-graph switch — with it (and a broadcastable `deg`) the
+    // edge list never shuffles; at billion-node scale leave it off.
+    def flat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var rank = flat(deg.select(col("src").as("node"), lit(Unit6).as("r")))
     for (_ <- 1 to iters) {
-      rank = e
-        .join(rank, e("src") === rank("node"))
-        .join(deg, Seq("src"))
+      val rv = rank
+      rank = flat(e
+        .join(if (broadcastRanks) broadcast(rv) else rv,
+          e("src") === rv("node"))
+        .join(if (broadcastRanks) broadcast(deg) else deg, Seq("src"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("r"))
-        .select(col("dst").as("node"), col("r"))
+        .select(col("dst").as("node"), col("r")))
     }
     rank.orderBy(desc("r"), asc("node")).limit(topK)
       .select(col("node"), col("r").as("rank_units"))
@@ -109,7 +118,8 @@ object GraphRank {
         .select(col("seed"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("seed", "node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // truncate lineage: Catalyst analysis
+        // cost over the growing hop chain otherwise dominates the run
       visited = visited.unionByName(nxt)
       frontier = nxt
     }
@@ -153,13 +163,23 @@ object GraphRank {
     *
     * `edges(src, dst)` must contain both directions. Returns
     * (node, community) after `iters` rounds. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       broadcastLabels: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // each round's label vector is node-sized and feeds the next
+    // round's join — localCheckpoint keeps the per-round plan flat
+    // (analysis over the nested 3-shuffle chain otherwise grows
+    // superlinearly in `iters`). `broadcastLabels` is the single-box /
+    // small-graph switch: with it the edge list never shuffles — at
+    // cluster scale with billions of nodes leave it off and let the
+    // join co-partition on dst.
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      val lv = lbl.select(col("node").as("dst"), col("lbl"))
       val msgs = edges
-        .join(lbl.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .join(if (broadcastLabels) broadcast(lv) else lv, Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
       // argmax(count, tie -> min label) as a partial-aggregable
       // max(struct(count, -label)) — no window over the node set
@@ -168,6 +188,7 @@ object GraphRank {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }

@@ -233,7 +233,7 @@ object Analytics31 {
             row_number().over(Window.orderBy("w")).cast("long").as("node"))
         GraphRank
           .fixedPointPageRank(edges, GraphRank.degrees(edges),
-            iters = 6, topK = 20)
+            iters = 6, topK = 20, broadcastRanks = true)
           .join(broadcast(vocabBack), Seq("node"))
           .select(col("word"), col("rank_units"))
           .orderBy(desc("rank_units"), asc("word"))

@@ -355,7 +355,8 @@ object Analytics4 {
     Q("q122_entity_rank",
       (s, dir) => {
         val (edges, deg) = prGraphCached(s, dir)
-        GraphRank.fixedPointPageRank(edges, deg, iters = 6, topK = 25)
+        GraphRank.fixedPointPageRank(edges, deg, iters = 6, topK = 25,
+          broadcastRanks = true)
       },
       Some(GraphRank.pageRankSql(
         """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s

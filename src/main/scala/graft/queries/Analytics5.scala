@@ -369,7 +369,8 @@ object Analytics5 {
     // ---- then community sizes. Per round: one equi-join + two
     // ---- key-partitioned aggregations, argmax via max(struct) ------
     Q("q132_lpa_communities",
-      (s, dir) => GraphRank.labelPropagation(undEdgesCached(s, dir), iters = 3)
+      (s, dir) => GraphRank.labelPropagation(undEdgesCached(s, dir),
+          iters = 3, broadcastLabels = true)
         .groupBy(col("community")).agg(count(lit(1)).as("size"))
         .orderBy(desc("size"), asc("community")).limit(20),
       Some(GraphRank.lpaSql(
