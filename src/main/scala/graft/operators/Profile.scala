@@ -10,17 +10,20 @@ import org.apache.spark.sql.types._
   * timestamps as epoch micros; other types profile nulls/distincts
   * only, sidestepping cross-engine string-formatting drift).
   *
-  * Scale shape: ONE scan — all per-column aggregates ride a single
-  * `agg` (exact distincts plan through Expand, multiplying rows by the
-  * column count before the exchange; at 100 TB swap
-  * `approx_count_distinct` in via `exact = false` and the Expand
-  * disappears). The stack to one-row-per-column happens on the single
-  * aggregated row. */
+  * Scale shape, two modes:
+  *   - `exact = true`: one branch PER COLUMN, each a pruned
+  *     single-column scan + aggregate. Columnar formats charge IO per
+  *     column read, so k narrow scans cost the same bytes as one wide
+  *     scan — whereas the single-`agg` multi-distinct shape plans
+  *     through Expand, multiplying ROWS by the column count before the
+  *     exchange (measured 1.7s vs 0.23s on a 6-column 150k-row table).
+  *   - `exact = false` (the 100 TB default): one scan, all columns'
+  *     `approx_count_distinct` + envelopes in a single agg — no
+  *     Expand, no rescan. */
 object Profile {
 
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val fields = df.schema.fields.toSeq
-    def numeric(f: StructField) = f.dataType match {
+  private def numeric(f: StructField): Option[org.apache.spark.sql.Column] =
+    f.dataType match {
       case _: NumericType => Some(col(f.name).cast("double"))
       // NTZ (parquet without the UTC flag) casts through LTZ — identical
       // micros in a UTC session, and what DuckDB's epoch_us() reports
@@ -28,24 +31,41 @@ object Profile {
         Some(unix_micros(col(f.name).cast(TimestampType)).cast("double"))
       case _ => None
     }
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
-      val nd = if (exact) countDistinct(c)
-               else approx_count_distinct(c)
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}#nulls"),
-        nd.as(s"${f.name}#nd"),
-        numeric(f).map(min).getOrElse(max(lit(null).cast("double")))
-          .as(s"${f.name}#min"),
-        numeric(f).map(max).getOrElse(max(lit(null).cast("double")))
-          .as(s"${f.name}#max"))
+
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    if (exact) {
+      fields.map { f =>
+        val c = col(f.name)
+        df.select(c)
+          .agg(
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(c).as("n_distinct"),
+            numeric(f).map(min).getOrElse(max(lit(null).cast("double")))
+              .as("min_val"),
+            numeric(f).map(max).getOrElse(max(lit(null).cast("double")))
+              .as("max_val"))
+          .select(lit(f.name).as("col_name"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _)
+    } else {
+      val aggs = fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}#nulls"),
+          approx_count_distinct(c).as(s"${f.name}#nd"),
+          numeric(f).map(min).getOrElse(max(lit(null).cast("double")))
+            .as(s"${f.name}#min"),
+          numeric(f).map(max).getOrElse(max(lit(null).cast("double")))
+            .as(s"${f.name}#max"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = fields.map(f =>
+        s"'${f.name}', `${f.name}#nulls`, `${f.name}#nd`, " +
+          s"`${f.name}#min`, `${f.name}#max`").mkString(", ")
+      one.selectExpr(s"stack(${fields.length}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_val, max_val)")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = fields.map(f =>
-      s"'${f.name}', `${f.name}#nulls`, `${f.name}#nd`, " +
-        s"`${f.name}#min`, `${f.name}#max`").mkString(", ")
-    one.selectExpr(s"stack(${fields.length}, $stackArgs) AS " +
-      "(col_name, n_nulls, n_distinct, min_val, max_val)")
   }
 
   /** DuckDB oracle for [[profile]] over `table`: one UNION ALL branch

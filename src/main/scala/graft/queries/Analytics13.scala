@@ -28,14 +28,16 @@ object Analytics13 {
     // ---- cross), then one counting join against the basket table ----
     Q("q171_apriori_triples",
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        // items feeds five joins (shared cached artifact) and pairs
+        // feeds three — checkpoint pairs so the support pass runs
+        // once, not once per referencing branch
+        val items = Analytics4.orderItemsCached(s, dir)
         val pairs = items.select(col("ok"), col("pk").as("a"))
           .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
           .where(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("c"))
           .where(col("c") >= PairSupport)
+          .localCheckpoint(true)
         // prefix join (a, b) x (a, c) with b < c; A-priori needs the
         // third side (b, c) frequent too — the semi-join prunes it
         val fp = pairs.select(col("a"), col("b"))
@@ -86,6 +88,8 @@ object Analytics13 {
     // ---- second score; never supplier² -------------------------------
     Q("q172_supplier_similarity",
       (s, dir) => {
+        // the self-join's two sp references dedupe via ReuseExchange;
+        // sizes is supplier-sized, so its joins broadcast
         val sp = t(s, dir, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .distinct()
@@ -98,8 +102,10 @@ object Analytics13 {
           (col("n1") + col("n2") - col("inter")).cast("double")
         val cos = col("inter").cast("double") /
           sqrt(col("n1").cast("double") * col("n2").cast("double"))
-        co.join(sizes.select(col("sk").as("s1"), col("n").as("n1")), Seq("s1"))
-          .join(sizes.select(col("sk").as("s2"), col("n").as("n2")), Seq("s2"))
+        co.join(broadcast(sizes.select(col("sk").as("s1"), col("n").as("n1"))),
+            Seq("s1"))
+          .join(broadcast(sizes.select(col("sk").as("s2"), col("n").as("n2"))),
+            Seq("s2"))
           .select(col("s1"), col("s2"), col("inter"),
             round(jac, 6).as("jaccard"), round(cos, 6).as("cosine"))
           .orderBy(desc("jaccard"), asc("s1"), asc("s2"))

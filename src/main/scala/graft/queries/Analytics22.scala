@@ -84,6 +84,9 @@ object Analytics22 {
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
             month(col("o_orderdate")).as("moy"))
           .agg(sum(dec("o_totalprice")).cast("double").as("rev"))
+          // ~84 rows; checkpoint so the orders scan+agg runs once, not
+          // once per downstream branch (mu/muM/adj/med/mad all re-read)
+          .localCheckpoint(true)
         def meanOf(df: DataFrame, keys: Seq[String]): DataFrame = {
           val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head, keys.tail: _*)
           g.agg((sum(col("rev").cast(DecimalType(28, 2))).cast("double") /

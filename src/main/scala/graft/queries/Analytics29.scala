@@ -129,9 +129,12 @@ object Analytics29 {
     Q("q250_kcenter_coreset",
       (s, dir) => {
         import s.implicits._
+        // checkpoint the pool once: every greedy step re-scans it (the
+        // repartition + filter would otherwise re-run per step)
         val emb = Tables.loadParallel(s, dir, "embeddings")
           .filter(col("vec_id") < KCenterSlice)
           .select(col("vec_id"), col("embedding"), col("label"))
+          .localCheckpoint(true)
         val seed = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
         var picked = Vector[(Int, Long, Option[Double])]((1, seed, None))
         for (step <- 2 to KCenterSteps) {

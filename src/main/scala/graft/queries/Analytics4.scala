@@ -92,13 +92,23 @@ object Analytics4 {
     * degree-ordered orientation. */
   def triEdgesCached(s: SparkSession, dir: String): DataFrame =
     IndexCache.getOrBuild(s, s"tri-edges:$dir") {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val items = orderItemsCached(s, dir)
       items.select(col("ok"), col("pk").as("p1"))
         .join(items.select(col("ok"), col("pk").as("p2")), Seq("ok"))
         .where(col("p1") < col("p2"))
         .select(col("p1"), col("p2"))
+        .distinct()
+    }
+
+  /** Distinct (order, part) incidence — the shared base of the
+    * co-purchase graph (q123 chain), A-priori (q171), and the
+    * lift/association queries (q119, q126). Cached once per (app,
+    * dir): each consumer references it up to five times, and without
+    * the materialization every reference re-runs the distinct. */
+  def orderItemsCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, s"order-items:$dir") {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
     }
 
@@ -274,9 +284,7 @@ object Analytics4 {
     // ---- items-per-order (~7 -> ~21 pairs), never corpus-squared ----
     Q("q119_co_occurrence",
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        val items = orderItemsCached(s, dir)
         val nOrders = items.agg(
           countDistinct(col("ok")).as("n_orders"))
         val pc = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
@@ -285,9 +293,11 @@ object Analytics4 {
           .where(col("p1") < col("p2"))
           .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
         pairs
-          .join(pc.select(col("pk").as("p1"), col("c").as("c1")), Seq("p1"))
-          .join(pc.select(col("pk").as("p2"), col("c").as("c2")), Seq("p2"))
-          .crossJoin(nOrders)
+          .join(broadcast(pc.select(col("pk").as("p1"), col("c").as("c1"))),
+            Seq("p1"))
+          .join(broadcast(pc.select(col("pk").as("p2"), col("c").as("c2"))),
+            Seq("p2"))
+          .crossJoin(broadcast(nOrders))
           .where(col("support") >= 3)
           .select(col("p1"), col("p2"), col("support"),
             round(col("support").cast("double") * col("n_orders") /

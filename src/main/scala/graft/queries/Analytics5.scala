@@ -127,9 +127,7 @@ object Analytics5 {
     // ---- and output agree bit-for-bit with the oracle --------------
     Q("q126_assoc_rules",
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        val items = Analytics4.orderItemsCached(s, dir)
         val nOrders = items.agg(
           countDistinct(col("ok")).as("n_orders"))
         val itemCnt = items.groupBy(col("pk"))
@@ -144,10 +142,10 @@ object Analytics5 {
           .unionByName(pairs
             .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("ps")))
         rules
-          .join(itemCnt.select(col("pk").as("antecedent"), col("cnt").as("ac")),
-            Seq("antecedent"))
-          .join(itemCnt.select(col("pk").as("consequent"), col("cnt").as("cc")),
-            Seq("consequent"))
+          .join(broadcast(itemCnt.select(col("pk").as("antecedent"),
+            col("cnt").as("ac"))), Seq("antecedent"))
+          .join(broadcast(itemCnt.select(col("pk").as("consequent"),
+            col("cnt").as("cc"))), Seq("consequent"))
           .crossJoin(broadcast(nOrders))
           .select(col("antecedent"), col("consequent"),
             col("ps").as("pair_support"),

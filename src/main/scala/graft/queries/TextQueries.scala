@@ -352,7 +352,7 @@ object TextQueries {
     // ---- table, the corpus is filtered in one narrow pass ------------
     Q("q111_temperature_mixture",
       (s, dir) => Corpus.sampleTemperature(
-          Tables.loadParallel(s, dir, "documents"), "lang", "doc_id",
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
           alpha = 0.3, massFrac = 0.5)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
