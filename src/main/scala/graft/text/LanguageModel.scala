@@ -67,9 +67,12 @@ object LanguageModel {
     // left joins: a doc bigram unseen in the reference still gets its
     // add-one-smoothed probability (c2 = 0, and c1 = 0 for an unseen
     // context) instead of silently vanishing from the score
+    // unigram-keyed tables are vocab-bounded (they do NOT grow with
+    // corpus size) — broadcast them; the bigram table stays a
+    // co-partitioned join
     docTerms
       .join(big, Seq("u", "w"), "left")
-      .join(uni, Seq("u"), "left")
+      .join(broadcast(uni), Seq("u"), "left")
       .crossJoin(vocab)
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_bigrams"),
@@ -159,12 +162,18 @@ object LanguageModel {
     val cz = (c: Column) => coalesce(c, lit(0L)).cast("double")
     docTerms
       .join(tri, Seq("u", "v", "w"), "left")
-      .join(big.select(col("a").as("u"), col("b").as("v"),
-        col("c2").as("c2uv")), Seq("u", "v"), "left")
-      .join(big.select(col("a").as("v"), col("b").as("w"),
-        col("c2").as("c2vw")), Seq("v", "w"), "left")
-      .join(uni.select(col("t").as("v"), col("c1").as("c1v")), Seq("v"), "left")
-      .join(uni.select(col("t").as("w"), col("c1").as("c1w")), Seq("w"), "left")
+      // the bigram table is corpus-derived but still orders of
+      // magnitude smaller than the doc-trigram stream; broadcast is
+      // the single-box call — at a scale where it outgrows executor
+      // memory, drop these two hints and the joins co-partition
+      .join(broadcast(big.select(col("a").as("u"), col("b").as("v"),
+        col("c2").as("c2uv"))), Seq("u", "v"), "left")
+      .join(broadcast(big.select(col("a").as("v"), col("b").as("w"),
+        col("c2").as("c2vw"))), Seq("v", "w"), "left")
+      .join(broadcast(uni.select(col("t").as("v"), col("c1").as("c1v"))),
+        Seq("v"), "left")
+      .join(broadcast(uni.select(col("t").as("w"), col("c1").as("c1w"))),
+        Seq("w"), "left")
       .crossJoin(totals)
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_trigrams"),
@@ -239,10 +248,12 @@ object LanguageModel {
       .otherwise(
         (greatest(coalesce(col("c2"), lit(0L)) - lit(d), lit(0.0)) / col("cu")) +
           (((lit(d) * col("n1p")) / col("cu")) * pcont))
+    // ctx/n1pr are vocab-bounded word tables — broadcast (two fewer
+    // reshuffles of the doc-bigram stream); big stays co-partitioned
     docTerms
       .join(big, Seq("u", "w"), "left")
-      .join(ctx, Seq("u"), "left")
-      .join(n1pr, Seq("w"), "left")
+      .join(broadcast(ctx), Seq("u"), "left")
+      .join(broadcast(n1pr), Seq("w"), "left")
       .crossJoin(consts)
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_bigrams"),
