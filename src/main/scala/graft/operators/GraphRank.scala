@@ -44,14 +44,17 @@ object GraphRank {
                          broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 1 && topK >= 1, s"need iters/topK >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    // the rank vector is node-sized; localCheckpoint per iteration
-    // keeps the plan flat (analysis over the nested join chain grows
-    // superlinearly in `iters` otherwise). `broadcastRanks` is the
-    // small-graph switch — with it (and a broadcastable `deg`) the
-    // edge list never shuffles; at billion-node scale leave it off.
-    def flat(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    var rank = flat(deg.select(col("src").as("node"), lit(Unit6).as("r")))
-    for (_ <- 1 to iters) {
+    // the rank vector is node-sized; localCheckpoint every third
+    // iteration keeps the plan flat (Catalyst analysis over the nested
+    // join chain grows superlinearly in `iters` otherwise; measured:
+    // every-3 beats both every-1 and never on the q122 graph).
+    // `broadcastRanks` is the small-graph switch — with it (and a
+    // broadcastable `deg`) the edge list never shuffles; at
+    // billion-node scale leave it off.
+    def flat(df: DataFrame, i: Int): DataFrame =
+      if (i % 3 == 0) df.localCheckpoint(true) else df
+    var rank = deg.select(col("src").as("node"), lit(Unit6).as("r"))
+    for (i <- 1 to iters) {
       val rv = rank
       rank = flat(e
         .join(if (broadcastRanks) broadcast(rv) else rv,
@@ -60,7 +63,7 @@ object GraphRank {
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("r"))
-        .select(col("dst").as("node"), col("r")))
+        .select(col("dst").as("node"), col("r")), i)
     }
     rank.orderBy(desc("r"), asc("node")).limit(topK)
       .select(col("node"), col("r").as("rank_units"))
@@ -167,16 +170,15 @@ object GraphRank {
                        broadcastLabels: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // each round's label vector is node-sized and feeds the next
-    // round's join — localCheckpoint keeps the per-round plan flat
-    // (analysis over the nested 3-shuffle chain otherwise grows
+    // round's join — localCheckpoint every other round keeps the plan
+    // flat (analysis over the nested 3-shuffle chain otherwise grows
     // superlinearly in `iters`). `broadcastLabels` is the single-box /
     // small-graph switch: with it the edge list never shuffles — at
     // cluster scale with billions of nodes leave it off and let the
     // join co-partition on dst.
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val lv = lbl.select(col("node").as("dst"), col("lbl"))
       val msgs = edges
         .join(if (broadcastLabels) broadcast(lv) else lv, Seq("dst"))
@@ -188,7 +190,7 @@ object GraphRank {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+      if (i % 2 == 0) lbl = lbl.localCheckpoint(true)
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }
