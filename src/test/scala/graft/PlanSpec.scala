@@ -372,7 +372,15 @@ class PlanSpec extends SparkSpec {
     val p = SparkEntry.queries("q122_entity_rank")(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
     assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("InMemoryTableScan"),
+    // the full query ends in a checkpoint-backed RDD scan (iteration 6
+    // lands on the every-3rd-round checkpoint); the cache-reuse pin
+    // moves to an uncheckpointed 2-iteration prefix of the same chain
+    val (edges, deg) = graft.queries.Analytics4.prGraphCached(spark, sfDir)
+    val prefix = graft.operators.GraphRank
+      .fixedPointPageRank(edges, deg, iters = 2, topK = 5,
+        broadcastRanks = true)
+      .queryExecution.explainString(SimpleMode)
+    assert(prefix.contains("InMemoryTableScan"),
       "edges/degrees must come from the ingest-time cache each iteration")
   }
 
