@@ -23,7 +23,7 @@ object Analytics15 {
 
   /** The q123 oracle's shared prefix: distinct co-purchase pairs and
     * the undirected degree table. */
-  private val PairsCte =
+  private[queries] val PairsCte =
     """items AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |), pairs AS (
@@ -140,6 +140,7 @@ object Analytics15 {
         val lbl = GraphRank.labelPropagation(
           Analytics5.undEdgesCached(s, dir), iters = 3,
           broadcastLabels = true)
+          .localCheckpoint(true) // three downstream references
         val e = Analytics4.triEdgesCached(s, dir)
         val deg = Analytics5.undEdgesCached(s, dir)
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))

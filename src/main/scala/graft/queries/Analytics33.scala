@@ -356,22 +356,30 @@ object Analytics33 {
       (s, dir) => {
         val ringPos = Corpus.hashBucket(col("shard") * 1000L + col("vnode"),
           2147483647)
-        def ring(shards: Int) = s.range(shards.toLong * VNodes)
+        // the ring is O(shards · vnodes) — metadata-sized at ANY key
+        // count — so the clockwise-successor lookup is a per-row scan
+        // of a literal sorted code array (codegen'd, no join): the
+        // 16M-row ring×keys cross join this replaces measured 7.6s
+        def ringCodes(shards: Int): Array[Long] = s
+          .range(shards.toLong * VNodes)
           .select(expr(s"id div $VNodes").as("shard"),
             (col("id") % VNodes).as("vnode"))
-          .select(col("shard"), (ringPos * 100L + col("shard")).as("code"))
+          .select((ringPos * 100L + col("shard")).as("code"))
+          .collect().map(_.getLong(0)).sorted
         val keys = t(s, dir, "orders")
           .select(col("o_orderkey").as("k"),
             (Corpus.hashBucket(col("o_orderkey"), 2147483647) * 100L)
               .as("kcode"))
-        def assign(shards: Int, outCol: String) = keys
-          .crossJoin(broadcast(ring(shards)))
-          .groupBy("k")
-          .agg(coalesce(min(when(col("code") >= col("kcode"), col("code"))),
-            min(col("code"))).as("chosen"))
-          .select(col("k"), (col("chosen") % 100L).cast("int").as(outCol))
-        val moved = assign(ShardsBefore, "shard_before")
-          .join(assign(ShardsBefore + 1, "shard_after"), Seq("k"))
+        def assign(shards: Int, outCol: String) = {
+          val codes = ringCodes(shards)
+          // codegen'd binary search (higher-order array functions run
+          // their lambda interpreted per element — measured ~5s here)
+          (graft.functions.SortedCeil.sortedCeil(col("kcode"), codes,
+            codes.min) % 100L).cast("int").as(outCol)
+        }
+        val moved = keys
+          .select(col("k"), assign(ShardsBefore, "shard_before"),
+            assign(ShardsBefore + 1, "shard_after"))
           .groupBy("shard_before", "shard_after")
           .agg(count(lit(1)).as("n_keys"))
         val tot = moved.agg(sum(col("n_keys")).as("nt"))
@@ -384,27 +392,33 @@ object Analytics33 {
       Some {
         def mix(e: String) = Corpus.hashBucketSql(e, 2147483647)
         def ringSql(shards: Int) =
-          s"""SELECT CAST(r.range // $VNodes AS BIGINT) AS shard,
-             |  ${mix(s"(r.range // $VNodes * 1000 + r.range % $VNodes)")}
+          s"""SELECT ${mix(s"(r.range // $VNodes * 1000 + r.range % $VNodes)")}
              |    * 100 + r.range // $VNodes AS code
              |FROM range(${shards * VNodes}) r""".stripMargin
-        def assignSql(shards: Int, outCol: String) =
-          s"""SELECT k, CAST(COALESCE(
-             |    MIN(CASE WHEN code >= kcode THEN code END),
-             |    MIN(code)) % 100 AS INTEGER) AS $outCol
-             |FROM keys CROSS JOIN (${ringSql(shards)})
-             |GROUP BY k""".stripMargin
-        s"""WITH keys AS MATERIALIZED (
+        s"""WITH codes8 AS (
+           |  SELECT list(code ORDER BY code) AS cs,
+           |    MIN(code) AS c0
+           |  FROM (${ringSql(ShardsBefore).replace("\n", "\n  ")})
+           |), codes9 AS (
+           |  SELECT list(code ORDER BY code) AS cs,
+           |    MIN(code) AS c0
+           |  FROM (${ringSql(ShardsBefore + 1).replace("\n", "\n  ")})
+           |), keys AS (
            |  SELECT o_orderkey AS k, ${mix("o_orderkey")} * 100 AS kcode
            |  FROM orders
-           |), before AS MATERIALIZED (
-           |  ${assignSql(ShardsBefore, "shard_before").replace("\n", "\n  ")}
-           |), after AS MATERIALIZED (
-           |  ${assignSql(ShardsBefore + 1, "shard_after").replace("\n", "\n  ")}
+           |), assigned AS (
+           |  SELECT k,
+           |    CAST(COALESCE(
+           |      list_min(list_filter(c8.cs, x -> x >= kcode)), c8.c0)
+           |      % 100 AS INTEGER) AS shard_before,
+           |    CAST(COALESCE(
+           |      list_min(list_filter(c9.cs, x -> x >= kcode)), c9.c0)
+           |      % 100 AS INTEGER) AS shard_after
+           |  FROM keys CROSS JOIN codes8 c8 CROSS JOIN codes9 c9
            |), m AS (
            |  SELECT shard_before, shard_after,
            |    CAST(COUNT(*) AS BIGINT) AS n_keys
-           |  FROM before JOIN after USING (k)
+           |  FROM assigned
            |  GROUP BY 1, 2
            |)
            |SELECT shard_before, shard_after, n_keys,
