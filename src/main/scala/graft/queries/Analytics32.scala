@@ -31,7 +31,7 @@ object Analytics32 {
 
   /** q270 power-iteration rounds (covariance is PSD, so the iterate
     * never sign-flips; 8 rounds is ranking-stable for this spectrum). */
-  private val PcaIters = 8
+  private[queries] val PcaIters = 8
 
   /** Sign-symmetric scaled division shared by the q270 Spark driver
     * loop and its SQL mirror: `sign(x) · (|x| · 1e6-ish / divisor)`
@@ -311,6 +311,22 @@ object Analytics32 {
     // ---- CTEs — see the k-core CTE-inlining note in NEXT.md). -------
     Q("q270_pca_power",
       (s, dir) => {
+        import s.implicits._
+        pcaLoadings(s, dir).toSeq
+          .toDF("dim", "loading_units").orderBy("dim")
+      },
+      Some(s"""$PcaCteSql
+           |SELECT dim, CAST(v * s AS BIGINT) AS loading_units
+           |FROM v$PcaIters CROSS JOIN sgn
+           |ORDER BY dim""".stripMargin))
+  )
+
+  /** The q270 sign-canonicalized top principal component as
+    * (dim, micro-unit loading) pairs — the d×d covariance is the
+    * cached distributed artifact; the exact-integer iteration runs on
+    * its collected (metadata-sized) values. Shared with q288's
+    * projection audit. */
+  private[queries] def pcaLoadings(s: SparkSession, dir: String): Seq[(Int, Long)] = {
         val covU = graft.sim.IndexCache.getOrBuild(s, s"pca-cov:$dir") {
           val q5 = t(s, dir, "embeddings")
             .select(col("vec_id"),
@@ -349,11 +365,14 @@ object Analytics32 {
         val top = dims.map(d => (math.abs(v(d)), d))
           .max(Ordering.Tuple2(Ordering.Long, Ordering.Int.reverse))._2
         val sgn = if (v(top) < 0) -1L else 1L
-        import s.implicits._
-        dims.map(d => (d, v(d) * sgn)).toSeq
-          .toDF("dim", "loading_units").orderBy("dim")
-      },
-      Some {
+        dims.map(d => (d, v(d) * sgn))
+  }
+
+  /** The q270 oracle chain through `sgn` (quantized embeddings → exact
+    * BIGINT covariance → scaled units → 8 unrolled iterations → sign
+    * canonicalization) — q270 and q288 append different final
+    * selects. */
+  private[queries] val PcaCteSql: String = {
         val base =
           s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id,
@@ -405,10 +424,6 @@ object Analytics32 {
            |  FROM v$PcaIters
            |  ORDER BY abs(v) DESC, dim ASC
            |  LIMIT 1
-           |)
-           |SELECT dim, CAST(v * s AS BIGINT) AS loading_units
-           |FROM v$PcaIters CROSS JOIN sgn
-           |ORDER BY dim""".stripMargin
-      })
-  )
+           |)""".stripMargin
+  }
 }

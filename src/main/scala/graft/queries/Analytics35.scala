@@ -35,14 +35,14 @@ object Analytics35 {
 
   /** The daily revenue series in WHOLE DOLLARS (BIGINT — cents would
     * overflow w·Σx² in the 128-day R/S blocks). */
-  private def dailyDollars(s: SparkSession, dir: String): DataFrame =
+  private[queries] def dailyDollars(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
       .agg(round(sum(dec("o_totalprice")).cast("double")).cast("long")
         .as("x"))
 
-  private val DailyDollarsSql =
+  private[queries] val DailyDollarsSql =
     """SELECT CAST(date_diff('day', DATE '1970-01-01',
       |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
       |  CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
