@@ -44,6 +44,112 @@ object Analytics32 {
     s * (math.abs(x) / d)
   }
 
+  /** The q270 sign-canonicalized top principal component as
+    * (dim, micro-unit loading) pairs — the d×d covariance is the
+    * cached distributed artifact; the exact-integer iteration runs on
+    * its collected (metadata-sized) values. Shared with q288's
+    * projection audit. */
+  private[queries] def pcaLoadings(s: SparkSession, dir: String): Seq[(Int, Long)] = {
+        val covU = graft.sim.IndexCache.getOrBuild(s, s"pca-cov:$dir") {
+          val q5 = t(s, dir, "embeddings")
+            .select(col("vec_id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+            .select(col("vec_id"), col("dim"),
+              round(col("v").cast("double") * 1e5).cast("long").as("e"))
+          val nRows = t(s, dir, "embeddings").count()
+          val sums = q5.groupBy("dim").agg(sum(col("e")).as("se"))
+          val cov = q5.select(col("vec_id"), col("dim").as("i"),
+              col("e").as("ei"))
+            .join(q5.select(col("vec_id"), col("dim").as("j"),
+              col("e").as("ej")), Seq("vec_id"))
+            .groupBy("i", "j").agg(sum(col("ei") * col("ej")).as("sij"))
+            .join(broadcast(sums.select(col("dim").as("i"),
+              col("se").as("si"))), Seq("i"))
+            .join(broadcast(sums.select(col("dim").as("j"),
+              col("se").as("sj"))), Seq("j"))
+            .select(col("i"), col("j"),
+              (lit(nRows) * col("sij") - col("si") * col("sj")).as("c"))
+          cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
+            .select(col("i"), col("j"),
+              (signum(col("c")).cast("long") *
+                expr("abs(c) div greatest(mc div 1000000, 1)")).as("cu"))
+        }
+        val m = covU.select(col("i"), col("j"), col("cu"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        val dims = m.map(_._1).distinct.sorted
+        var v: Map[Int, Long] = dims.map(_ -> 1000000L).toMap
+        for (_ <- 1 to PcaIters) {
+          val p: Map[Int, Long] = m.groupBy(_._1).map { case (i, rows) =>
+            i -> rows.map { case (_, j, cu) => cu * v(j) }.sum
+          }
+          val mx = p.valuesIterator.map(math.abs).max
+          v = p.map { case (i, x) => i -> rescale(x, mx) }
+        }
+        val top = dims.map(d => (math.abs(v(d)), d))
+          .max(Ordering.Tuple2(Ordering.Long, Ordering.Int.reverse))._2
+        val sgn = if (v(top) < 0) -1L else 1L
+        dims.map(d => (d, v(d) * sgn))
+  }
+
+  /** The q270 oracle chain through `sgn` (quantized embeddings → exact
+    * BIGINT covariance → scaled units → 8 unrolled iterations → sign
+    * canonicalization) — q270 and q288 append different final
+    * selects. */
+  private[queries] val PcaCteSql: String = {
+        val base =
+          s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+             |      AS dim,
+             |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e5)
+             |      AS BIGINT) AS e
+             |  FROM embeddings
+             |), sums AS MATERIALIZED (
+             |  SELECT dim, CAST(SUM(e) AS BIGINT) AS se FROM q GROUP BY dim
+             |), cov AS MATERIALIZED (
+             |  SELECT a.dim AS i, b.dim AS j,
+             |    (SELECT COUNT(*) FROM embeddings)
+             |      * CAST(SUM(a.e * b.e) AS BIGINT)
+             |      - si.se * sj.se AS c
+             |  FROM q a
+             |  JOIN q b ON a.vec_id = b.vec_id
+             |  JOIN sums si ON si.dim = a.dim
+             |  JOIN sums sj ON sj.dim = b.dim
+             |  GROUP BY a.dim, b.dim, si.se, sj.se
+             |), covu AS MATERIALIZED (
+             |  SELECT i, j,
+             |    CAST(CASE WHEN c < 0 THEN -1 ELSE 1 END
+             |      * (abs(c) // GREATEST(
+             |          (SELECT MAX(abs(c)) FROM cov) // 1000000, 1))
+             |      AS BIGINT) AS cu
+             |  FROM cov
+             |), v0 AS MATERIALIZED (
+             |  SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
+             |  FROM covu
+             |)""".stripMargin
+        val steps = (1 to PcaIters).map { k =>
+          s"""p$k AS MATERIALIZED (
+             |  SELECT c.i AS dim, CAST(SUM(c.cu * v.v) AS BIGINT) AS p
+             |  FROM covu c JOIN v${k - 1} v ON c.j = v.dim
+             |  GROUP BY c.i
+             |), v$k AS MATERIALIZED (
+             |  SELECT dim,
+             |    CAST(CASE WHEN p < 0 THEN -1 ELSE 1 END
+             |      * (abs(p) // GREATEST(
+             |          (SELECT MAX(abs(p)) FROM p$k) // 1000000, 1))
+             |      AS BIGINT) AS v
+             |  FROM p$k
+             |)""".stripMargin
+        }.mkString(",\n", ",\n", "")
+        s"""$base$steps,
+           |sgn AS (
+           |  SELECT CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS BIGINT) AS s
+           |  FROM v$PcaIters
+           |  ORDER BY abs(v) DESC, dim ASC
+           |  LIMIT 1
+           |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- decision-stump training: for each inner decile boundary of
@@ -321,109 +427,5 @@ object Analytics32 {
            |ORDER BY dim""".stripMargin))
   )
 
-  /** The q270 sign-canonicalized top principal component as
-    * (dim, micro-unit loading) pairs — the d×d covariance is the
-    * cached distributed artifact; the exact-integer iteration runs on
-    * its collected (metadata-sized) values. Shared with q288's
-    * projection audit. */
-  private[queries] def pcaLoadings(s: SparkSession, dir: String): Seq[(Int, Long)] = {
-        val covU = graft.sim.IndexCache.getOrBuild(s, s"pca-cov:$dir") {
-          val q5 = t(s, dir, "embeddings")
-            .select(col("vec_id"),
-              posexplode(col("embedding")).as(Seq("dim", "v")))
-            .select(col("vec_id"), col("dim"),
-              round(col("v").cast("double") * 1e5).cast("long").as("e"))
-          val nRows = t(s, dir, "embeddings").count()
-          val sums = q5.groupBy("dim").agg(sum(col("e")).as("se"))
-          val cov = q5.select(col("vec_id"), col("dim").as("i"),
-              col("e").as("ei"))
-            .join(q5.select(col("vec_id"), col("dim").as("j"),
-              col("e").as("ej")), Seq("vec_id"))
-            .groupBy("i", "j").agg(sum(col("ei") * col("ej")).as("sij"))
-            .join(broadcast(sums.select(col("dim").as("i"),
-              col("se").as("si"))), Seq("i"))
-            .join(broadcast(sums.select(col("dim").as("j"),
-              col("se").as("sj"))), Seq("j"))
-            .select(col("i"), col("j"),
-              (lit(nRows) * col("sij") - col("si") * col("sj")).as("c"))
-          cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
-            .select(col("i"), col("j"),
-              (signum(col("c")).cast("long") *
-                expr("abs(c) div greatest(mc div 1000000, 1)")).as("cu"))
-        }
-        val m = covU.select(col("i"), col("j"), col("cu"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-        val dims = m.map(_._1).distinct.sorted
-        var v: Map[Int, Long] = dims.map(_ -> 1000000L).toMap
-        for (_ <- 1 to PcaIters) {
-          val p: Map[Int, Long] = m.groupBy(_._1).map { case (i, rows) =>
-            i -> rows.map { case (_, j, cu) => cu * v(j) }.sum
-          }
-          val mx = p.valuesIterator.map(math.abs).max
-          v = p.map { case (i, x) => i -> rescale(x, mx) }
-        }
-        val top = dims.map(d => (math.abs(v(d)), d))
-          .max(Ordering.Tuple2(Ordering.Long, Ordering.Int.reverse))._2
-        val sgn = if (v(top) < 0) -1L else 1L
-        dims.map(d => (d, v(d) * sgn))
-  }
 
-  /** The q270 oracle chain through `sgn` (quantized embeddings → exact
-    * BIGINT covariance → scaled units → 8 unrolled iterations → sign
-    * canonicalization) — q270 and q288 append different final
-    * selects. */
-  private[queries] val PcaCteSql: String = {
-        val base =
-          s"""WITH q AS MATERIALIZED (
-             |  SELECT vec_id,
-             |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
-             |      AS dim,
-             |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e5)
-             |      AS BIGINT) AS e
-             |  FROM embeddings
-             |), sums AS MATERIALIZED (
-             |  SELECT dim, CAST(SUM(e) AS BIGINT) AS se FROM q GROUP BY dim
-             |), cov AS MATERIALIZED (
-             |  SELECT a.dim AS i, b.dim AS j,
-             |    (SELECT COUNT(*) FROM embeddings)
-             |      * CAST(SUM(a.e * b.e) AS BIGINT)
-             |      - si.se * sj.se AS c
-             |  FROM q a
-             |  JOIN q b ON a.vec_id = b.vec_id
-             |  JOIN sums si ON si.dim = a.dim
-             |  JOIN sums sj ON sj.dim = b.dim
-             |  GROUP BY a.dim, b.dim, si.se, sj.se
-             |), covu AS MATERIALIZED (
-             |  SELECT i, j,
-             |    CAST(CASE WHEN c < 0 THEN -1 ELSE 1 END
-             |      * (abs(c) // GREATEST(
-             |          (SELECT MAX(abs(c)) FROM cov) // 1000000, 1))
-             |      AS BIGINT) AS cu
-             |  FROM cov
-             |), v0 AS MATERIALIZED (
-             |  SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
-             |  FROM covu
-             |)""".stripMargin
-        val steps = (1 to PcaIters).map { k =>
-          s"""p$k AS MATERIALIZED (
-             |  SELECT c.i AS dim, CAST(SUM(c.cu * v.v) AS BIGINT) AS p
-             |  FROM covu c JOIN v${k - 1} v ON c.j = v.dim
-             |  GROUP BY c.i
-             |), v$k AS MATERIALIZED (
-             |  SELECT dim,
-             |    CAST(CASE WHEN p < 0 THEN -1 ELSE 1 END
-             |      * (abs(p) // GREATEST(
-             |          (SELECT MAX(abs(p)) FROM p$k) // 1000000, 1))
-             |      AS BIGINT) AS v
-             |  FROM p$k
-             |)""".stripMargin
-        }.mkString(",\n", ",\n", "")
-        s"""$base$steps,
-           |sgn AS (
-           |  SELECT CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS BIGINT) AS s
-           |  FROM v$PcaIters
-           |  ORDER BY abs(v) DESC, dim ASC
-           |  LIMIT 1
-           |)""".stripMargin
-  }
 }
