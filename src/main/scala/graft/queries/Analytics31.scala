@@ -197,16 +197,25 @@ object Analytics31 {
     // ---- like the q122 trade graph. ---------------------------------
     Q("q264_textrank_keywords",
       (s, dir) => {
+        // vocab is cached alongside the edges: both the edge build and
+        // the rank-back join read the SAME (word, wid) table, so the
+        // id assignment cannot drift between them and the per-query
+        // cost stays on the iterate side
+        val vocab = graft.sim.IndexCache.getOrBuild(s,
+          s"textrank-vocab:$dir") {
+          t(s, dir, "documents")
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .where(length(col("w")) >= 4)
+            .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+            .where(col("df") >= MinDf)
+            .select(col("w"),
+              row_number().over(Window.orderBy("w")).cast("long").as("wid"))
+        }
         val edges = graft.sim.IndexCache.getOrBuild(s, s"textrank:$dir") {
           val toks = t(s, dir, "documents")
             .select(col("doc_id"),
               posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
             .where(length(col("w")) >= 4)
-          val vocab = toks.groupBy("w")
-            .agg(countDistinct(col("doc_id")).as("df"))
-            .where(col("df") >= MinDf)
-            .select(col("w"),
-              row_number().over(Window.orderBy("w")).cast("long").as("wid"))
           val tv = toks.join(vocab, Seq("w"))
             .select(col("doc_id"), col("pos"), col("w"), col("wid"))
           val pairs = tv
@@ -223,18 +232,11 @@ object Analytics31 {
           pairs.select(col("c").as("src"), col("s").as("dst"))
             .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
         }
-        val vocabBack = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .where(length(col("w")) >= 4)
-          .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
-          .where(col("df") >= MinDf)
-          .select(col("w").as("word"),
-            row_number().over(Window.orderBy("w")).cast("long").as("node"))
         GraphRank
           .fixedPointPageRank(edges, GraphRank.degrees(edges),
             iters = 6, topK = 20, broadcastRanks = true)
-          .join(broadcast(vocabBack), Seq("node"))
+          .join(broadcast(vocab.select(col("w").as("word"),
+            col("wid").as("node"))), Seq("node"))
           .select(col("word"), col("rank_units"))
           .orderBy(desc("rank_units"), asc("word"))
       },

@@ -287,8 +287,11 @@ object Analytics36 {
           .agg(sum(col("e") * col("lv")).as("proju"))
         proj.groupBy("label")
           .agg(count(lit(1)).as("n"),
-            round(avg(col("proju").cast("double")) / 1e11, 6)
-              .as("mean_score"),
+            // exact BIGINT sum first, ONE division after — avg over
+            // double-cast projections would sum floats in partial-agg
+            // order (values ~6e12 overflow 2^53 in the running sum)
+            round(sum(col("proju")).cast("double") /
+              count(lit(1)).cast("double") / 1e11, 6).as("mean_score"),
             round(min(col("proju")).cast("double") / 1e11, 6)
               .as("min_score"),
             round(max(col("proju")).cast("double") / 1e11, 6)
@@ -308,7 +311,8 @@ object Analytics36 {
              |  GROUP BY 1, 2
              |)
              |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-             |  ROUND(AVG(CAST(proju AS DOUBLE)) / 1e11, 6) AS mean_score,
+             |  ROUND(CAST(SUM(proju) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) / 1e11, 6) AS mean_score,
              |  ROUND(CAST(MIN(proju) AS DOUBLE) / 1e11, 6) AS min_score,
              |  ROUND(CAST(MAX(proju) AS DOUBLE) / 1e11, 6) AS max_score
              |FROM proj

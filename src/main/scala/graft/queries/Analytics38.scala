@@ -186,15 +186,15 @@ object Analytics38 {
     Q("q298_dispersion_index",
       (s, dir) => {
         val ev = t(s, dir, "events")
-        val users = ev.select(col("user_id")).distinct()
-        val types = ev.select(col("event_type")).distinct()
-        val counts = users.crossJoin(broadcast(types))
-          .join(ev.groupBy("user_id", "event_type")
-            .agg(count(lit(1)).as("k")), Seq("user_id", "event_type"),
-            "left")
-          .select(col("event_type"), coalesce(col("k"), lit(0L)).as("k"))
-        counts.groupBy("event_type")
-          .agg(count(lit(1)).as("n_users"), sum(col("k")).as("sk"),
+        // zero counts contribute nothing to Σk or Σk² and n_users is
+        // the global distinct-user count — so the dense users×types
+        // frame is unnecessary; aggregate the sparse (user, type)
+        // counts and broadcast the one global scalar
+        val nUsers = ev.select(col("user_id")).distinct().count()
+        ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("k"))
+          .groupBy("event_type")
+          .agg(lit(nUsers).as("n_users"), sum(col("k")).as("sk"),
             sum(col("k") * col("k")).as("sk2"))
           .select(col("event_type"), col("n_users"),
             round(col("sk").cast("double") / col("n_users").cast("double"),
