@@ -25,14 +25,14 @@ object Analytics44 {
 
   /** Monthly revenue series with a 1-based month index — the shared
     * frame for the q327/q328 OLS diagnostics. */
-  private def monthlySeries(s: SparkSession, dir: String): DataFrame =
+  private[queries] def monthlySeries(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy((year(col("o_orderdate")) * 100 +
         month(col("o_orderdate"))).cast("long").as("ym"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
       .withColumn("x", row_number().over(Window.orderBy("ym")).cast("long"))
 
-  private val MonthlySql =
+  private[queries] val MonthlySql =
     """monthly AS MATERIALIZED (
       |  SELECT ym, rev,
       |    CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS x
@@ -45,7 +45,7 @@ object Analytics44 {
 
   /** OLS moment sums + slope/intercept for the monthly series (exact
     * BIGINT sums, one double tree for the coefficients). */
-  private val OlsSql =
+  private[queries] val OlsSql =
     """m AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(rev) AS BIGINT) AS sy,
@@ -63,7 +63,7 @@ object Analytics44 {
       |  FROM m
       |)""".stripMargin
 
-  private def olsFit(monthly: DataFrame): DataFrame = {
+  private[queries] def olsFit(monthly: DataFrame): DataFrame = {
     val m = monthly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("rev")).as("sy"), sum(col("x") * col("x")).as("sxx"),
       sum(col("x") * col("rev")).as("sxy"))
