@@ -261,11 +261,16 @@ object Analytics39 {
     // ---- gauge that decides whether q219/q284 models apply. --------
     Q("q305_seasonal_strength",
       (s, dir) => {
+        // thousand-dollar grid: monthly dollar totals reach 3.3e9 at
+        // sf0.1, whose square overflows BIGINT — the div-1000 rescale
+        // keeps every product exact through sf10 (R² is unchanged up
+        // to the shared truncation, identical in both engines)
         val monthly = t(s, dir, "orders")
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
             month(col("o_orderdate")).as("moy"))
           .agg(round(sum(dec("o_totalprice")).cast("double")).cast("long")
-            .as("x"))
+            .as("xd"))
+          .select(col("mon"), col("moy"), expr("xd div 1000").as("x"))
           .localCheckpoint(true)
         val g = monthly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"))
@@ -285,11 +290,12 @@ object Analytics39 {
                   col("n").cast("double")), 6).as("seasonal_r2"))
       },
       Some("""WITH monthly AS (
-             |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
-             |    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS moy,
-             |    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-             |      AS DOUBLE)) AS BIGINT) AS x
-             |  FROM orders GROUP BY 1, 2
+             |  SELECT mon, moy, xd // 1000 AS x FROM (
+             |    SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+             |      CAST(EXTRACT(month FROM o_orderdate) AS INT) AS moy,
+             |      CAST(ROUND(CAST(SUM(CAST(o_totalprice
+             |        AS DECIMAL(12,2))) AS DOUBLE)) AS BIGINT) AS xd
+             |    FROM orders GROUP BY 1, 2) d
              |), g AS (
              |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
              |    CAST(SUM(x) AS BIGINT) AS sx,
