@@ -29,6 +29,9 @@ object Analytics65 {
       .toDF("vec_id", "label", "i", "x")
       .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
         col("x").cast("double").as("x"))
+      // the harness writes one row group per table: repartition after
+      // the explode so the dim-join work spreads across cores
+      .repartition(32, col("vec_id"))
       .localCheckpoint(true)
     val ct = cp.groupBy("label", "i")
       .agg(round(sum(round(col("x"), 6).cast(DecimalType(38, 6)))
