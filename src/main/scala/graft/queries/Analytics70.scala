@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Seventieth analytics pack (round 6, session 9): ML-ops and
+  * uncertainty — split-conformal prediction-interval coverage for a
+  * per-segment mean model, diagonal-Mahalanobis OOD fractions per
+  * embedding label, margin-based label-noise suspects, the
+  * active-learning acquisition list (smallest centroid margins), and
+  * the margin-reliability panel of the nearest-centroid classifier.
+  *
+  * Exactness discipline: conformal residuals are exact cents with an
+  * exact order-stat quantile; Mahalanobis terms ride the round-9 grid
+  * over gridded per-label means/variances; margins are round-9
+  * differences of gridded distances; every ranking carries a vec_id
+  * tie-break so both engines agree. */
+object Analytics70 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Embedding components + per-label gridded mean and variance. */
+  private def comps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .toDF("vec_id", "label", "i", "x")
+      .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+        col("x").cast("double").as("x"))
+      .repartition(32, col("vec_id"))
+      .localCheckpoint(true)
+
+  private def stats(cp: DataFrame): DataFrame =
+    cp.groupBy("label", "i")
+      .agg(round(sum(round(col("x"), 6).cast(DecimalType(38, 6)))
+        .cast("double") / count(lit(1)), 9).as("c"),
+        round(sum(round(col("x") * col("x"), 9)
+          .cast(DecimalType(38, 9))).cast("double") / count(lit(1))
+          - (sum(round(col("x"), 6).cast(DecimalType(38, 6)))
+            .cast("double") / count(lit(1)))
+            * (sum(round(col("x"), 6).cast(DecimalType(38, 6)))
+              .cast("double") / count(lit(1))), 9).as("v"))
+
+  private val CompsSql =
+    """comps AS MATERIALIZED (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(u.i AS BIGINT) AS i, CAST(u.x AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    LATERAL (SELECT UNNEST(embedding) AS x,
+      |      generate_subscripts(embedding, 1) AS i) u
+      |), stats AS MATERIALIZED (
+      |  SELECT label, i,
+      |    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38, 6)))
+      |      AS DOUBLE) / COUNT(*), 9) AS c,
+      |    ROUND(CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38, 9)))
+      |        AS DOUBLE) / COUNT(*)
+      |      - (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38, 6)))
+      |        AS DOUBLE) / COUNT(*))
+      |        * (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38, 6)))
+      |          AS DOUBLE) / COUNT(*)), 9) AS v
+      |  FROM comps GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Per-vector distances to all centroids + the (own, best, second)
+    * margin frame shared by q458-q460. */
+  private def margins(s: SparkSession, dir: String): DataFrame = {
+    val cp = comps(s, dir)
+    val ct = stats(cp).select(col("label").as("cl"), col("i"), col("c"))
+    val d = cp.join(broadcast(ct), Seq("i"))
+      .groupBy(col("vec_id"), col("label").as("own"), col("cl"))
+      .agg(round(sqrt(sum(round((col("x") - col("c"))
+        * (col("x") - col("c")), 9).cast(DecimalType(38, 9)))
+        .cast("double")), 9).as("dist"))
+    val ranked = d.withColumn("rk", row_number().over(
+      Window.partitionBy("vec_id").orderBy(col("dist"), col("cl"))))
+    val best = ranked.where(col("rk") === 1)
+      .select(col("vec_id"), col("own"), col("cl").as("best"),
+        col("dist").as("d1"))
+    val second = ranked.where(col("rk") === 2)
+      .select(col("vec_id"), col("cl").as("second"),
+        col("dist").as("d2"))
+    val ownd = d.where(col("own") === col("cl"))
+      .select(col("vec_id"), col("dist").as("down"))
+    best.join(second, Seq("vec_id")).join(ownd, Seq("vec_id"))
+      .select(col("vec_id"), col("own"), col("best"), col("second"),
+        col("d1"), col("d2"), col("down"),
+        round(col("d2") - col("d1"), 9).as("margin"))
+  }
+
+  private val MarginsSql =
+    """d AS MATERIALIZED (
+      |  SELECT p.vec_id, p.label AS own, st.label AS cl,
+      |    ROUND(sqrt(CAST(SUM(CAST(ROUND((p.x - st.c) * (p.x - st.c),
+      |      9) AS DECIMAL(38, 9))) AS DOUBLE)), 9) AS dist
+      |  FROM comps p JOIN stats st ON p.i = st.i
+      |  GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT vec_id, own, cl, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cl) AS rk
+      |  FROM d
+      |), margins AS MATERIALIZED (
+      |  SELECT b.vec_id, b.own, b.best, s.second, b.d1, s.d2, o.down,
+      |    ROUND(s.d2 - b.d1, 9) AS margin
+      |  FROM (SELECT vec_id, own, cl AS best, dist AS d1 FROM ranked
+      |        WHERE rk = 1) b
+      |  JOIN (SELECT vec_id, cl AS second, dist AS d2 FROM ranked
+      |        WHERE rk = 2) s ON b.vec_id = s.vec_id
+      |  JOIN (SELECT vec_id, dist AS down FROM d WHERE own = cl) o
+      |    ON b.vec_id = o.vec_id
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- split-conformal coverage (α = 0.1): calibration = md5-even
+    // ---- orders fit per-segment means and the exact
+    // ---- ⌈(n+1)·0.9⌉-th residual order stat; coverage measured on
+    // ---- the md5-odd half should land near 90%. --------------------
+    Q("q456_conformal_coverage",
+      (s, dir) => {
+        val tagged = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6),
+              16, 10).cast("long") % 2L).as("half"))
+          .localCheckpoint(true)
+        val fit = tagged.where(col("half") === 0L).groupBy("seg")
+          .agg((sum(col("cents")) / count(lit(1))).cast("long")
+            .as("pred"))
+        val resid = tagged.where(col("half") === 0L)
+          .join(broadcast(fit), Seq("seg"))
+          .select(abs(col("cents") - col("pred")).as("r"))
+        val qhat = resid
+          .withColumn("rn",
+            row_number().over(Window.orderBy("r")).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy()).cast("long"))
+          .where(col("rn") === expr("((n + 1) * 9 + 9) div 10"))
+          .select(col("n").as("n_cal"), col("r").as("qh"))
+        tagged.where(col("half") === 1L)
+          .join(broadcast(fit), Seq("seg"))
+          .crossJoin(broadcast(qhat))
+          .agg(max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_test"),
+            max(col("qh")).as("qh"),
+            sum(when(abs(col("cents") - col("pred")) <= col("qh"), 1L)
+              .otherwise(0L)).as("covered"))
+          .select(col("n_cal"), col("n_test"),
+            round(col("qh").cast("double") / 100.0, 2)
+              .as("q_hat_dollars"),
+            round(col("covered").cast("double")
+              / col("n_test").cast("double"), 6).as("coverage"))
+      },
+      Some("""WITH tagged AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+             |      ::BIGINT % 2 AS half
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |), fit AS (
+             |  SELECT seg, CAST(SUM(cents) // COUNT(*) AS BIGINT)
+             |    AS pred
+             |  FROM tagged WHERE half = 0 GROUP BY 1
+             |), resid AS (
+             |  SELECT ABS(cents - pred) AS r
+             |  FROM tagged JOIN fit USING (seg) WHERE half = 0
+             |), qhat AS (
+             |  SELECT n AS n_cal, r AS qh FROM (
+             |    SELECT r,
+             |      CAST(ROW_NUMBER() OVER (ORDER BY r) AS BIGINT) AS rn,
+             |      CAST(COUNT(*) OVER () AS BIGINT) AS n
+             |    FROM resid) z
+             |  WHERE rn = ((n + 1) * 9 + 9) // 10
+             |)
+             |SELECT MAX(n_cal) AS n_cal,
+             |  CAST(COUNT(*) AS BIGINT) AS n_test,
+             |  ROUND(CAST(MAX(qh) AS DOUBLE) / 100.0, 2)
+             |    AS q_hat_dollars,
+             |  ROUND(CAST(SUM(CASE WHEN ABS(cents - pred) <= qh THEN 1
+             |    ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS coverage
+             |FROM tagged JOIN fit USING (seg) CROSS JOIN qhat
+             |WHERE half = 1""".stripMargin)),
+
+    // ---- diagonal-Mahalanobis OOD audit: per-label gridded mean and
+    // ---- variance per dim, m² = Σ (x−c)²/v, fraction beyond the
+    // ---- χ²(64) 97.5% radius (88.004) per label. -------------------
+    Q("q457_mahalanobis_ood",
+      (s, dir) => {
+        val cp = comps(s, dir)
+        val st = stats(cp)
+        val m2 = cp.join(broadcast(st), Seq("label", "i"))
+          .groupBy("vec_id", "label")
+          .agg(sum(round((col("x") - col("c")) * (col("x") - col("c"))
+            / col("v"), 9).cast(DecimalType(38, 9))).cast("double")
+            .as("m2"))
+        m2.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("m2") > 88.004, 1L).otherwise(0L))
+              .as("n_outside"))
+          .select(col("label"), col("n"), col("n_outside"),
+            round(col("n_outside").cast("double")
+              / col("n").cast("double"), 6).as("frac_outside"))
+      },
+      Some(s"""WITH $CompsSql, m2 AS (
+             |  SELECT p.vec_id, p.label,
+             |    CAST(SUM(CAST(ROUND((p.x - st.c) * (p.x - st.c)
+             |      / st.v, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS m2
+             |  FROM comps p
+             |  JOIN stats st ON p.label = st.label AND p.i = st.i
+             |  GROUP BY 1, 2
+             |)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN m2 > 88.004 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outside,
+             |  ROUND(CAST(SUM(CASE WHEN m2 > 88.004 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS frac_outside
+             |FROM m2 GROUP BY 1""".stripMargin)),
+
+    // ---- label-noise suspects: vectors whose own centroid is not the
+    // ---- nearest (misassigned), and strongly so (own distance >
+    // ---- 1.2× the best) — per-label counts. ------------------------
+    Q("q458_label_noise",
+      (s, dir) => {
+        margins(s, dir).groupBy(col("own").as("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("best") =!= col("own"), 1L).otherwise(0L))
+              .as("n_misassigned"),
+            sum(when(col("best") =!= col("own")
+              && col("down") > lit(1.2) * col("d1"), 1L).otherwise(0L))
+              .as("n_strong_suspects"))
+      },
+      Some(s"""WITH $CompsSql, $MarginsSql
+             |SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN best <> own THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_misassigned,
+             |  CAST(SUM(CASE WHEN best <> own AND down > 1.2 * d1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_strong_suspects
+             |FROM margins GROUP BY 1""".stripMargin)),
+
+    // ---- active-learning acquisition: the ten vectors with the
+    // ---- smallest best-vs-second centroid margin — the most
+    // ---- ambiguous points a labeling budget should go to. ----------
+    Q("q459_uncertainty_acquisition",
+      (s, dir) => {
+        margins(s, dir)
+          .select(col("vec_id"), col("own"), col("best"), col("second"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy(col("margin"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $CompsSql, $MarginsSql
+             |SELECT vec_id, own, best, second,
+             |  ROUND(margin, 6) AS margin
+             |FROM margins ORDER BY ROUND(margin, 6), vec_id
+             |LIMIT 10""".stripMargin)),
+
+    // ---- margin reliability: margin quintiles (tie-broken NTILE) vs
+    // ---- nearest-centroid accuracy — confidence should track
+    // ---- correctness monotonically. --------------------------------
+    Q("q460_margin_reliability",
+      (s, dir) => {
+        margins(s, dir)
+          .withColumn("q", ntile(5).over(
+            Window.orderBy(col("margin"), col("vec_id"))).cast("long"))
+          .groupBy("q")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("best") === col("own"), 1L).otherwise(0L))
+              .as("correct"))
+          .select(col("q").as("margin_quintile"), col("n"),
+            round(col("correct").cast("double") / col("n").cast("double"),
+              6).as("accuracy"))
+      },
+      Some(s"""WITH $CompsSql, $MarginsSql, binned AS (
+             |  SELECT own, best,
+             |    CAST(NTILE(5) OVER (ORDER BY margin, vec_id)
+             |      AS BIGINT) AS q
+             |  FROM margins
+             |)
+             |SELECT q AS margin_quintile,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CASE WHEN best = own THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+             |FROM binned GROUP BY 1""".stripMargin)),
+  )
+}
