@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Analytics9, Analytics10, Analytics11, Analytics12, Analytics13, Analytics14, Analytics15, Analytics16, Analytics17, Analytics18, Analytics19, Analytics20, Analytics21, Analytics22, Analytics23, Analytics24, Analytics25, Analytics26, Analytics27, Analytics28, Analytics29, Analytics30, Analytics31, Analytics32, Analytics33, Analytics34, Analytics35, Analytics36, Analytics37, Analytics38, Analytics39, Analytics40, Analytics41, Analytics42, Analytics43, Analytics44, Analytics45, Analytics46, Analytics47, Analytics48, Analytics49, Analytics50, Analytics51, Analytics52, Analytics53, Analytics54, Analytics55, Analytics56, Analytics57, Analytics58, Analytics59, Analytics60, Analytics61, Analytics62, Analytics63, Analytics64, Analytics65, Analytics66, Analytics67, Analytics68, Analytics69, Analytics70, Analytics71, Analytics72, Analytics73, CdcQueries, MultimodalQueries, Q, TextQueries, VolumeQueries}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Analytics9, Analytics10, Analytics11, Analytics12, Analytics13, Analytics14, Analytics15, Analytics16, Analytics17, Analytics18, Analytics19, Analytics20, Analytics21, Analytics22, Analytics23, Analytics24, Analytics25, Analytics26, Analytics27, Analytics28, Analytics29, Analytics30, Analytics31, Analytics32, Analytics33, Analytics34, Analytics35, Analytics36, Analytics37, Analytics38, Analytics39, Analytics40, Analytics41, Analytics42, Analytics43, Analytics44, Analytics45, Analytics46, Analytics47, Analytics48, Analytics49, Analytics50, Analytics51, Analytics52, Analytics53, Analytics54, Analytics55, Analytics56, Analytics57, Analytics58, Analytics59, Analytics60, Analytics61, Analytics62, Analytics63, Analytics64, Analytics65, Analytics66, Analytics67, Analytics68, Analytics69, Analytics70, Analytics71, Analytics72, Analytics73, Analytics74, CdcQueries, MultimodalQueries, Q, TextQueries, VolumeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5,
 object SparkEntry {
 
   /** All operator-coverage query packs. */
-  def packs: Seq[Q] = Analytics.all ++ Analytics2.all ++ Analytics3.all ++ Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all ++ Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++ Analytics12.all ++ Analytics13.all ++ Analytics14.all ++ Analytics15.all ++ Analytics16.all ++ Analytics17.all ++ Analytics18.all ++ Analytics19.all ++ Analytics20.all ++ Analytics21.all ++ Analytics22.all ++ Analytics23.all ++ Analytics24.all ++ Analytics25.all ++ Analytics26.all ++ Analytics27.all ++ Analytics28.all ++ Analytics29.all ++ Analytics30.all ++ Analytics31.all ++ Analytics32.all ++ Analytics33.all ++ Analytics34.all ++ Analytics35.all ++ Analytics36.all ++ Analytics37.all ++ Analytics38.all ++ Analytics39.all ++ Analytics40.all ++ Analytics41.all ++ Analytics42.all ++ Analytics43.all ++ Analytics44.all ++ Analytics45.all ++ Analytics46.all ++ Analytics47.all ++ Analytics48.all ++ Analytics49.all ++ Analytics50.all ++ Analytics51.all ++ Analytics52.all ++ Analytics53.all ++ Analytics54.all ++ Analytics55.all ++ Analytics56.all ++ Analytics57.all ++ Analytics58.all ++ Analytics59.all ++ Analytics60.all ++ Analytics61.all ++ Analytics62.all ++ Analytics63.all ++ Analytics64.all ++ Analytics65.all ++ Analytics66.all ++ Analytics67.all ++ Analytics68.all ++ Analytics69.all ++ Analytics70.all ++ Analytics71.all ++ Analytics72.all ++ Analytics73.all ++ TextQueries.all ++ CdcQueries.all ++ MultimodalQueries.all ++ VolumeQueries.all
+  def packs: Seq[Q] = Analytics.all ++ Analytics2.all ++ Analytics3.all ++ Analytics4.all ++ Analytics5.all ++ Analytics6.all ++ Analytics7.all ++ Analytics8.all ++ Analytics9.all ++ Analytics10.all ++ Analytics11.all ++ Analytics12.all ++ Analytics13.all ++ Analytics14.all ++ Analytics15.all ++ Analytics16.all ++ Analytics17.all ++ Analytics18.all ++ Analytics19.all ++ Analytics20.all ++ Analytics21.all ++ Analytics22.all ++ Analytics23.all ++ Analytics24.all ++ Analytics25.all ++ Analytics26.all ++ Analytics27.all ++ Analytics28.all ++ Analytics29.all ++ Analytics30.all ++ Analytics31.all ++ Analytics32.all ++ Analytics33.all ++ Analytics34.all ++ Analytics35.all ++ Analytics36.all ++ Analytics37.all ++ Analytics38.all ++ Analytics39.all ++ Analytics40.all ++ Analytics41.all ++ Analytics42.all ++ Analytics43.all ++ Analytics44.all ++ Analytics45.all ++ Analytics46.all ++ Analytics47.all ++ Analytics48.all ++ Analytics49.all ++ Analytics50.all ++ Analytics51.all ++ Analytics52.all ++ Analytics53.all ++ Analytics54.all ++ Analytics55.all ++ Analytics56.all ++ Analytics57.all ++ Analytics58.all ++ Analytics59.all ++ Analytics60.all ++ Analytics61.all ++ Analytics62.all ++ Analytics63.all ++ Analytics64.all ++ Analytics65.all ++ Analytics66.all ++ Analytics67.all ++ Analytics68.all ++ Analytics69.all ++ Analytics70.all ++ Analytics71.all ++ Analytics72.all ++ Analytics73.all ++ Analytics74.all ++ TextQueries.all ++ CdcQueries.all ++ MultimodalQueries.all ++ VolumeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
