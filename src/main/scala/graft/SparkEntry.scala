@@ -33,6 +33,9 @@ object SparkEntry {
     // decode, as in the reference's MV → ReplacingMergeTree split).
     val env = graft.cdc.CdcSim.orderEnvelopesCached(sfDir,
       graft.sources.Tables.load(spark, sfDir, "orders"))
+    // decoded landing layer first (one Jackson pass), then the
+    // current-state MV derives from it as pure column ops
+    graft.cdc.CdcSim.decodedEnvelopesCached(sfDir, env)
     graft.cdc.CdcSim.currentStateCached(sfDir, env)
     // ANN hyperplane sets are likewise ingest-time artifacts (collect
     // the designated rows once; bucketing is then a pure projection)

@@ -1,5 +1,7 @@
 package graft.cdc
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -118,12 +120,47 @@ object CdcSim {
     * delete application → last-writer-wins current state keyed by id,
     * versioned by (source.ts_ms, lsn). Batch form of the streaming MV +
     * ReplacingMergeTree+FINAL stack. */
-  def currentState(rawEnvelopes: DataFrame): DataFrame = {
+  def currentState(rawEnvelopes: DataFrame): DataFrame =
+    currentStateFromDecoded(
+      EnvelopeDecode.decode(rawEnvelopes, ordersRow))
+
+  /** [[currentState]] over an already-decoded envelope frame (the
+    * `_env` struct from [[EnvelopeDecode.decode]]) — the post-Jackson
+    * half of the pipeline, pure column ops. */
+  def currentStateFromDecoded(decoded: DataFrame): DataFrame = {
     val opts = DecodeOptions(deletePolicy = DeletePolicy.Apply)
-    val changes = EnvelopeDecode.changes(rawEnvelopes, ordersRow, opts)
+    val changes = EnvelopeDecode.unwrap(decoded, ordersRow, opts)
     val latest = graft.operators.Versioned.latestByKey(
       changes, Seq("id"), Seq(col("__ts_ms"), col("__lsn")))
     latest.where(!col("__deleted"))
+  }
+
+  private val decodedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Landed decoded-envelope layer per cache key: the full `_env`
+    * struct (before / after / source / op / ts_ms / transaction),
+    * Jackson paid ONCE at ingest — the analog of the reference's
+    * landing MV. Every change-stream consumer (delete-policy/mask
+    * variants, SCD2 history, op accounting, current state) is then pure
+    * column ops over this artifact instead of a per-query JSON parse
+    * (q62 measured 1.2 s/query re-decoding at sf0.1; the unwrap off
+    * this layer is ~0.1 s). Same session-scoped keying rules as
+    * [[currentStateCached]]. */
+  def decodedEnvelopesCached(cacheKey: String, rawEnvelopes: => DataFrame): DataFrame = {
+    decodedCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    // only the decoded struct is landed — carrying the raw JSON strings
+    // through the persist would double the artifact for no consumer
+    lazy val built = EnvelopeDecode.decode(rawEnvelopes, ordersRow)
+      .select(col("_env"))
+    val appId = SparkSession.getActiveSession
+      .map(_.sparkContext.applicationId)
+      .getOrElse(built.sparkSession.sparkContext.applicationId)
+    decodedCache.computeIfAbsent(s"$appId:$cacheKey", _ => {
+      val persisted = built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // land eagerly, like the reference's landing MV
+      persisted
+    })
   }
 
   private val stateCache =
@@ -146,8 +183,11 @@ object CdcSim {
     stateCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
     // resolve the context WITHOUT building the decode plan: a cache hit
     // must cost nothing (the whole point of the MV→table split); the
-    // plan is only constructed on a miss, or when no session is active
-    lazy val built = currentState(rawEnvelopes)
+    // plan is only constructed on a miss, or when no session is active.
+    // Built off the shared decoded layer so warm() pays Jackson once
+    // for ALL change-stream consumers, not once per derived artifact.
+    lazy val built = currentStateFromDecoded(
+      decodedEnvelopesCached(cacheKey, rawEnvelopes))
     val appId = SparkSession.getActiveSession
       .map(_.sparkContext.applicationId)
       .getOrElse(built.sparkSession.sparkContext.applicationId)
@@ -158,11 +198,13 @@ object CdcSim {
     })
   }
 
-  /** Drop all cached states, unpersisting live ones (test hook). */
+  /** Drop all cached states + decoded layers, unpersisting live ones
+    * (test hook). */
   def clearStateCache(): Unit = {
-    stateCache.values.forEach { df =>
+    (stateCache.values.asScala ++ decodedCache.values.asScala).foreach { df =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
     }
     stateCache.clear()
+    decodedCache.clear()
   }
 }

@@ -27,6 +27,11 @@ object CdcQueries {
   private def state(s: SparkSession, dir: String): DataFrame =
     CdcSim.currentStateCached(dir, env(s, dir))
 
+  /** The landed decoded-envelope layer (Jackson paid once at ingest);
+    * every change-stream readout below is pure column ops over it. */
+  private def decoded(s: SparkSession, dir: String): DataFrame =
+    CdcSim.decodedEnvelopesCached(dir, env(s, dir))
+
   val all: Seq[Q] = Seq(
 
     // ---- flagship §3.1: envelope → decode → unwrap → FINAL dedup -----
@@ -44,8 +49,7 @@ object CdcQueries {
 
     // ---- L1 raw archive / op accounting (S6, T3, decode-only) --------
     Q("q61_cdc_op_counts",
-      (s, dir) => EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow,
-          fields = Some(Seq.empty))   // parse only `op`
+      (s, dir) => decoded(s, dir)   // op accounting off the landed layer
         .groupBy(col("_env.op").as("op"))
         .agg(count(lit(1)).as("n"))
         .orderBy("op"),
@@ -62,10 +66,11 @@ object CdcQueries {
       (s, dir) => {
         val opts = DecodeOptions(deletePolicy = DeletePolicy.Rewrite,
           maskFields = Seq("priority"))
-        // fields= prunes the wire parse to what the query reads: priority
-        // is masked (never parsed), so only `op` + the source block hit
-        // Jackson — not the 9-column row structs.
-        EnvelopeDecode.changes(env(s, dir), CdcSim.ordersRow, opts,
+        // Consumes the warm()-landed decoded layer: rewrite + mask are
+        // pure column ops over the `_env` struct — no per-query Jackson
+        // (the streaming-ingest equivalent of this pruning lives in
+        // EnvelopeDecode.changes' fields= path, spec'd separately).
+        EnvelopeDecode.unwrap(decoded(s, dir), CdcSim.ordersRow, opts,
             fields = Some(Seq("priority")))
           .groupBy(col("__deleted"), col("priority"))
           .agg(count(lit(1)).as("n"))
@@ -105,8 +110,7 @@ object CdcQueries {
     // ---- re-derives every interval arithmetically from the key -------
     Q("q106_cdc_scd2_history",
       (s, dir) => {
-        val decoded = EnvelopeDecode.decode(env(s, dir), CdcSim.ordersRow)
-        val events = decoded.select(
+        val events = decoded(s, dir).select(
           coalesce(col("_env.after.id"), col("_env.before.id")).as("id"),
           col("_env.after.status").as("status"),
           col("_env.op").as("op"),
