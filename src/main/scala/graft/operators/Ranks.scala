@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact order statistics — the scale-safe replacement for
+  * `Window.orderBy(...)` with no partition spec.
+  *
+  * An unpartitioned window moves the WHOLE relation into one task and
+  * sorts it there (`WindowExec: No Partition Defined` — the executor-side
+  * analog of a driver collect). That is fine for lattice-sized aggregates
+  * but a scale killer on base-table-grain inputs: at 100 TB a single task
+  * sorts the table. The reference never has this problem only because it
+  * is single-node to begin with; a Spark-first engine must rank
+  * distributively.
+  *
+  * Shape (the classic range-partitioned rank):
+  *   1. `repartitionByRange` on the sort key — ONE balanced shuffle;
+  *      partition i holds keys ≤ partition i+1's (RangePartitioner
+  *      contract), so global order = (partition id, local order).
+  *   2. sort within partitions (parallel, spill-safe) and read off the
+  *      local position from `monotonically_increasing_id()` — documented
+  *      bit layout: partition id in the upper bits, the record number
+  *      within the partition in the lower 33.
+  *   3. per-partition row counts / weight sums (map-side-combined
+  *      aggregate, ≤ `parts` rows) → exclusive prefix offsets on the
+  *      driver-sized table → broadcast-join back.
+  *
+  * Global rank = partition offset + local position: exact, no single-task
+  * sort anywhere, and the only full-data movement is the one range
+  * shuffle (the per-partition count branch reuses the exchange).
+  *
+  * Sort keys MUST be a total order (include a unique tiebreaker column)
+  * — the same requirement the deterministic-output window forms already
+  * carry. Boundaries sampled by RangePartitioner vary run-to-run, but
+  * ranks are positions in the total order and thus independent of where
+  * the cuts fall.
+  */
+object Ranks {
+
+  private val LocalIdxBits = 33
+  private val LocalIdxMask = (1L << LocalIdxBits) - 1
+
+  private def defaultParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Append an exact 1-based global dense position `out` (row_number
+    * semantics) over the total order `ord`. One balanced range shuffle;
+    * every sort is per-partition. */
+  def withGlobalRank(df: DataFrame, ord: Seq[Column], out: String,
+                     parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else defaultParts(df)
+    val mid = col("_rk_mid")
+    // localCheckpoint freezes ONE physical layout for both consumers
+    // below (offset census + rank join): RangePartitioner samples its
+    // boundaries per exchange materialization, so two independent
+    // evaluations of this plan could cut the range differently and
+    // de-sync offsets from local positions (observed: ranks > n).
+    val parted = df
+      .repartitionByRange(p, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_rk_mid", monotonically_increasing_id())
+      .withColumn("_rk_pid", shiftright(mid, LocalIdxBits))
+      .withColumn("_rk_lrn", (mid.bitwiseAND(LocalIdxMask)) + 1L)
+      .drop("_rk_mid")
+      .localCheckpoint(false)
+    // ≤ `parts` rows: the per-partition census. The cumulative window
+    // below runs on this partition-count-sized table, never on data.
+    val offsets = parted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("_rk_cnt"))
+      .withColumn("_rk_off", coalesce(
+        sum(col("_rk_cnt")).over(Window.orderBy(col("_rk_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_rk_pid"), col("_rk_off"))
+    parted.join(broadcast(offsets), "_rk_pid")
+      .withColumn(out, col("_rk_off") + col("_rk_lrn"))
+      .drop("_rk_pid", "_rk_lrn", "_rk_off")
+  }
+
+  /** Append an exact inclusive running sum `cw` of `w` over the total
+    * order `ord` within each `grp` (cumulative-distribution form:
+    * `SUM(w) OVER (PARTITION BY grp ORDER BY ord ROWS UNBOUNDED
+    * PRECEDING)`), plus the group total `tw` — without sorting any group
+    * in a single task. Group columns lead the range key, so a group
+    * spans a contiguous partition range and the per-(partition, group)
+    * offsets stay exact. `w` should be an exactly-summable type
+    * (long / decimal) — the offsets are reduced across partitions.
+    *
+    * Costs two balanced shuffles (range + the (partition, group) window
+    * hash) — still no single-task sort. Group keys must be non-null
+    * (the offset join-back is an equality join). */
+  def withPrefixSum(df: DataFrame, grp: Seq[Column], ord: Seq[Column],
+                    w: Column, cw: String, tw: String,
+                    parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else defaultParts(df)
+    val mid = col("_rk_mid")
+    // same single-layout freeze as withGlobalRank (see comment there)
+    val parted = df
+      .repartitionByRange(p, grp ++ ord: _*)
+      .sortWithinPartitions(grp ++ ord: _*)
+      .withColumn("_rk_w", w)
+      .withColumn("_rk_mid", monotonically_increasing_id())
+      .withColumn("_rk_pid", shiftright(mid, LocalIdxBits))
+      .drop("_rk_mid")
+      .localCheckpoint(false)
+    val grpNames = grp.zipWithIndex.map { case (_, i) => s"_rk_g$i" }
+    val tagged = grpNames.zip(grp).foldLeft(parted) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    // local running sum: partitioned by the physical partition AND the
+    // group (a partition may straddle group boundaries) — parallel sort
+    val localW = Window
+      .partitionBy((col("_rk_pid") +: grpNames.map(col)): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localled = tagged.withColumn("_rk_lcw", sum(col("_rk_w")).over(localW))
+    // per-(partition, group) totals: ≤ parts × (groups straddling) rows.
+    // Taken from the PRE-window frame so this branch shares the range
+    // exchange but never re-runs the window sort.
+    val partTotals = tagged
+      .groupBy((col("_rk_pid") +: grpNames.map(col)): _*)
+      .agg(sum(col("_rk_w")).as("_rk_pw"))
+    val offW = Window.partitionBy(grpNames.map(col): _*)
+      .orderBy(col("_rk_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val twW = Window.partitionBy(grpNames.map(col): _*)
+    val offsets = partTotals
+      .withColumn("_rk_off", coalesce(sum(col("_rk_pw")).over(offW),
+        lit(0L).cast(partTotals.schema("_rk_pw").dataType)))
+      .withColumn(tw, sum(col("_rk_pw")).over(twW))
+      .select((col("_rk_pid") +: grpNames.map(col)) :+ col("_rk_off") :+ col(tw): _*)
+    localled.join(broadcast(offsets), "_rk_pid" +: grpNames)
+      .withColumn(cw, col("_rk_off") + col("_rk_lcw"))
+      .drop((Seq("_rk_pid", "_rk_w", "_rk_lcw", "_rk_off") ++ grpNames): _*)
+  }
+
+  /** Exact SQL `NTILE(k)` bucket from a 1-based rank and the total row
+    * count: the first `n mod k` buckets get `⌈n/k⌉` rows, the rest
+    * `⌊n/k⌋`. Arithmetic is exact for n < 2^53 (floor-div via doubles;
+    * a 100 TB relation is ~10^12 rows, 3 orders of magnitude inside). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val kk = lit(k.toLong)
+    val q = floor(n / kk).cast("long")          // ⌊n/k⌋
+    val r = n - q * kk                           // n mod k
+    val bigSpan = r * (q + 1L)                   // rows covered by big buckets
+    when(rank <= bigSpan, floor((rank - 1L) / (q + 1L)).cast("long") + 1L)
+      .otherwise(r + floor((rank - bigSpan - 1L) / q).cast("long") + 1L)
+      .cast("int")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -226,12 +226,12 @@ object Analytics10 {
              |ORDER BY m""".stripMargin)),
 
     // ---- RFM segmentation (recency / frequency / monetary quartiles):
-    // ---- per-customer stats in one agg, three ntile windows with full
-    // ---- (value, key) tie-break orders so quartile edges are
-    // ---- deterministic, segment census out. The global ntile sort is
-    // ---- the exact-census form; at 100 TB the scale path is q23-style
-    // ---- percentile cutoffs broadcast back (approximate edges, no
-    // ---- global sort) — same output schema ---------------------------
+    // ---- per-customer stats in one agg, then three EXACT quartile
+    // ---- assignments with full (value, key) tie-break orders so the
+    // ---- edges are deterministic, segment census out. Quartiles come
+    // ---- from range-partitioned global ranks + the ntile formula —
+    // ---- customer grain is base-table grain at 100 TB, so no
+    // ---- single-task ntile sort is allowed here ----------------------
     Q("q160_rfm_segments",
       (s, dir) => {
         val horizon = t(s, dir, "orders")
@@ -245,11 +245,18 @@ object Analytics10 {
           .select(col("o_custkey"),
             datediff(col("maxday"), col("lastday")).as("rec"),
             col("freq"), col("mon"))
-        val r = ntile(4).over(Window.orderBy(col("rec"), col("o_custkey")))
-        val f = ntile(4).over(Window.orderBy(desc("freq"),
-          col("o_custkey")))
-        val m = ntile(4).over(Window.orderBy(col("mon").desc, col("o_custkey")))
-        rfm.select(concat(r.cast("string"), f.cast("string"), m.cast("string"))
+        import graft.operators.Ranks
+        val nCust = rfm.agg(count(lit(1)).as("n_cust"))
+        val ranked = Seq[(String, Seq[Column])](
+          "rn_r" -> Seq(col("rec"), col("o_custkey")),
+          "rn_f" -> Seq(col("freq").desc, col("o_custkey")),
+          "rn_m" -> Seq(col("mon").desc, col("o_custkey"))
+        ).foldLeft(rfm) { case (d, (out, ord)) =>
+          Ranks.withGlobalRank(d, ord, out)
+        }.crossJoin(broadcast(nCust))
+        def quart(rn: String) =
+          Ranks.ntileFromRank(col(rn), col("n_cust"), 4).cast("string")
+        ranked.select(concat(quart("rn_r"), quart("rn_f"), quart("rn_m"))
             .as("segment"))
           .groupBy("segment").agg(count(lit(1)).as("customers"))
           .orderBy("segment")

@@ -93,19 +93,26 @@ object Analytics31 {
              |ORDER BY etype_a, etype_b, etype_c""".stripMargin)),
 
     // ---- weight-of-evidence binning (credit-risk feature prep):
-    // ---- price deciles vs the urgent-priority rate. Deciles are
-    // ---- NTILE(10) over a total order; WoE = ln of an exact integer
-    // ---- odds ratio, rounded to 1e-6 BEFORE the IV product so the
-    // ---- downstream arithmetic is grid-deterministic. Degenerate
+    // ---- price deciles vs the urgent-priority rate. Deciles are exact
+    // ---- NTILE(10) over a total order — computed distributively
+    // ---- (range-partitioned global rank + the ntile formula, never a
+    // ---- single-task sort of the orders table); WoE = ln of an exact
+    // ---- integer odds ratio, rounded to 1e-6 BEFORE the IV product so
+    // ---- the downstream arithmetic is grid-deterministic. Degenerate
     // ---- bins (all/none urgent) yield NULL, not ±inf. ---------------
     Q("q262_woe_binning",
       (s, dir) => {
-        val per = t(s, dir, "orders")
-          .select(
-            ntile(10).over(Window.orderBy(col("o_totalprice"),
-              col("o_orderkey"))).as("bin"),
+        val base = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"),
             col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
               .as("urgent"))
+        val nAll = base.agg(count(lit(1)).as("n_all"))
+        val per = graft.operators.Ranks
+          .withGlobalRank(base, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+          .crossJoin(broadcast(nAll))
+          .select(graft.operators.Ranks
+              .ntileFromRank(col("rn"), col("n_all"), 10).as("bin"),
+            col("urgent"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"), sum(col("urgent")).as("n_urgent"))
           .withColumn("n_non", col("n") - col("n_urgent"))

@@ -190,19 +190,21 @@ object Analytics45 {
             round(col("o_totalprice") * 100).cast("long").as("x"))
           .localCheckpoint(true)
         val n = data.agg(count(lit(1)).as("nm"))
-        val med2 = data.crossJoin(broadcast(n))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(asc("x"), asc("key"))).cast("long"))
+        // exact medians via distributed global rank (range-partitioned;
+        // no single-task sort of the orders table — Ranks scaladoc)
+        val med2 = graft.operators.Ranks
+          .withGlobalRank(data, Seq(asc("x"), asc("key")), "rn")
+          .crossJoin(broadcast(n))
           .agg(sum(when(col("rn") === expr("(nm + 1) div 2"), col("x"))
             .otherwise(0L)).as("m1"),
             sum(when(col("rn") === expr("(nm + 2) div 2"), col("x"))
               .otherwise(0L)).as("m2"))
           .select((col("m1") + col("m2")).as("med2"))
-        val mad4 = data.crossJoin(broadcast(med2))
+        val absdev = data.crossJoin(broadcast(med2))
           .select(col("key"), abs(col("x") * 2 - col("med2")).as("d2"))
+        val mad4 = graft.operators.Ranks
+          .withGlobalRank(absdev, Seq(asc("d2"), asc("key")), "rn")
           .crossJoin(broadcast(n))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(asc("d2"), asc("key"))).cast("long"))
           .agg(sum(when(col("rn") === expr("(nm + 1) div 2"), col("d2"))
             .otherwise(0L)).as("d1"),
             sum(when(col("rn") === expr("(nm + 2) div 2"), col("d2"))

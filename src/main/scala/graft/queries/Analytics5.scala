@@ -473,19 +473,19 @@ object Analytics5 {
     // ---- exact weighted median per group: cumulative-weight crossing
     // ---- over DECIMAL-exact weights; the qualifying set is an upper
     // ---- suffix of the price order, so MIN(price) reads the median
-    // ---- off without a second sort. `cw >= tw - cw` avoids widening
-    // ---- the decimal beyond either engine's 38-digit cap ------------
+    // ---- off without a second sort. The running sum is computed
+    // ---- distributively (Ranks.withPrefixSum) — `flag` has only 3
+    // ---- values, so a flag-partitioned window would sort a third of
+    // ---- lineitem in one task. `cw >= tw - cw` avoids widening the
+    // ---- decimal beyond either engine's 38-digit cap ----------------
     Q("q135_weighted_median",
       (s, dir) => {
-        val wcum = Window.partitionBy(col("flag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wall = Window.partitionBy(col("flag"))
-        t(s, dir, "lineitem")
+        val base = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
             col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("w"))
-          .withColumn("cw", sum(col("w")).over(wcum))
-          .withColumn("tw", sum(col("w")).over(wall))
+        graft.operators.Ranks.withPrefixSum(base, Seq(col("flag")),
+            Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+            col("w"), "cw", "tw")
           .where(col("cw") >= col("tw") - col("cw"))
           .groupBy(col("flag"))
           .agg(min(col("l_extendedprice")).as("wmedian"))

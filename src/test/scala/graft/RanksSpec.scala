@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Ranks
+
+/** Ranks = the distributed replacement for unpartitioned windows.
+  * Every helper is pinned EXACTLY against the single-partition window
+  * form it replaces — same rows, same values — on data that exercises
+  * partition boundaries (many range partitions, duplicate sort values
+  * with tiebreakers, skewed groups, n not divisible by k). */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders = Tables()
+
+  private def Tables() =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+
+  test("withGlobalRank == row_number over the same total order") {
+    val viaWindow = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+    val viaRanks = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")),
+      "rn", parts = 7)
+    assertSameRows(viaWindow, viaRanks)
+  }
+
+  test("withGlobalRank is exact with heavy duplicate sort values") {
+    // 1000 rows, only 3 distinct primary sort values → partitions
+    // must cut inside runs of equal keys; the tiebreaker keeps the
+    // total order unique
+    val df = (1 to 1000).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "g")
+    val viaWindow = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("g"), col("id"))).cast("long"))
+    val viaRanks = Ranks.withGlobalRank(df, Seq(col("g"), col("id")),
+      "rn", parts = 16)
+    assertSameRows(viaWindow, viaRanks)
+  }
+
+  test("ntileFromRank == NTILE(k) including uneven buckets") {
+    for (k <- Seq(3, 4, 10, 7)) {
+      val viaWindow = orders.withColumn("bin",
+        ntile(k).over(Window.orderBy(col("v"), col("k"))))
+      val n = orders.count()
+      val viaRanks = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")),
+          "rn", parts = 5)
+        .withColumn("bin", Ranks.ntileFromRank(col("rn"), lit(n), k))
+        .drop("rn")
+      assertSameRows(viaWindow, viaRanks)
+    }
+  }
+
+  test("ntileFromRank handles n < k (bucket per row)") {
+    val df = (1 to 3).map(_.toLong).toDF("id")
+    val got = Ranks.withGlobalRank(df, Seq(col("id")), "rn", parts = 2)
+      .withColumn("bin", Ranks.ntileFromRank(col("rn"), lit(3L), 10))
+      .select("id", "bin").as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("withPrefixSum == grouped running SUM + group total (decimal)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("w"))
+    val wcum = Window.partitionBy(col("g"))
+      .orderBy(col("v"), col("k1"), col("k2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("g"))
+    val viaWindow = li
+      .withColumn("cw", sum(col("w")).over(wcum).cast(DecimalType(38, 2)))
+      .withColumn("tw", sum(col("w")).over(wall).cast(DecimalType(38, 2)))
+    val viaRanks = Ranks.withPrefixSum(li, Seq(col("g")),
+        Seq(col("v"), col("k1"), col("k2")), col("w"), "cw", "tw", parts = 9)
+      .withColumn("cw", col("cw").cast(DecimalType(38, 2)))
+      .withColumn("tw", col("tw").cast(DecimalType(38, 2)))
+    assertSameRows(viaWindow, viaRanks)
+  }
+
+  test("withPrefixSum global form (no groups) == running sum") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 11 + 1).toLong)).toDF("id", "w")
+    val wcum = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df
+      .withColumn("cw", sum(col("w")).over(wcum))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+    val viaRanks = Ranks.withPrefixSum(df, Seq.empty, Seq(col("id")),
+      col("w"), "cw", "tw", parts = 8)
+    assertSameRows(viaWindow, viaRanks)
+  }
+
+  test("ranks are an exact permutation of 1..n (layout-consistency)") {
+    // regression: before the localCheckpoint layout freeze, the offset
+    // census and the rank join could see DIFFERENT range boundaries
+    // (RangePartitioner samples per materialization) → ranks > n
+    val stats = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")), "rn")
+      .agg(count(lit(1)).as("n"), countDistinct(col("rn")).as("d"),
+        min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._1 == stats._2 && stats._3 == 1L && stats._4 == stats._1,
+      s"rank set not 1..n: $stats")
+  }
+
+  test("no single-partition sort in the physical plan") {
+    val plan = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")), "rn")
+      .queryExecution.executedPlan
+    val offenders = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    // the only unpartitioned window allowed is the partition-census
+    // cumulative offset (child is an aggregate over ≤ parts rows)
+    offenders.foreach { w =>
+      val hasAgg = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(hasAgg.nonEmpty,
+        s"unpartitioned WindowExec over non-aggregate input:\n$w")
+    }
+  }
+}
