@@ -91,14 +91,25 @@ object Ranks {
     * (the offset join-back is an equality join). */
   def withPrefixSum(df: DataFrame, grp: Seq[Column], ord: Seq[Column],
                     w: Column, cw: String, tw: String,
-                    parts: Int = 0): DataFrame = {
+                    parts: Int = 0): DataFrame =
+    withPrefixSums(df, grp, ord, Seq((w, cw, tw)), parts)
+
+  /** Multi-weight variant of [[withPrefixSum]]: each `(w, cw, tw)`
+    * triple gets its running sum and group total in the SAME single
+    * pass (one range shuffle, one per-partition sort) — e.g. a rank
+    * (`w = 1`) alongside a cumulative-positives sum. */
+  def withPrefixSums(df: DataFrame, grp: Seq[Column], ord: Seq[Column],
+                     ws: Seq[(Column, String, String)],
+                     parts: Int = 0): DataFrame = {
     val p = if (parts > 0) parts else defaultParts(df)
     val mid = col("_rk_mid")
+    val wNames = ws.indices.map(i => s"_rk_w$i")
     // same single-layout freeze as withGlobalRank (see comment there)
-    val parted = df
-      .repartitionByRange(p, grp ++ ord: _*)
-      .sortWithinPartitions(grp ++ ord: _*)
-      .withColumn("_rk_w", w)
+    val parted = ws.zip(wNames).foldLeft(
+        df.repartitionByRange(p, grp ++ ord: _*)
+          .sortWithinPartitions(grp ++ ord: _*)) {
+        case (d, ((w, _, _), n)) => d.withColumn(n, w)
+      }
       .withColumn("_rk_mid", monotonically_increasing_id())
       .withColumn("_rk_pid", shiftright(mid, LocalIdxBits))
       .drop("_rk_mid")
@@ -107,31 +118,42 @@ object Ranks {
     val tagged = grpNames.zip(grp).foldLeft(parted) {
       case (d, (n, c)) => d.withColumn(n, c)
     }
-    // local running sum: partitioned by the physical partition AND the
+    // local running sums: partitioned by the physical partition AND the
     // group (a partition may straddle group boundaries) — parallel sort
     val localW = Window
       .partitionBy((col("_rk_pid") +: grpNames.map(col)): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val localled = tagged.withColumn("_rk_lcw", sum(col("_rk_w")).over(localW))
+    val localled = wNames.foldLeft(tagged) { (d, n) =>
+      d.withColumn(s"${n}_lcw", sum(col(n)).over(localW))
+    }
     // per-(partition, group) totals: ≤ parts × (groups straddling) rows.
     // Taken from the PRE-window frame so this branch shares the range
     // exchange but never re-runs the window sort.
     val partTotals = tagged
       .groupBy((col("_rk_pid") +: grpNames.map(col)): _*)
-      .agg(sum(col("_rk_w")).as("_rk_pw"))
+      .agg(sum(col(wNames.head)).as(s"${wNames.head}_pw"),
+        wNames.tail.map(n => sum(col(n)).as(s"${n}_pw")): _*)
     val offW = Window.partitionBy(grpNames.map(col): _*)
       .orderBy(col("_rk_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val twW = Window.partitionBy(grpNames.map(col): _*)
-    val offsets = partTotals
-      .withColumn("_rk_off", coalesce(sum(col("_rk_pw")).over(offW),
-        lit(0L).cast(partTotals.schema("_rk_pw").dataType)))
-      .withColumn(tw, sum(col("_rk_pw")).over(twW))
-      .select((col("_rk_pid") +: grpNames.map(col)) :+ col("_rk_off") :+ col(tw): _*)
-    localled.join(broadcast(offsets), "_rk_pid" +: grpNames)
-      .withColumn(cw, col("_rk_off") + col("_rk_lcw"))
-      .drop((Seq("_rk_pid", "_rk_w", "_rk_lcw", "_rk_off") ++ grpNames): _*)
+    val offsets0 = ws.zip(wNames).foldLeft(partTotals) {
+      case (d, ((_, _, tw), n)) =>
+        d.withColumn(s"${n}_off", coalesce(sum(col(s"${n}_pw")).over(offW),
+            lit(0L).cast(partTotals.schema(s"${n}_pw").dataType)))
+          .withColumn(tw, sum(col(s"${n}_pw")).over(twW))
+    }
+    val offsets = offsets0.select(
+      (col("_rk_pid") +: grpNames.map(col)) ++
+        wNames.map(n => col(s"${n}_off")) ++ ws.map(t => col(t._3)): _*)
+    val joined = localled.join(broadcast(offsets), "_rk_pid" +: grpNames)
+    ws.zip(wNames).foldLeft(joined) {
+        case (d, ((_, cw, _), n)) =>
+          d.withColumn(cw, col(s"${n}_off") + col(s"${n}_lcw"))
+      }
+      .drop((Seq("_rk_pid") ++ grpNames ++
+        wNames.flatMap(n => Seq(n, s"${n}_lcw", s"${n}_off"))): _*)
   }
 
   /** Exact SQL `NTILE(k)` bucket from a 1-based rank and the total row

@@ -31,23 +31,25 @@ object Analytics11 {
     // ---- broadcast back; the per-lang rank window shards by lang ----
     Q("q161_quantile_norm",
       (s, dir) => {
+        import graft.operators.Ranks
         val d = t(s, dir, "documents")
-        val ranked = d.select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
-          .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+        // per-lang rank + lang census in ONE distributed prefix-sum
+        // (lang is a ~10-value key: a lang-partitioned window would
+        // sort each language's whole doc set in a single task), and the
+        // global order via distributed rank — no single-task sorts
+        val ranked = Ranks.withPrefixSum(
+            d.select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq(col("lang")), Seq(col("n_chars"), col("doc_id")),
+            lit(1L), "rk", "nl")
           .where(col("nl") > 1)
-        val glob = d.select(col("n_chars").as("gv"), col("doc_id"))
-          .withColumn("grk", row_number().over(
-            Window.orderBy(col("gv"), col("doc_id"))))
-          .withColumn("ng", count(lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
-          .select(col("grk"), col("gv"), col("ng"))
+        val gbase = d.select(col("n_chars").as("gv"), col("doc_id"))
+        val ngDf = gbase.agg(count(lit(1)).as("ng"))
+        val glob = Ranks.withGlobalRank(gbase, Seq(col("gv"), col("doc_id")), "grk")
+          .select(col("grk"), col("gv"))
         val idx = (col("rk") - 1).cast("double") /
           (col("nl") - 1).cast("double") * (col("ng") - 1).cast("double")
         val lo = floor(idx).cast("long")
-        ranked.crossJoin(broadcast(glob.select(max(col("ng")).as("ng"))))
+        ranked.crossJoin(broadcast(ngDf))
           .withColumn("lo", lo)
           .withColumn("frac", idx - lo.cast("double"))
           .join(glob.select((col("grk") - 1).as("lo"), col("gv").as("vlo")),

@@ -80,13 +80,16 @@ object Analytics22 {
     // ---- over the bounded month grid --------------------------------
     Q("q212_seasonal_anomaly",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
-            month(col("o_orderdate")).as("moy"))
-          .agg(sum(dec("o_totalprice")).cast("double").as("rev"))
-          // ~84 rows; checkpoint so the orders scan+agg runs once, not
-          // once per downstream branch (mu/muM/adj/med/mad all re-read)
-          .localCheckpoint(true)
+        // month lattice (orders span 1995-2001 → ≤ 84 rows); bounded
+        // checkpoint: the agg runs once, not once per downstream branch
+        // (mu/muM/adj/med/mad all re-read), and the window sorts below
+        // are certified lattice-grain, not data-grain
+        val monthly = graft.operators.Lattice.checkpointBounded(
+          t(s, dir, "orders")
+            .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+              month(col("o_orderdate")).as("moy"))
+            .agg(sum(dec("o_totalprice")).cast("double").as("rev")),
+          1000, "q212 yyyy-MM month grid")
         def meanOf(df: DataFrame, keys: Seq[String]): DataFrame = {
           val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head, keys.tail: _*)
           g.agg((sum(col("rev").cast(DecimalType(28, 2))).cast("double") /

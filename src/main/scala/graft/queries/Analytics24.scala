@@ -400,13 +400,18 @@ object Analytics24 {
     // ---- q194's total-order shape (range-partitioned sort at scale).
     Q("q224_kruskal_wallis",
       (s, dir) => {
-        val byChars = Window.orderBy(col("x"))
-        val tiesW = Window.partitionBy(col("x"))
-        val ranked = t(s, dir, "documents")
+        // midranks depend only on the VALUE, so rank on the n_chars
+        // census (value-space grain), never on doc rows: competition
+        // rank = cum_count(≤x) − ties(x) + 1, hence the doubled midrank
+        // 2·rank + ties − 1 = 2·cw − ties + 1. No doc-grain sort.
+        val docs = t(s, dir, "documents")
           .select(col("source"), col("n_chars").as("x"))
-          .select(col("source"), col("x"),
-            (lit(2L) * rank().over(byChars)
-              + count(lit(1)).over(tiesW) - lit(1L)).cast("long").as("r2"))
+        val census = docs.groupBy("x").agg(count(lit(1)).as("tc"))
+        val cum = graft.operators.Ranks.withPrefixSum(census, Seq.empty,
+            Seq(col("x")), col("tc"), "cw", "tw")
+          .select(col("x"), col("tc"),
+            (lit(2L) * col("cw") - col("tc") + lit(1L)).cast("long").as("r2"))
+        val ranked = docs.join(cum, "x")
         val grp = ranked.groupBy("source")
           .agg(count(lit(1)).as("ng"), sum(col("r2")).as("sr2"))
           .select(col("ng"),
@@ -415,7 +420,7 @@ object Analytics24 {
               .cast(DecimalType(28, 6)).as("term"))
           .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
             sum(col("term")).as("s_terms"))
-        val ties = ranked.groupBy("x").agg(count(lit(1)).as("tc"))
+        val ties = census
           .agg(sum(col("tc") * col("tc") * col("tc") - col("tc"))
             .as("tie_sum"))
         val nD = col("n").cast("double")

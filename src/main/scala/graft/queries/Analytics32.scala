@@ -169,10 +169,12 @@ object Analytics32 {
             col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
               .as("urgent"), col("o_orderkey"))
         val n = lab.count()
-        val ranked = lab
-          .select(col("price"),
-            row_number().over(Window.orderBy(col("price"), col("o_orderkey")))
-              .as("rn"))
+        // candidate thresholds at exact deciles via distributed rank
+        // (orders-grain: no single-task sort)
+        val ranked = graft.operators.Ranks
+          .withGlobalRank(lab.select(col("price"), col("o_orderkey")),
+            Seq(col("price"), col("o_orderkey")), "rn")
+          .select(col("price"), col("rn"))
         val thr = ranked
           .join(s.range(1, 10).select(expr(s"id * $n div 10").as("rn"),
             col("id").cast("int").as("k")), Seq("rn"))

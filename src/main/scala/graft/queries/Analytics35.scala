@@ -167,8 +167,9 @@ object Analytics35 {
           .select(round(col("o_totalprice") * 100).cast("long").as("c"),
             col("o_orderkey"))
         val n = v.count()
-        val ranked = v.withColumn("rn",
-          row_number().over(Window.orderBy(col("c"), col("o_orderkey"))))
+        // exact percentile thresholds via distributed rank (orders-grain)
+        val ranked = graft.operators.Ranks
+          .withGlobalRank(v, Seq(col("c"), col("o_orderkey")), "rn")
         val thr = ranked
           .join(broadcast(s.createDataFrame(Seq((90, n * 90L / 100),
               (95, n * 95L / 100), (99, n * 99L / 100)))
@@ -316,11 +317,14 @@ object Analytics35 {
     // ---- cross-year average, so the decomposition is exact. --------
     Q("q284_seasonal_decompose",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
-          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
-            month(col("o_orderdate")).as("moy"))
-          .agg(sum(dec("o_totalprice")).cast("double").as("rev"))
-          .localCheckpoint(true)
+        // month lattice (≤ 84 rows, 1995-2001): bounded checkpoint — the
+        // centered-MA windows below are certified lattice-grain
+        val monthly = graft.operators.Lattice.checkpointBounded(
+          t(s, dir, "orders")
+            .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+              month(col("o_orderdate")).as("moy"))
+            .agg(sum(dec("o_totalprice")).cast("double").as("rev")),
+          1000, "q284 yyyy-MM month grid")
         val wo = Window.orderBy("mon")
         val w12a = wo.rowsBetween(-6, 5)
         val w12b = wo.rowsBetween(-5, 6)

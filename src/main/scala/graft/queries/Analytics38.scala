@@ -232,14 +232,24 @@ object Analytics38 {
     // ---- 10-row bin table with exact integer prefix sums. ----------
     Q("q299_isotonic_regression",
       (s, dir) => {
-        val bins = t(s, dir, "orders")
-          .select(ntile(10).over(Window.orderBy(col("o_totalprice"),
-            col("o_orderkey"))).as("bin"),
+        // deciles via distributed rank (orders-grain: no single-task
+        // ntile sort); the resulting 10-row bin lattice is a bounded
+        // checkpoint, certifying the cumulative windows below
+        val lab = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"),
             col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
               .as("urgent"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n"), sum(col("urgent")).as("u"))
-          .localCheckpoint(true)
+        val nAll = lab.agg(count(lit(1)).as("n_all"))
+        val bins = graft.operators.Lattice.checkpointBounded(
+          graft.operators.Ranks
+            .withGlobalRank(lab, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+            .crossJoin(broadcast(nAll))
+            .select(graft.operators.Ranks
+                .ntileFromRank(col("rn"), col("n_all"), 10).as("bin"),
+              col("urgent"))
+            .groupBy("bin")
+            .agg(count(lit(1)).as("n"), sum(col("urgent")).as("u")),
+          10, "q299 decile bins")
         val pre = bins
           .withColumn("cu", sum(col("u")).over(Window.orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, 0)))

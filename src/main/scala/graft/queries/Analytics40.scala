@@ -97,11 +97,19 @@ object Analytics40 {
     // ---- tie-break. ------------------------------------------------
     Q("q307_gains_table",
       (s, dir) => {
-        val scored = t(s, dir, "orders")
-          .select(ntile(10).over(Window.orderBy(desc("o_totalprice"),
-            asc("o_orderkey"))).as("decile"),
+        // score deciles via distributed rank (orders-grain)
+        val lab = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"),
             col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
               .as("y"))
+        val nAll = lab.agg(count(lit(1)).as("n_all"))
+        val scored = graft.operators.Ranks
+          .withGlobalRank(lab,
+            Seq(desc("o_totalprice"), asc("o_orderkey")), "rn")
+          .crossJoin(broadcast(nAll))
+          .select(graft.operators.Ranks
+              .ntileFromRank(col("rn"), col("n_all"), 10).as("decile"),
+            col("y"))
         val per = scored.groupBy("decile")
           .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
         val w = Window.orderBy("decile")
@@ -178,19 +186,24 @@ object Analytics40 {
         val deltas = sess.select(col("st").as("ts"), lit(1L).as("d"))
           .unionByName(sess.select(col("en").as("ts"), lit(-1L).as("d")))
           .groupBy("ts").agg(sum(col("d")).as("d"))
-        val levels = deltas
-          .withColumn("level", sum(col("d")).over(Window.orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("nxt", lead(col("ts"), 1).over(Window.orderBy("ts")))
-          .where(col("nxt").isNotNull)
+        // sweep line: the running level and the successor timestamp are
+        // endpoint-grain (scales with events) → distributed prefix sum
+        // + rank/self-join, never a global-window sort. The level table
+        // (distinct concurrency levels) gets its running sum the same
+        // way — peak concurrency scales with data too.
+        import graft.operators.Ranks
+        val lev0 = Ranks.withPrefixSum(deltas, Seq.empty, Seq(col("ts")),
+          col("d"), "level", "_sumd")
+        val levR = Ranks.withGlobalRank(lev0.drop("_sumd"),
+          Seq(col("ts")), "rn")
+        val levels = levR
+          .join(levR.select((col("rn") - 1L).as("rn"), col("ts").as("nxt")),
+            Seq("rn"))   // inner join drops the last endpoint (no successor)
           .select(col("level"), (col("nxt") - col("ts")).as("dur"))
           .groupBy("level").agg(sum(col("dur")).as("dur"))
           .localCheckpoint(true)
-        val tot = levels.agg(sum(col("dur")).as("tt"))
-        val ranked = levels
-          .withColumn("cum", sum(col("dur")).over(Window.orderBy("level")
-            .rowsBetween(Window.unboundedPreceding, 0)))
-          .crossJoin(broadcast(tot))
+        val ranked = Ranks.withPrefixSum(levels, Seq.empty,
+          Seq(col("level")), col("dur"), "cum", "tt")
         def pct(num: Int, den: Int, name: String) =
           ranked.where(col("cum") * den >= col("tt") * num)
             .agg(min(col("level")).as(name))

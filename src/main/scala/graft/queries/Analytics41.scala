@@ -108,13 +108,16 @@ object Analytics41 {
     // ---- ranking-evaluation trio with the PR-curve summary. ---------
     Q("q312_avg_precision",
       (s, dir) => {
-        val ranked = t(s, dir, "orders")
-          .select(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-              .cast("long").as("y"),
-            row_number().over(Window.orderBy(desc("o_totalprice"),
-              asc("o_orderkey"))).cast("long").as("rank"))
-          .withColumn("cum_pos", sum(col("y")).over(Window.orderBy("rank")
-            .rowsBetween(Window.unboundedPreceding, 0)))
+        // rank + running positives in ONE distributed prefix-sum pass
+        // (orders-grain: a global row_number/cumsum window would
+        // single-task the sort)
+        val ranked = graft.operators.Ranks.withPrefixSums(
+          t(s, dir, "orders")
+            .select(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                .cast("long").as("y"),
+              col("o_totalprice"), col("o_orderkey")),
+          Seq.empty, Seq(desc("o_totalprice"), asc("o_orderkey")),
+          Seq((lit(1L), "rank", "_n"), (col("y"), "cum_pos", "_tp")))
         ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("positives"),
             sum(expr(s"(cum_pos * $RankGrid) div rank") * col("y"))
               .as("grid_sum"),

@@ -259,11 +259,19 @@ object Analytics43 {
     // ---- unordered chi-square. --------------------------------------
     Q("q323_cochran_armitage",
       (s, dir) => {
-        val deciles = t(s, dir, "orders")
-          .select(ntile(10).over(Window.orderBy(asc("o_totalprice"),
-            asc("o_orderkey"))).cast("long").as("t"),
+        // dose deciles via distributed rank (orders-grain)
+        val lab = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"),
             col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
               .as("y"))
+        val nAll = lab.agg(count(lit(1)).as("n_all"))
+        val deciles = graft.operators.Ranks
+          .withGlobalRank(lab,
+            Seq(asc("o_totalprice"), asc("o_orderkey")), "rn")
+          .crossJoin(broadcast(nAll))
+          .select(graft.operators.Ranks
+              .ntileFromRank(col("rn"), col("n_all"), 10).cast("long").as("t"),
+            col("y"))
           .groupBy("t")
           .agg(count(lit(1)).as("n_i"), sum(col("y")).as("r_i"))
         deciles.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),

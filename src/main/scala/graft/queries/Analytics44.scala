@@ -24,13 +24,19 @@ object Analytics44 {
     Tables.load(s, dir, n)
 
   /** Monthly revenue series with a 1-based month index — the shared
-    * frame for the q327/q328 OLS diagnostics. */
+    * frame for the serial-dependence diagnostics (q326-q335, q406+).
+    * Month lattice (orders span 1995-2001 → ≤ 84 rows), materialized
+    * once per consumer with its bound asserted: every serial-dependence
+    * query lags/sorts this frame in lattice-grain windows, which is
+    * only legitimate while the yyyy-MM key space stays tiny. */
   private[queries] def monthlySeries(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy((year(col("o_orderdate")) * 100 +
-        month(col("o_orderdate"))).cast("long").as("ym"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-      .withColumn("x", row_number().over(Window.orderBy("ym")).cast("long"))
+    graft.operators.Lattice.checkpointBounded(
+      t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).cast("long").as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        .withColumn("x", row_number().over(Window.orderBy("ym")).cast("long")),
+      1000, "orders yyyy-MM monthly series")
 
   private[queries] val MonthlySql =
     """monthly AS MATERIALIZED (
@@ -123,7 +129,7 @@ object Analytics44 {
     // ---- with the regression-residual form. -------------------------
     Q("q327_durbin_watson",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val fit = olsFit(monthly)
         val resid = monthly.crossJoin(broadcast(fit))
           .select(col("x"),
@@ -173,7 +179,7 @@ object Analytics44 {
     // ---- Tukey-fence outliers. --------------------------------------
     Q("q328_cooks_distance",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val fit = olsFit(monthly)
         val resid = monthly.crossJoin(broadcast(fit))
           .select(col("ym"), col("x"), col("n"), col("sx"), col("sxx"),
@@ -242,14 +248,18 @@ object Analytics44 {
           .localCheckpoint(true)
         val tot = spend.agg(count(lit(1)).as("n"),
           sum(col("x").cast(DecimalType(38, 0))).cast("double").as("s"))
-        val terms = spend.crossJoin(broadcast(tot))
+        // spend deciles via distributed rank (customer grain is
+        // base-table grain: no single-task ntile sort)
+        val terms = graft.operators.Ranks
+          .withGlobalRank(spend, Seq(asc("x"), asc("o_custkey")), "rn")
+          .crossJoin(broadcast(tot))
           .select(col("n"), col("s"),
             round(sqrt(col("x").cast("double")), 6)
               .cast(DecimalType(38, 6)).as("sqrt_t"),
             round((col("x").cast("double") / (col("s") / col("n"))) *
               log(col("x").cast("double") / (col("s") / col("n"))), 9)
               .cast(DecimalType(38, 9)).as("theil_t"),
-            ntile(10).over(Window.orderBy(asc("x"), asc("o_custkey")))
+            graft.operators.Ranks.ntileFromRank(col("rn"), col("n"), 10)
               .as("dec"),
             col("x"))
         terms.groupBy("n", "s")

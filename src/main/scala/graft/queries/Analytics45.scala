@@ -36,7 +36,7 @@ object Analytics45 {
     // ---- of q327's lag-1 DW. ----------------------------------------
     Q("q331_ljung_box",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val fit = olsFit(monthly)
         val resid = monthly.crossJoin(broadcast(fit))
           .select(col("x"), col("n"),
@@ -105,7 +105,7 @@ object Analytics45 {
     // ---- approximation from exact n1/n2/R. --------------------------
     Q("q332_runs_test",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val ranked = monthly.withColumn("rn",
           row_number().over(Window.orderBy(asc("rev"), asc("ym")))
             .cast("long"))
@@ -434,7 +434,7 @@ object Analytics45 {
     // ---- EWMA chart. ------------------------------------------------
     Q("q335_xmr_chart",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val mr = monthly
           .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("x")))
           .agg(count(lit(1)).as("n"),

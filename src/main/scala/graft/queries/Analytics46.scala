@@ -37,7 +37,7 @@ object Analytics46 {
     // ---- searched binary segmentation. ------------------------------
     Q("q336_chow_test",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val brk = monthly.agg(expr("count(1) div 2").as("brk"))
         val tagged = monthly.crossJoin(broadcast(brk))
           .select(col("ym"), col("x"), col("rev"),
@@ -140,7 +140,7 @@ object Analytics46 {
     // ---- of q204's Tukey fences. ------------------------------------
     Q("q337_grubbs",
       (s, dir) => {
-        val monthly = monthlySeries(s, dir).localCheckpoint(true)
+        val monthly = monthlySeries(s, dir)
         val m = monthly.agg(count(lit(1)).as("n"),
             sum(col("rev").cast(D38)).cast("double").as("s"),
             sum(col("rev").cast(D19) * col("rev").cast(D19)).cast("double")

@@ -168,14 +168,17 @@ object Analytics47 {
     // ---- ROC-AUC. ---------------------------------------------------
     Q("q343_ks_separation",
       (s, dir) => {
-        val ranked = t(s, dir, "orders")
-          .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
-            col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
-              .as("y"),
-            row_number().over(Window.orderBy(desc("o_totalprice"),
-              asc("o_orderkey"))).cast("long").as("rank"))
-          .withColumn("cum_pos", sum(col("y")).over(Window.orderBy("rank")
-            .rowsBetween(Window.unboundedPreceding, 0)))
+        // rank + running positives in ONE distributed prefix-sum pass
+        // (orders-grain: no single-task sort)
+        val ranked = graft.operators.Ranks.withPrefixSums(
+            t(s, dir, "orders")
+              .select(round(col("o_totalprice") * 100).cast("long")
+                  .as("cents"),
+                col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                  .cast("long").as("y"),
+                col("o_totalprice"), col("o_orderkey")),
+            Seq.empty, Seq(desc("o_totalprice"), asc("o_orderkey")),
+            Seq((lit(1L), "rank", "_n"), (col("y"), "cum_pos", "_tp")))
           .withColumn("cum_neg", (col("rank") - col("cum_pos")))
         val tot = ranked.agg(max(col("cum_pos")).as("p"),
           max(col("cum_neg")).as("q"))
@@ -231,9 +234,10 @@ object Analytics47 {
         val base = o.where(col("yr") === 1995).localCheckpoint(true)
         val nb = base.agg(count(lit(1)).as("nb"))
         val ks = base.sparkSession.range(1, 10).toDF("k")
-        val bnds = base.crossJoin(broadcast(nb))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(asc("cents"), asc("key"))).cast("long"))
+        // baseline decile bounds via distributed rank (orders-grain)
+        val bnds = graft.operators.Ranks
+          .withGlobalRank(base, Seq(asc("cents"), asc("key")), "rn")
+          .crossJoin(broadcast(nb))
           .join(broadcast(ks), col("rn") === expr("(k * nb) div 10"))
           .select(col("k"), col("cents").as("bound"))
         val bucketed = o.where(col("yr").isin(1995, 1996))

@@ -183,7 +183,11 @@ object Analytics48 {
     // ---- proportional domain mixture. -------------------------------
     Q("q348_token_budget",
       (s, dir) => {
-        val perSource = t(s, dir, "documents")
+        // source lattice (a handful of corpus sources): bounded
+        // checkpoint certifies the greedy-allocation window below as
+        // lattice-grain, not doc-grain
+        val perSource = graft.operators.Lattice.checkpointBounded(
+          t(s, dir, "documents")
           .select(col("source"),
             explode(filter(split(col("text"), " "), w => length(w) > 0))
               .as("w"))
@@ -192,8 +196,8 @@ object Analytics48 {
             countDistinct(col("w")).as("dw"))
           .select(col("source"), col("tokens"),
             round(col("dw").cast("double") / col("tokens").cast("double"),
-              9).as("quality"))
-          .localCheckpoint(true)
+              9).as("quality")),
+          10000, "q348 corpus-source lattice")
         val budget = perSource.agg(expr("sum(tokens) div 2").as("budget"),
             expr("(sum(tokens) div 2) * 3 div 10").as("cap"))
         val ranked = perSource.crossJoin(broadcast(budget))
@@ -336,10 +340,10 @@ object Analytics48 {
           .select(col("n"), (col("sl") / col("n")).as("mu"),
             sqrt(col("sl2") / col("n") -
               (col("sl") / col("n")) * (col("sl") / col("n"))).as("sigma"))
-        val ranked = docs.crossJoin(broadcast(docs.agg(count(lit(1))
-            .as("nn"))))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(asc("n_chars"), asc("doc_id"))).cast("long"))
+        // empirical quantile picks via distributed rank (doc-grain)
+        val ranked = graft.operators.Ranks
+          .withGlobalRank(docs, Seq(asc("n_chars"), asc("doc_id")), "rn")
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
         val emp = ranked.agg(
           sum(when(col("rn") === expr("(nn + 1) div 2"), col("n_chars"))
             .otherwise(0L)).as("m1"),

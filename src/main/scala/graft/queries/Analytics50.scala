@@ -136,13 +136,16 @@ object Analytics50 {
     // ---- MI/√(H_x·H_y). Counts exact; each ln term round-9 gridded. --
     Q("q357_mutual_information",
       (s, dir) => {
-        val xy = t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")
-            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy(col("o_orderpriority").as("pri"), col("seg"))
-          .agg(count(lit(1)).as("nxy"))
-          .localCheckpoint(true)
+        // priority × segment contingency lattice (5×5): bounded
+        // checkpoint certifies the marginal windows below
+        val xy = graft.operators.Lattice.checkpointBounded(
+          t(s, dir, "orders")
+            .join(broadcast(t(s, dir, "customer")
+              .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy(col("o_orderpriority").as("pri"), col("seg"))
+            .agg(count(lit(1)).as("nxy")),
+          10000, "q357 priority x segment contingency")
         val withMarg = xy
           .withColumn("nx", sum(col("nxy")).over(Window.partitionBy("pri")))
           .withColumn("ny", sum(col("nxy")).over(Window.partitionBy("seg")))

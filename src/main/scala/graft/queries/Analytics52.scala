@@ -118,11 +118,12 @@ object Analytics52 {
           .where(year(col("o_orderdate")) === 1995)
           .select(round(col("o_totalprice") * 100).cast("long")
             .as("cents"))
-        val rn = c95
-          .withColumn("rn",
-            row_number().over(Window.orderBy("cents")).cast("long"))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy()).cast("long"))
+        // 1995 quantile forecasts via distributed rank (orders-grain;
+        // rank among tied cents is arbitrary but the VALUE at rank k is
+        // the exact k-th order statistic either way)
+        val rn = graft.operators.Ranks
+          .withGlobalRank(c95, Seq(col("cents")), "rn")
+          .crossJoin(broadcast(c95.agg(count(lit(1)).cast("long").as("n"))))
         val taus = s.range(1, 10).select(col("id").as("t10"))
         val qf = rn.crossJoin(broadcast(taus))
           .where(col("rn") === expr("(t10 * n + 9) div 10"))

@@ -283,11 +283,11 @@ object Analytics53 {
               .otherwise("b").as("g"),
             round(col("o_totalprice") * 100).cast("long").as("cents"),
             col("o_orderkey").as("okey"))
-        val ranked = pooled
-          .withColumn("i", row_number()
-            .over(Window.orderBy("cents", "okey")).cast("long"))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy()).cast("long"))
+        // pooled positions via distributed rank (orders-grain)
+        val ranked = graft.operators.Ranks
+          .withGlobalRank(pooled, Seq(col("cents"), col("okey")), "i")
+          .crossJoin(broadcast(
+            pooled.agg(count(lit(1)).cast("long").as("n"))))
           .withColumn("st",
             when(lit(2L) * col("i") === col("n") + 1L, col("n"))
               .when(lit(2L) * col("i") <= col("n") + 1L,

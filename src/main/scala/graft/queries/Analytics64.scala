@@ -83,11 +83,12 @@ object Analytics64 {
             concat_ws(" ", col("a.w"), col("b.w"), col("c.w"))
               .as("sh"))
         val firsts = sh.groupBy("sh").agg(min(col("doc_id")).as("fd"))
-        val ranked = t(s, dir, "documents").select(col("doc_id"))
-          .withColumn("rk", row_number().over(Window.orderBy("doc_id"))
-            .cast("long"))
-          .withColumn("nd", count(lit(1)).over(Window.partitionBy())
-            .cast("long"))
+        // arrival quartiles via distributed rank (doc-grain)
+        val docsIds = t(s, dir, "documents").select(col("doc_id"))
+        val ranked = graft.operators.Ranks
+          .withGlobalRank(docsIds, Seq(col("doc_id")), "rk")
+          .crossJoin(broadcast(
+            docsIds.agg(count(lit(1)).cast("long").as("nd"))))
           .select(col("doc_id"), expr("((rk - 1) * 4) div nd + 1")
             .as("quartile"))
         firsts.join(ranked, col("fd") === col("doc_id"))

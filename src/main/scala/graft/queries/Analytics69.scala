@@ -352,11 +352,12 @@ object Analytics69 {
             round((col("x").cast("double") + col("alpha"))
               / (col("n").cast("double") + col("alpha") + col("beta")),
               9).as("shrunk"))
-        val ranked = scored
-          .withColumn("r_raw", row_number().over(
-            Window.orderBy(col("raw").desc, col("ck"))).cast("long"))
-          .withColumn("r_shr", row_number().over(
-            Window.orderBy(col("shrunk").desc, col("ck"))).cast("long"))
+        // both leaderboards via distributed rank (customer grain)
+        import graft.operators.Ranks
+        val ranked = Ranks.withGlobalRank(
+            Ranks.withGlobalRank(scored,
+              Seq(col("raw").desc, col("ck")), "r_raw"),
+            Seq(col("shrunk").desc, col("ck")), "r_shr")
           .select(col("ck"), col("n"), col("x"), col("r_raw"),
             col("r_shr"),
             abs(col("r_raw") - col("r_shr")).as("move"))

@@ -138,11 +138,12 @@ object Analytics70 {
         val resid = tagged.where(col("half") === 0L)
           .join(broadcast(fit), Seq("seg"))
           .select(abs(col("cents") - col("pred")).as("r"))
-        val qhat = resid
-          .withColumn("rn",
-            row_number().over(Window.orderBy("r")).cast("long"))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy()).cast("long"))
+        // conformal quantile via distributed rank (calibration half is
+        // orders-grain; the VALUE at rank k is tie-independent)
+        val qhat = graft.operators.Ranks
+          .withGlobalRank(resid, Seq(col("r")), "rn")
+          .crossJoin(broadcast(
+            resid.agg(count(lit(1)).cast("long").as("n"))))
           .where(col("rn") === expr("((n + 1) * 9 + 9) div 10"))
           .select(col("n").as("n_cal"), col("r").as("qh"))
         tagged.where(col("half") === 1L)

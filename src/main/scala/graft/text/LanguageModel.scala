@@ -281,12 +281,14 @@ object LanguageModel {
   def perplexityBuckets(scored: DataFrame, scoredSample: DataFrame,
                         idCol: String = "doc_id",
                         ceCol: String = "cross_entropy"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val ranked = scoredSample
-      .select(col(ceCol).as("ce"), col(idCol))
-      .withColumn("rn", row_number().over(Window.orderBy(col("ce"), col(idCol))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // tercile cuts via distributed rank — the sample is doc-grain, so
+    // an unpartitioned row_number/count window would single-task it
+    val base = scoredSample.select(col(ceCol).as("ce"), col(idCol))
+    val nDf = base.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranks
+      .withGlobalRank(base, Seq(col("ce"), col(idCol)), "rn")
+      .crossJoin(broadcast(nDf))
     val cuts = ranked.agg(
       max(when(col("rn") === ceil(col("n") / lit(3.0)), col("ce"))).as("c1"),
       max(when(col("rn") === ceil(col("n") * lit(2.0) / lit(3.0)), col("ce"))).as("c2"))
