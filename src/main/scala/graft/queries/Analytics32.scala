@@ -74,8 +74,12 @@ object Analytics32 {
               (signum(col("c")).cast("long") *
                 expr("abs(c) div greatest(mc div 1000000, 1)")).as("cu"))
         }
-        val m = covU.select(col("i"), col("j"), col("cu"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        // dim × dim covariance lattice (embedding dims² = 64²) —
+        // bounded driver collect, fails fast on cardinality surprise
+        val m = graft.operators.Lattice.collectBounded(
+            covU.select(col("i"), col("j"), col("cu")),
+            100000, "q270 covariance matrix (dims x dims)")
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
         val dims = m.map(_._1).distinct.sorted
         var v: Map[Int, Long] = dims.map(_ -> 1000000L).toMap
         for (_ <- 1 to PcaIters) {

@@ -88,11 +88,13 @@ object Analytics33 {
             .withColumn("rn", row_number().over(
               Window.partitionBy("x").orderBy(col("dist"), col("y"))))
             .where(col("rn") === 1).select(col("x"), col("y"), col("dist"))
-          val m = best.as("p").join(best.as("q"),
-              col("p.x") === col("q.y") && col("p.y") === col("q.x") &&
-                col("p.x") < col("p.y"))
-            .select(col("p.x"), col("p.y"), col("p.dist"))
-            .collect().map(row =>
+          val m = graft.operators.Lattice.collectBounded(
+              best.as("p").join(best.as("q"),
+                col("p.x") === col("q.y") && col("p.y") === col("q.x") &&
+                  col("p.x") < col("p.y"))
+              .select(col("p.x"), col("p.y"), col("p.dist")),
+              100000, "q271 mutual-suitor matches per round")
+            .map(row =>
               (r, row.getLong(0), row.getLong(1), row.getInt(2)))
           out ++= m
           removed ++= m.flatMap(p => Seq(p._2, p._3))

@@ -213,9 +213,13 @@ object Analytics36 {
     Q("q287_knn_eval",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // FIXED 64-vector held-out sample (smallest qualifying ids): a
+        // 20% modulus split makes this exact-kNN audit O(n²/5) in the
+        // corpus; a fixed query set keeps it O(n) at any scale factor
         val test = emb.where(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("q_vec"), col("label").as("label_true"))
+          .orderBy("query_id").limit(64)
         val train = emb.where(col("vec_id") % 5 =!= 0)
           .select(col("vec_id").as("neighbor_id"),
             col("embedding").as("c_vec"), col("label"))
@@ -244,8 +248,9 @@ object Analytics36 {
              |    c.vec_id AS neighbor_id, c.label,
              |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
              |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
-             |  FROM embeddings q JOIN embeddings c
-             |    ON q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+             |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 0
+             |        ORDER BY vec_id LIMIT 64) q
+             |  JOIN embeddings c ON c.vec_id % 5 <> 0
              |), top AS (
              |  SELECT query_id, label_true, label FROM (
              |    SELECT query_id, label_true, label,

@@ -49,13 +49,16 @@ object Analytics37 {
           .select(col("user_id"), col("event_type"),
             row_number().over(Window.partitionBy("user_id")
               .orderBy(col("ts"), col("event_id"))).as("rn"))
-        val trans = seq0.as("a").join(seq0.as("b"),
+        val trans0 = seq0.as("a").join(seq0.as("b"),
             col("a.user_id") === col("b.user_id") &&
               col("b.rn") === col("a.rn") + 1)
           .groupBy(col("a.event_type").as("cur"),
             col("b.event_type").as("nxt"))
           .agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // event-type × event-type lattice — bounded driver collect
+        val trans = graft.operators.Lattice.collectBounded(trans0,
+            10000, "q291 event-type transition matrix")
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val states = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
         val outDeg = trans.groupBy(_._1).map { case (k, v) =>
           k -> v.map(_._3).sum

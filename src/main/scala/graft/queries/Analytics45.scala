@@ -333,12 +333,14 @@ object Analytics45 {
             col("g1.i") === col("i2") && col("g1.j") === col("j2"))
           .select(col("i"), col("j"), col("w"), (col("w") + col("wr"))
             .as("nij"))
-        // the contest lattice is ≤20 rows — iterate the MM updates on
-        // the driver (the q207/q250 metadata-sized-loop pattern) with
-        // the same HALF_UP round-9 grid the oracle uses, instead of 3
-        // checkpointed join rounds
-        val pr = pairs.select(col("i"), col("j"), col("w"), col("nij"))
-          .collect()
+        // the contest lattice is ≤20 rows (segment × segment directed
+        // pairs) — iterate the MM updates on the driver (the q207/q250
+        // metadata-sized-loop pattern) with the same HALF_UP round-9
+        // grid the oracle uses, instead of 3 checkpointed join rounds.
+        // collectBounded fails fast if the lattice ever outgrows that.
+        val pr = graft.operators.Lattice.collectBounded(
+            pairs.select(col("i"), col("j"), col("w"), col("nij")),
+            1000, "q334 segment-pair contest lattice")
           .map(r => (r.getString(0), r.getString(1), r.getLong(2),
             r.getLong(3)))
         val items = pr.map(_._1).distinct.sorted

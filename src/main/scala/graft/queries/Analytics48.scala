@@ -259,9 +259,14 @@ object Analytics48 {
     Q("q349_knn_diversity",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // FIXED 64-query audit sample (smallest qualifying ids), not a
+        // modulus share: an every-100th split grows the exact-kNN
+        // candidate count as n²/100 with corpus size — a fixed sample
+        // keeps this eval kernel O(n) at any scale factor
         val queries = emb.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("label").as("qlabel"))
+          .orderBy("qid").limit(64)
         val corpus = emb.where(col("vec_id") % 100 =!= 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"),
             col("label").as("clabel"))
@@ -291,6 +296,7 @@ object Analytics48 {
       Some("""WITH q AS (
              |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
              |  FROM embeddings WHERE vec_id % 100 = 0
+             |  ORDER BY vec_id LIMIT 64
              |), c AS (
              |  SELECT vec_id AS cid, embedding AS cv, label AS clabel
              |  FROM embeddings WHERE vec_id % 100 <> 0
