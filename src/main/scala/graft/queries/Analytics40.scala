@@ -192,10 +192,10 @@ object Analytics40 {
         // (distinct concurrency levels) gets its running sum the same
         // way — peak concurrency scales with data too.
         import graft.operators.Ranks
-        val lev0 = Ranks.withPrefixSum(deltas, Seq.empty, Seq(col("ts")),
-          col("d"), "level", "_sumd")
-        val levR = Ranks.withGlobalRank(lev0.drop("_sumd"),
-          Seq(col("ts")), "rn")
+        // running level + endpoint position in ONE prefix-sum pass
+        val levR = Ranks.withPrefixSums(deltas, Seq.empty, Seq(col("ts")),
+            Seq((col("d"), "level", "_sumd"), (lit(1L), "rn", "_ne")))
+          .drop("_sumd", "_ne")
         val levels = levR
           .join(levR.select((col("rn") - 1L).as("rn"), col("ts").as("nxt")),
             Seq("rn"))   // inner join drops the last endpoint (no successor)

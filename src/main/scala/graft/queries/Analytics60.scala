@@ -242,6 +242,11 @@ object Analytics60 {
           .where(col("a.x") =!= col("b.x"))
           .select(round((col("b.y") - col("a.y")).cast("double")
             / (col("b.x") - col("a.x")).cast("double"), 9).as("sl"))
+        // `slopes` is pair-of-months grain: 84 months → ≤ 84·83/2 ≈
+        // 3.5k rows regardless of data volume, so the single-partition
+        // rank is bounded by the calendar, not the table. If this is
+        // ever reused over a data-scaled pair set, switch to
+        // Ranks.withGlobalRank.
         val ranked = slopes
           .withColumn("rn", row_number().over(
             Window.orderBy(col("sl"), monotonically_increasing_id()))

@@ -76,8 +76,14 @@ object Analytics65 {
       |  FROM assign GROUP BY 1, 2
       |)""".stripMargin
 
+  /** 10×10 label-vs-assignment contingency, built ONCE per (app, dir)
+    * and shared by all five clustering-validation readouts — the
+    * centroid fit + nearest-centroid assignment is the expensive part
+    * and is identical across q431-q435 (one artifact, five readouts). */
   private def contingency(s: SparkSession, dir: String): DataFrame =
-    assignment(s, dir).groupBy("u", "v").agg(count(lit(1)).as("nij"))
+    graft.sim.IndexCache.getOrBuild(s, s"clusteval-cont:$dir") {
+      assignment(s, dir).groupBy("u", "v").agg(count(lit(1)).as("nij"))
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -87,7 +93,7 @@ object Analytics65 {
     // ---- division. -------------------------------------------------
     Q("q431_adjusted_rand",
       (s, dir) => {
-        val c = contingency(s, dir).localCheckpoint(true)
+        val c = contingency(s, dir)
         val sij = c.agg(sum(col("nij") * (col("nij") - 1L) / lit(2L)
           cast "long").as("tp"), sum(col("nij")).as("n"))
         val ra = c.groupBy("u").agg(sum(col("nij")).as("ni"))
@@ -134,7 +140,7 @@ object Analytics65 {
     // ---- gridded Σ p·ln p over exact counts. -----------------------
     Q("q432_v_measure",
       (s, dir) => {
-        val c = contingency(s, dir).localCheckpoint(true)
+        val c = contingency(s, dir)
         val n = c.agg(sum(col("nij")).as("n"))
         def ent(key: String, out: String): DataFrame =
           c.groupBy(key).agg(sum(col("nij")).as("nk"))
@@ -222,7 +228,7 @@ object Analytics65 {
     // ---- exact integers over the contingency. ----------------------
     Q("q433_purity",
       (s, dir) => {
-        val c = contingency(s, dir).localCheckpoint(true)
+        val c = contingency(s, dir)
         val n = c.agg(sum(col("nij")).as("n"))
         val p = c.groupBy("v").agg(max(col("nij")).as("mx"))
           .agg(sum(col("mx")).as("pmass"))
@@ -265,7 +271,7 @@ object Analytics65 {
     // ---- exact pair masses as ARI. ---------------------------------
     Q("q434_fowlkes_mallows",
       (s, dir) => {
-        val c = contingency(s, dir).localCheckpoint(true)
+        val c = contingency(s, dir)
         val sij = c.agg(sum(col("nij") * (col("nij") - 1L) / lit(2L)
           cast "long").as("tp"))
         val ra = c.groupBy("u").agg(sum(col("nij")).as("ni"))

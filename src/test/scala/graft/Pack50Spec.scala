@@ -40,8 +40,11 @@ class Pack50Spec extends SparkSpec {
       s"JS ${r._4} outside [0, ln2]")
     assert(math.abs(r._5 - r._4 / math.log(2.0)) < 1e-4)
     // the synthetic corpus shares one generator vocabulary across
-    // langs, so separation is small but must be strictly positive
-    assert(r._4 > 0, s"JS ${r._4} should be > 0 for distinct corpora")
+    // langs, so separation is small — but the sf0.001 fixture measures
+    // JS ≈ 2e-3 nats, so a calibrated floor of 1e-4 catches a
+    // regression that collapses the divergence to numerical noise
+    // while leaving 20× headroom for fixture drift
+    assert(r._4 > 1e-4, s"JS ${r._4} below calibrated floor 1e-4")
   }
 
   test("q359: W1 >= |mean difference| (Jensen) and is positive") {
