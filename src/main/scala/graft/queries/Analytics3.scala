@@ -698,17 +698,22 @@ object Analytics3 {
 
     // ---- weighted heavy hitters (ClickHouse topKWeighted analog):
     // ---- top spenders per order priority by SUMMED weight, not
-    // ---- occurrence count. Capacity 16384 keeps the sketch exact
-    // ---- through sf0.1 (distinct custkeys per priority < capacity),
-    // ---- which is what lets the oracle hash-check it; beyond that
-    // ---- the same operator degrades to the (weight, err) guarantee --
+    // ---- occurrence count. Capacity is sized from the customer
+    // ---- dimension's cardinality (1-row metadata agg, the q145
+    // ---- pattern): Space-Saving with capacity ≥ distinct keys is
+    // ---- exact, which is what lets the oracle hash-check it at any
+    // ---- sf — a fixed 16384 went approximate (and over-estimated)
+    // ---- once sf0.3 tripled the key space. The bounded-capacity
+    // ---- approximate regime keeps its (weight, err) guarantee and
+    // ---- is spec-covered in HeavyHittersSpec. ----------------------
     Q("q91_topk_weighted",
       (s, dir) => {
         val cents = round(col("o_totalprice") * 100).cast("long")
+        val cap = t(s, dir, "customer").count().toInt + 1
         t(s, dir, "orders")
           .groupBy(col("o_orderpriority").as("p"))
           .agg(graft.functions.HeavyHitters.approxTopKWeighted(
-            col("o_custkey"), cents, 3, 16384).as("tk"))
+            col("o_custkey"), cents, 3, cap).as("tk"))
           .select(col("p"), posexplode(col("tk")))
           .select(col("p"), (col("pos") + 1).cast("int").as("rank"),
             col("col.item").as("custkey"), col("col.cnt").as("cents"))

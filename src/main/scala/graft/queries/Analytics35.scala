@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -80,10 +81,15 @@ object Analytics35 {
             .groupBy("blk")
             .agg(first(col("sx")).as("sx"), first(col("sxx")).as("sxx"),
               max(col("zw")).as("zmax"), min(col("zw")).as("zmin"))
+            // w·sxx and sx² overflow BIGINT once daily dollars triple
+            // (caught by the sf0.3 sweep) — widen to DECIMAL(38,0)
+            // before the products, exactly as the oracle widens to
+            // HUGEINT; the quotient is double either way
             .select(round(lit(1e6) *
               (col("zmax") - col("zmin")).cast("double") /
-              sqrt((lit(w.toLong) * col("sxx") -
-                col("sx") * col("sx")).cast("double"))).cast("long")
+              sqrt((lit(w.toLong).cast(DecimalType(38, 0)) * col("sxx") -
+                col("sx").cast(DecimalType(38, 0)) * col("sx"))
+                .cast("double"))).cast("long")
               .as("rsu"))
             .agg(count(lit(1)).as("n_blocks"), sum(col("rsu")).as("srsu"))
             .select(lit(w).as("w"), col("n_blocks"),
@@ -114,8 +120,9 @@ object Analytics35 {
              |FROM (
              |  SELECT blk,
              |    CAST(ROUND(1e6 * CAST(MAX(zw) - MIN(zw) AS DOUBLE)
-             |      / sqrt(CAST($w * ANY_VALUE(sxx)
-             |        - ANY_VALUE(sx) * ANY_VALUE(sx) AS DOUBLE)))
+             |      / sqrt(CAST(CAST($w AS HUGEINT) * ANY_VALUE(sxx)
+             |        - CAST(ANY_VALUE(sx) AS HUGEINT) * ANY_VALUE(sx)
+             |        AS DOUBLE)))
              |      AS BIGINT) AS rsu
              |  FROM (
              |    SELECT blk, sx, sxx,

@@ -101,10 +101,19 @@ object Analytics39 {
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
             col("l_partkey").as("pk"))
           .agg(sum(dec("l_extendedprice")).as("rev"))
+        // per-month top-N via the bounded top-k aggregate: partial-
+        // aggregable (each task reduces to N rows pre-shuffle), where a
+        // month-partitioned rank window caps parallelism at ~84 tasks
+        // and sorts every month's whole part set in one task. Revenue
+        // is cent-exact decimal ≪ 2^53, so the double score ranks
+        // identically to the oracle's decimal; ties break to smaller
+        // part id in both forms.
         val top = monthly
-          .withColumn("rk", row_number().over(Window.partitionBy("mon")
-            .orderBy(desc("rev"), asc("pk"))))
-          .where(col("rk") <= TopN)
+          .groupBy("mon")
+          .agg(graft.functions.TopKAgg.topKBy(col("rev").cast("double"),
+            col("pk"), TopN).as("topk"))
+          .select(col("mon"), explode(col("topk")).as("nb"))
+          .select(col("mon"), col("nb.id").as("pk"))
           .localCheckpoint(true)
         val mons = top.select("mon").distinct()
           .withColumn("mi", row_number().over(Window.orderBy("mon"))

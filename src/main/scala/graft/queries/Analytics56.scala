@@ -297,14 +297,23 @@ object Analytics56 {
         val agg = cums.agg(
           max(col("na")).as("na"), max(col("nb")).as("nb"),
           max(col("nn")).as("nn"),
-          sum(round(col("ca").cast("double") * col("blocksum")
-            .cast("double") / col("cnt").cast("double"), 9)
-            .cast(DecimalType(38, 9))).as("ab"),
+          // exact quotient split: round(ca·blocksum/cnt, 9) on a raw
+          // double diverges between engines once the product passes
+          // 2^53/1e9 (sf0.3 sweep, last-ulp drift in ab_stat). Integer
+          // div/mod are exact in both engines, and the remainder
+          // fraction lives in [0,1) where round(·,9) is stable.
+          sum(expr("(ca * blocksum) div cnt").cast(DecimalType(38, 9))
+            + round(((col("ca") * col("blocksum")) % col("cnt"))
+                .cast("double") / col("cnt").cast("double"), 9)
+              .cast(DecimalType(38, 9))).as("ab"),
           sum(col("ca").cast(DecimalType(38, 0)) * col("r2")).as("w2a"),
           sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
             .cast(DecimalType(38, 0))).as("tsum3"))
         agg.select(col("na").as("n_urgent"), col("nb").as("n_low"),
-          round(col("ab").cast("double"), 6).as("ab_stat"),
+          // round in DECIMAL space, then cast: round(double, 6) at 4e9
+          // magnitude is below the double ulp (~1e-6) and the engines'
+          // double-rounding disagrees on the last printed digit
+          round(col("ab"), 6).cast("double").as("ab_stat"),
           round((col("ab").cast("double")
             - when(col("nn") % 2L === 0L,
               col("na").cast("double") * (col("nn") + 2L).cast("double")
@@ -365,9 +374,10 @@ object Analytics56 {
              |  FROM cums
              |), agg AS (
              |  SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(nn) AS nn,
-             |    CAST(SUM(CAST(ROUND(CAST(ca AS DOUBLE)
-             |      * CAST(blocksum AS DOUBLE) / CAST(cnt AS DOUBLE), 9)
-             |      AS DECIMAL(38, 9))) AS DOUBLE) AS ab,
+             |    SUM(CAST((ca * blocksum) // cnt AS DECIMAL(38, 9))
+             |      + CAST(ROUND(CAST((ca * blocksum) % cnt AS DOUBLE)
+             |        / CAST(cnt AS DOUBLE), 9) AS DECIMAL(38, 9)))
+             |      AS abd,
              |    CAST(SUM(CAST(ca AS DECIMAL(38, 0)) * r2) AS DOUBLE)
              |      AS w2a,
              |    CAST(SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38, 0)))
@@ -376,8 +386,8 @@ object Analytics56 {
              |)
              |, zs AS (
              |  SELECT na, nb,
-             |    ROUND(ab, 6) AS ab_stat,
-             |    ROUND((ab - CASE WHEN nn % 2 = 0
+             |    CAST(ROUND(abd, 6) AS DOUBLE) AS ab_stat,
+             |    ROUND((CAST(abd AS DOUBLE) - CASE WHEN nn % 2 = 0
              |        THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE)
              |          / 4.0
              |        ELSE CAST(na AS DOUBLE)

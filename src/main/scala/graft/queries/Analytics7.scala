@@ -164,9 +164,15 @@ object Analytics7 {
       (s, dir) => {
         val o = t(s, dir, "orders").select("o_custkey")
         val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        // bitmap domain sized from the actual key space (1-row metadata
+        // agg), not a literal: a hardcoded 2^15 broke the first sf>0.1
+        // sweep. The bitmap contract is |domain|/8 bytes per group —
+        // right for a dense surrogate-key domain; an unbounded/sparse
+        // domain belongs in HLL (q70) instead.
+        val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0) + 1L
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_nationkey")
-          .agg(Bitmap.distinctCount(col("o_custkey"), 1 << 15)
+          .agg(Bitmap.distinctCount(col("o_custkey"), maxKey.toInt)
               .as("active_customers"),
             count(lit(1)).as("orders"))
           .orderBy("c_nationkey")

@@ -60,17 +60,29 @@ object Analytics71 {
           .agg(coalesce(sum(round(log(col("j").cast("double")), 9)
             .cast(DecimalType(38, 9))), lit(0.0).cast(DecimalType(38, 9)))
             .cast("double").as("lnfact"))
-        val terms = lnf.crossJoin(broadcast(load))
+        // log-space with a PREFIX-max shift: raw a^k/k! overflows
+        // DECIMAL(38,9) once the arrival rate grows, and a single
+        // global-max shift underflows the early prefix to 0/0 at a
+        // still-larger rate (both caught by the sf0.3 sweep). Shifting
+        // each prefix by its own running max keeps an exp(0)=1 term in
+        // every denominator, so B(m) = exp(e_m−M_m)/Σ_{k≤m}exp(e_k−M_m)
+        // is always finite. The triangle join is a fixed 21×21 lattice.
+        val expo = lnf.crossJoin(broadcast(load))
           .select(col("k"),
-            round(exp(col("k").cast("double") * log(col("a"))
-              - col("lnfact")), 9).cast(DecimalType(38, 9)).as("term"))
-        terms
-          .withColumn("cum", sum(col("term")).over(
-            Window.orderBy("k")
-              .rowsBetween(Window.unboundedPreceding, 0)))
+            round(col("k").cast("double") * log(col("a"))
+              - col("lnfact"), 9).as("e"))
+        // 21-row lattice: the unpartitioned running-max window is fine
+        val wm = expo.withColumn("mm", max(col("e")).over(
+          Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        wm.as("m").join(expo.as("kk"), col("kk.k") <= col("m.k"))
+          .groupBy(col("m.k").as("k"), col("m.e").as("em"),
+            col("m.mm").as("mm"))
+          .agg(sum(round(exp(col("kk.e") - col("m.mm")), 9)
+            .cast(DecimalType(38, 9))).as("cum"))
           .where(col("k") >= 1L)
           .select(col("k").as("m_servers"),
-            round(col("term").cast("double")
+            round(round(exp(col("em") - col("mm")), 9)
               / col("cum").cast("double"), 6).as("blocking_prob"))
       },
       Some("""WITH load AS (
@@ -88,22 +100,28 @@ object Analytics71 {
              |  LEFT JOIN (SELECT CAST(range AS BIGINT) AS j
              |             FROM range(1, 21)) j ON j.j <= k.k
              |  GROUP BY 1
-             |), terms AS (
-             |  SELECT k,
-             |    CAST(ROUND(exp(CAST(k AS DOUBLE) * ln(a) - lnfact), 9)
-             |      AS DECIMAL(38, 9)) AS term
+             |), expo AS (
+             |  SELECT k, ROUND(CAST(k AS DOUBLE) * ln(a) - lnfact, 9)
+             |    AS e
              |  FROM lnf CROSS JOIN load
-             |), cum AS (
-             |  SELECT k, term,
-             |    SUM(term) OVER (ORDER BY k
+             |), wm AS (
+             |  SELECT k, e,
+             |    MAX(e) OVER (ORDER BY k
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS cum
-             |  FROM terms
+             |      AS mm
+             |  FROM expo
+             |), tri AS (
+             |  SELECT m.k AS k, ANY_VALUE(m.e) AS em,
+             |    ANY_VALUE(m.mm) AS mm,
+             |    SUM(CAST(ROUND(exp(kk.e - m.mm), 9)
+             |      AS DECIMAL(38, 9))) AS cum
+             |  FROM wm m JOIN expo kk ON kk.k <= m.k
+             |  GROUP BY m.k
              |)
              |SELECT k AS m_servers,
-             |  ROUND(CAST(term AS DOUBLE) / CAST(cum AS DOUBLE), 6)
+             |  ROUND(ROUND(exp(em - mm), 9) / CAST(cum AS DOUBLE), 6)
              |    AS blocking_prob
-             |FROM cum WHERE k >= 1""".stripMargin)),
+             |FROM tri WHERE k >= 1""".stripMargin)),
 
     // ---- newsvendor: daily unit demand, critical fractile 2/(2+1);
     // ---- q* = smallest demand level with F ≥ 2/3, and the exact
