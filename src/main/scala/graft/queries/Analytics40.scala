@@ -201,15 +201,16 @@ object Analytics40 {
             Seq("rn"))   // inner join drops the last endpoint (no successor)
           .select(col("level"), (col("nxt") - col("ts")).as("dur"))
           .groupBy("level").agg(sum(col("dur")).as("dur"))
-          .localCheckpoint(true)
         val ranked = Ranks.withPrefixSum(levels, Seq.empty,
           Seq(col("level")), col("dur"), "cum", "tt")
-        def pct(num: Int, den: Int, name: String) =
-          ranked.where(col("cum") * den >= col("tt") * num)
-            .agg(min(col("level")).as(name))
-        pct(50, 100, "p50").crossJoin(pct(90, 100, "p90"))
-          .crossJoin(pct(99, 100, "p99"))
-          .crossJoin(levels.agg(max(col("level")).as("peak")))
+        // all four readouts in ONE scan of the (small) ranked level
+        // table: conditional-min per quantile + max for the peak —
+        // four separate filter+agg jobs and three crossJoins were pure
+        // stage-submission overhead (2.7 s → the job count, not data)
+        def pct(num: Int) =
+          min(when(col("cum") * 100 >= col("tt") * num, col("level")))
+        ranked.agg(pct(50).as("p50"), pct(90).as("p90"),
+          pct(99).as("p99"), max(col("level")).as("peak"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
