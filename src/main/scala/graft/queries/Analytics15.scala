@@ -276,7 +276,8 @@ object Analytics15 {
               Seq("p1"), "left_semi")
             .join(broadcast(survivors.select(col("x").as("p2"))),
               Seq("p2"), "left_semi")
-            .localCheckpoint(true)
+            .localCheckpoint(false) // lazy: the census count right
+          // below materializes it — eager + count was two jobs/round
           val nEdges = next.count()
           survivors.unpersist()
           edges = next

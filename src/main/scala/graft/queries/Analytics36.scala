@@ -108,7 +108,7 @@ object Analytics36 {
             .cast("long"))
           .withColumn("p", sum(col("xk")).over(
             Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
-          .localCheckpoint(true)
+          .localCheckpoint(false) // lazy: materialized by the count
         val n = pre.count()
         def pAt(k: Long): Long =
           if (k == 0) 0L

@@ -137,7 +137,7 @@ object Analytics38 {
           .select(col("day"), expr("x div 1000").as("xk"))
           .withColumn("rn", (row_number().over(Window.orderBy("day")) - 1)
             .cast("long"))
-          .localCheckpoint(true)
+          .localCheckpoint(false) // lazy: materialized by the count
         val n = base.count()
         val rows = Periods.map { pd =>
           val ang = lit(2.0 * math.Pi) *
