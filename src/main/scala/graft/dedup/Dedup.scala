@@ -265,11 +265,18 @@ object Dedup {
       .select(col("id"), col("sig"), col("band.band"), col("band.chunk"))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE the pair dedup — bit_count is free per
+    // joined row, while deduping the unfiltered candidate set hash-
+    // aggregates K²-inflated collision buckets on duplicate-heavy
+    // corpora (see Portable.simhashPairsFromIndex, same fix)
     a.join(b, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .where(col("hamming") <= maxHamming)
+      // explicit aggregate, not dropDuplicates: hamming is identical
+      // across a pair's band duplicates, so min() is exact (see
+      // Portable.simhashPairsFromIndex — same Catalyst workaround)
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

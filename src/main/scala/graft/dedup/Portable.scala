@@ -184,13 +184,23 @@ object Portable {
       col("hi").as("hi_a"), col("lo").as("lo_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"),
       col("hi").as("hi_b"), col("lo").as("lo_b"))
+    // Hamming-filter BEFORE the pair dedup: the bit_count check is
+    // per-row arithmetic inside the join's output stream, while
+    // dropDuplicates is a hash aggregate over every banded collision.
+    // With duplicate-heavy corpora (crawl data; the gen_scale sweep
+    // replicates every text K times) collision buckets grow ~K², and
+    // deduping the unfiltered candidate set OOMed the sf1.0 sweep —
+    // filtered first, the aggregate only ever sees true near-dups.
     a.join(b, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .where(col("hamming") <= maxHamming)
+      // per-pair dedup as an explicit aggregate: every band duplicate
+      // of a pair carries the SAME hamming, so min() is exact (and
+      // dropDuplicates-after-filter trips a Catalyst binding bug here)
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
