@@ -34,18 +34,22 @@ object Analytics {
           .agg(
             sum(dec("l_quantity")).cast("double").as("sum_qty"),
             sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-            sum(dec("l_extendedprice") * dec(lit(1) - col("l_discount")))
+            // round the product-sums to money scale BEFORE the double
+            // cast: the scale-6 charge sum passes 2^53 micro-units at
+            // sf1.0 and the engines' decimal->double conversions then
+            // differ by one ulp; at scale 2 the value is exact in both
+            round(sum(dec("l_extendedprice") * dec(lit(1) - col("l_discount"))), 2)
               .cast("double").as("sum_disc_price"),
-            sum(dec("l_extendedprice") * dec(lit(1) - col("l_discount"))
-              * dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            round(sum(dec("l_extendedprice") * dec(lit(1) - col("l_discount"))
+              * dec(lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'

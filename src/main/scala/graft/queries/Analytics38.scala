@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -139,35 +140,51 @@ object Analytics38 {
             .cast("long"))
           .localCheckpoint(false) // lazy: materialized by the count
         val n = base.count()
+        // exact-rational power: the projection sums pass 2^53 at sf1.0
+        // and the engines' (hugeint|decimal)->double conversions then
+        // differ by one ulp before the ROUND. Square and divide on the
+        // integer grid instead — quotient + half-up-rounded micro-
+        // fraction via div/mod (the q389 canon), double only at the end
+        // where the scaled value is < 2^53 and exact in both engines.
         val rows = Periods.map { pd =>
           val ang = lit(2.0 * math.Pi) *
             (col("rn") % pd).cast("double") / lit(pd.toDouble)
           base.select(
               (col("xk") * round(cos(ang) * 1e9).cast("long")).as("pc"),
               (col("xk") * round(sin(ang) * 1e9).cast("long")).as("ps"))
-            .agg(sum(col("pc")).as("sc"), sum(col("ps")).as("ss"))
+            .agg(sum(col("pc").cast(DecimalType(38, 0))).as("sc"),
+              sum(col("ps").cast(DecimalType(38, 0))).as("ss"))
             .select(lit(pd).as("period"),
-              round((col("sc").cast("double") * col("sc").cast("double") +
-                col("ss").cast("double") * col("ss").cast("double")) /
-                lit(n.toDouble) / lit(1e18), 6).as("power"))
+              (col("sc") * col("sc") + col("ss") * col("ss")).as("s2"),
+              expr(s"CAST($n AS DECIMAL(38,0)) " +
+                "* CAST(1000000000000000000 AS DECIMAL(38,0))").as("d"))
+            .select(col("period"),
+              ((expr("s2 div d") * 1000000L) +
+                expr("(2 * (s2 % d) * 1000000 + d) div (2 * d)"))
+                .cast("double").divide(lit(1e6)).as("power"))
         }
         rows.reduce(_ unionByName _).orderBy("period")
       },
       Some {
         val per = Periods.map { pd =>
           s"""SELECT $pd AS period,
-             |  ROUND((CAST(SUM(xk * cq) AS DOUBLE)
-             |      * CAST(SUM(xk * cq) AS DOUBLE)
-             |    + CAST(SUM(xk * sq) AS DOUBLE)
-             |      * CAST(SUM(xk * sq) AS DOUBLE))
-             |    / (SELECT CAST(n AS DOUBLE) FROM nn) / 1e18, 6) AS power
+             |  CAST(s2 // d * 1000000
+             |    + (2 * (s2 % d) * 1000000 + d) // (2 * d) AS DOUBLE)
+             |    / 1e6 AS power
+             |FROM (
+             |SELECT CAST(SUM(xk * cq) AS HUGEINT)
+             |      * CAST(SUM(xk * cq) AS HUGEINT)
+             |    + CAST(SUM(xk * sq) AS HUGEINT)
+             |      * CAST(SUM(xk * sq) AS HUGEINT) AS s2,
+             |  (SELECT CAST(n AS HUGEINT) FROM nn)
+             |    * CAST(1000000000000000000 AS HUGEINT) AS d
              |FROM (
              |  SELECT xk,
              |    CAST(ROUND(cos(2.0 * pi() * CAST(rn % $pd AS DOUBLE)
              |      / $pd.0) * 1e9) AS BIGINT) AS cq,
              |    CAST(ROUND(sin(2.0 * pi() * CAST(rn % $pd AS DOUBLE)
              |      / $pd.0) * 1e9) AS BIGINT) AS sq
-             |  FROM base)""".stripMargin
+             |  FROM base))""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH base AS MATERIALIZED (
            |  SELECT x // 1000 AS xk,
