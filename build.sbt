@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g, not 8g: the 480-query bench/verify suite accumulates cached
+  // warm() artifacts, localCheckpoint blocks, and codegen classes in one
+  // JVM; at 8g the back half of the run is GC-bound (measured rested
+  // REPS=2 sf0.1 totals: 8g 187.5s -> 16g 166.8s -> 32g 145.6s, with
+  // individual late-suite queries inflated 2-4x at 8g vs isolated runs).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
