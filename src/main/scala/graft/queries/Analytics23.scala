@@ -243,15 +243,27 @@ object Analytics23 {
     // ---- distance, so the census matches exactly. -------------------
     Q("q217_editdist_census",
       (s, dir) => {
-        val p = t(s, dir, "part").select(
+        // loadParallel, not load: part.parquet is a few MB, so a plain
+        // scan is 1-2 input partitions — and the per-pair levenshtein
+        // kernel downstream of the block join would run in ONE task
+        // (measured 102 s at sf1.0, 50.9M within-block pairs on a
+        // single thread). Spreading the probe side across the executor
+        // cores parallelizes the pair kernel; the broadcast build side
+        // keeps the join shuffle-free.
+        val p = Tables.loadParallel(s, dir, "part").select(
           col("p_partkey"), col("p_name"), col("p_size"),
           substring_index(col("p_name"), " ", 1).as("w"))
         val a = p.select(col("w"), col("p_size"),
           col("p_partkey").as("k1"), col("p_name").as("n1"))
         val b = p.select(col("w"), col("p_size"),
           col("p_partkey").as("k2"), col("p_name").as("n2"))
-        a.join(b, Seq("w", "p_size")).where(col("k1") < col("k2"))
-          .select(col("w"), levenshtein(col("n1"), col("n2")).as("dist"))
+        // levenshtein(_,_,4): the banded O(k·L) DP (-1 past the
+        // threshold) replaces the full O(L²) table per pair — same
+        // kept pairs, same distances on the 1..4 filter.
+        a.join(b, Seq("w", "p_size"))
+          .where(col("k1") < col("k2"))
+          .select(col("w"),
+            levenshtein(col("n1"), col("n2"), 4).as("dist"))
           .where(col("dist").between(1, 4))
           .groupBy("w", "dist")
           .agg(count(lit(1)).as("n_pairs"))

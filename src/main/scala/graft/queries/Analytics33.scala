@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,17 +284,50 @@ object Analytics33 {
               .cast("long").as(s"du_$field"))
         }
         val w = uWeights("seg").crossJoin(uWeights("band"))
-        cust.as("a").join(cust.as("b"),
-            col("a.nation") === col("b.nation") &&
-              col("a.id") < col("b.id"))
-          .crossJoin(broadcast(w))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            (col("a.seg") === col("b.seg")).as("same_segment"),
-            (col("a.band") === col("b.band")).as("same_band"),
-            (when(col("a.seg") === col("b.seg"), col("au_seg"))
-              .otherwise(col("du_seg")) +
-              when(col("a.band") === col("b.band"), col("au_band"))
-                .otherwise(col("du_band"))).as("score_units"))
+        // Agreement-family blocking (the "multi-pass blocking" the
+        // header promises, done for real): a pair's score depends only
+        // on its (same_seg, same_band) combo, and the weight table is
+        // 1×4 metadata — collect it (one tiny agg job, same class as
+        // the `cust.count()` above) and enumerate ONLY the families
+        // whose combo can score positive, each on its own fine block
+        // key. Full nation-block enumeration is quadratic in the
+        // nation cohort (sf1.0 measured 73 s, ~450M pairs); the
+        // (nation, seg, band) family is quadratic only in the exact-
+        // agreement cohort (~60× fewer pairs at sf1.0, and the gap
+        // widens with sf). Output is identical: every emitted pair
+        // needs score > 0, so its combo's family is enumerated, and
+        // the both-disagree combo is guarded non-positive below.
+        val wr = w.head()
+        val auSeg = wr.getAs[Long]("au_seg"); val duSeg = wr.getAs[Long]("du_seg")
+        val auBand = wr.getAs[Long]("au_band"); val duBand = wr.getAs[Long]("du_band")
+        require(duSeg + duBand <= 0L,
+          s"Fellegi-Sunter degenerate: both-disagree combo scores positive " +
+            s"(du_seg=$duSeg du_band=$duBand) — some field value covers >= " +
+            s"m of the table; the agreement-family enumeration would drop " +
+            s"qualifying pairs. Widen m or fall back to nation blocking.")
+        def fam(keys: Seq[String], extra: Column): DataFrame =
+          cust.as("a").join(cust.as("b"),
+              keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+                col("a.id") < col("b.id") && extra)
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              (col("a.seg") === col("b.seg")).as("same_segment"),
+              (col("a.band") === col("b.band")).as("same_band"),
+              (when(col("a.seg") === col("b.seg"), lit(auSeg))
+                .otherwise(lit(duSeg)) +
+                when(col("a.band") === col("b.band"), lit(auBand))
+                  .otherwise(lit(duBand))).as("score_units"))
+        // TT always enumerated (cheapest family, keeps the plan/schema
+        // uniform even when its combo is non-positive — the score
+        // filter below still decides); TF/FT only when they can emit.
+        val families =
+          Seq(fam(Seq("nation", "seg", "band"), lit(true))) ++
+          (if (auSeg + duBand > 0L)
+            Seq(fam(Seq("nation", "seg"), col("a.band") =!= col("b.band")))
+          else Nil) ++
+          (if (duSeg + auBand > 0L)
+            Seq(fam(Seq("nation", "band"), col("a.seg") =!= col("b.seg")))
+          else Nil)
+        families.reduce(_ unionByName _)
           .where(col("score_units") > 0L)
           .orderBy("id_a", "id_b")
       },
