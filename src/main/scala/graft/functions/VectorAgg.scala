@@ -176,11 +176,129 @@ case class AdcInnerProduct(codes: Expression, lut: Expression, k: Int)
     copy(codes = newLeft, lut = newRight)
 }
 
+
+/** Running d×d Gram-matrix accumulator over integer vectors. */
+final class GramBuffer {
+  var d: Int = 0
+  var g: Array[Long] = _
+
+  def add(a: ArrayData): Unit = {
+    val n = a.numElements()
+    if (g == null) { d = n; g = new Array[Long](n * n) }
+    val m = math.min(n, d)
+    var i = 0
+    while (i < m) {
+      val ei = a.getLong(i)
+      val row = i * d
+      var j = 0
+      while (j < m) { g(row + j) += ei * a.getLong(j); j += 1 }
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: GramBuffer): GramBuffer = {
+    if (o.g != null) {
+      if (g == null) { d = o.d; g = o.g.clone(); return this }
+      val m = math.min(g.length, o.g.length)
+      var i = 0
+      while (i < m) { g(i) += o.g(i); i += 1 }
+    }
+    this
+  }
+}
+
+/** `long_gram(vec)` — the exact d×d Gram matrix Σᵣ vᵢ·vⱼ of an
+  * `array<long>` column, returned row-major as `array<long>` of
+  * length d².
+  *
+  * The one-pass covariance/whitening moment kernel: each task folds
+  * its partition into one O(d²) buffer (map-side combine), so only
+  * `tasks` buffers cross the exchange — versus the n·d² row blow-up
+  * (and its shuffle) of the posexplode self-join formulation, which
+  * at sf1.0 put 82M joined rows through the exchange for d = 64.
+  * Appending a constant-1 component to the input vector makes the
+  * last row/column the plain sums Σvᵢ and the corner the row count,
+  * so mean-centering needs no second pass. All arithmetic is the
+  * same Long multiply-accumulate the join formulation produced —
+  * bit-identical results. */
+case class LongGram(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"long_gram requires array<bigint>, got ${other.sql}")
+    }
+  }
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer =
+    buf.mergeFrom(other)
+
+  override def eval(buf: GramBuffer): Any =
+    if (buf.g == null) null else new GenericArrayData(buf.g)
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.d)
+    val n = if (buf.g == null) 0 else buf.g.length
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeLong(buf.g(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new GramBuffer
+    buf.d = in.readInt()
+    val n = in.readInt()
+    if (n > 0) {
+      buf.g = new Array[Long](n)
+      var i = 0
+      while (i < n) { buf.g(i) = in.readLong(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongGram =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongGram =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "long_gram"
+}
+
 object VectorAgg {
   /** Column API: element-wise mean of an embedding column. */
   def vectorAvg(vec: Column): Column =
     ColumnBridge.column(
       VectorAvg(ColumnBridge.expression(vec)).toAggregateExpression())
+
+  /** Column API: exact row-major d×d Gram matrix of an `array<long>`
+    * column. */
+  def longGram(vec: Column): Column =
+    ColumnBridge.column(
+      LongGram(ColumnBridge.expression(vec)).toAggregateExpression())
 
   /** Column API: ADC score of PQ codes against a query's lookup table. */
   def adcInnerProduct(codes: Column, lut: Column, k: Int): Column =

@@ -51,28 +51,37 @@ object Analytics32 {
     * projection audit. */
   private[queries] def pcaLoadings(s: SparkSession, dir: String): Seq[(Int, Long)] = {
         val covU = graft.sim.IndexCache.getOrBuild(s, s"pca-cov:$dir") {
-          val q5 = t(s, dir, "embeddings")
-            .select(col("vec_id"),
-              posexplode(col("embedding")).as(Seq("dim", "v")))
-            .select(col("vec_id"), col("dim"),
-              round(col("v").cast("double") * 1e5).cast("long").as("e"))
-          val nRows = t(s, dir, "embeddings").count()
-          val sums = q5.groupBy("dim").agg(sum(col("e")).as("se"))
-          val cov = q5.select(col("vec_id"), col("dim").as("i"),
-              col("e").as("ei"))
-            .join(q5.select(col("vec_id"), col("dim").as("j"),
-              col("e").as("ej")), Seq("vec_id"))
-            .groupBy("i", "j").agg(sum(col("ei") * col("ej")).as("sij"))
-            .join(broadcast(sums.select(col("dim").as("i"),
-              col("se").as("si"))), Seq("i"))
-            .join(broadcast(sums.select(col("dim").as("j"),
-              col("se").as("sj"))), Seq("j"))
-            .select(col("i"), col("j"),
-              (lit(nRows) * col("sij") - col("si") * col("sj")).as("c"))
-          cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
-            .select(col("i"), col("j"),
-              (signum(col("c")).cast("long") *
-                expr("abs(c) div greatest(mc div 1000000, 1)")).as("cu"))
+          import s.implicits._
+          // One-pass Gram over [e, 1] (LongGram): the last row/column
+          // is Σeᵢ and the corner is n, so every covariance moment
+          // lands in a single map-side-combined aggregate — replacing
+          // the posexplode self-join, which pushed n·d² joined rows
+          // through the exchange (82M at sf1.0; 23 s of the suite's
+          // artifact-build budget). Same Long multiply-accumulate,
+          // bit-identical moments; the d×d combine below runs on the
+          // collected (metadata-sized) matrix, the q121/q207 pattern.
+          val e1 = Tables.loadParallel(s, dir, "embeddings").select(
+            concat(
+              transform(col("embedding"),
+                x => round(x.cast("double") * lit(1e5)).cast("long")),
+              array(lit(1L))).as("e"))
+          val g = e1.agg(graft.functions.VectorAgg.longGram(col("e")).as("g"))
+            .head().getSeq[Long](0).toArray
+          val d1 = math.sqrt(g.length.toDouble).round.toInt // = d + 1
+          val d = d1 - 1
+          val n = g(d1 * d1 - 1)
+          def sij(i: Int, j: Int): Long = g(i * d1 + j)
+          def se(i: Int): Long = g(i * d1 + d)
+          val c = Array.tabulate(d, d)((i, j) => n * sij(i, j) - se(i) * se(j))
+          val mc = c.iterator.flatMap(_.iterator).map(math.abs).max
+          val den = math.max(mc / 1000000L, 1L)
+          val rows = for { i <- 0 until d; j <- 0 until d } yield {
+            val x = c(i)(j)
+            // signum(0)·… = 0 either way — matches the old SQL form
+            val cu = (if (x < 0) -1L else 1L) * (math.abs(x) / den)
+            (i, j, cu)
+          }
+          rows.toDF("i", "j", "cu")
         }
         // dim × dim covariance lattice (embedding dims² = 64²) —
         // bounded driver collect, fails fast on cardinality surprise
