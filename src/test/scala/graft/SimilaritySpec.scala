@@ -123,6 +123,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("long_gram == posexplode self-join Gram (differential over real vectors)") {
+    import graft.functions.VectorAgg
+    val e = emb.where($"vec_id" < 200).select($"vec_id",
+      transform($"embedding",
+        x => round(x.cast("double") * lit(1e5)).cast("long")).as("e"))
+    val g = e.repartition(7) // exercise partial-aggregate merge paths
+      .agg(VectorAgg.longGram($"e").as("g"))
+      .select($"g").as[Seq[Long]].head()
+    val d = math.sqrt(g.length.toDouble).round.toInt
+    val q5 = e.select($"vec_id", posexplode($"e").as(Seq("dim", "v")))
+    val oracle = q5.select($"vec_id", $"dim".as("i"), $"v".as("vi"))
+      .join(q5.select($"vec_id", $"dim".as("j"), $"v".as("vj")), Seq("vec_id"))
+      .groupBy($"i", $"j").agg(sum($"vi" * $"vj").as("s"))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(d * d == g.length && oracle.size == d * d)
+    for (((i, j), s) <- oracle)
+      assert(g(i * d + j) == s, s"gram($i,$j)=${g(i * d + j)} != join $s")
+  }
+
+  test("long_gram: appended 1-component carries sums and count; null/empty safe") {
+    import graft.functions.VectorAgg
+    val df = Seq(
+      (1, Some(Seq(2L, 3L))),
+      (1, Some(Seq(5L, -7L))),
+      (1, None)
+    ).toDF("g", "v")
+    val g = df.select(concat($"v", array(lit(1L))).as("e"))
+      .agg(VectorAgg.longGram($"e").as("g")).select($"g")
+      .as[Seq[Long]].head()
+    // d1 = 3: last column = plain sums (7, -4), corner = non-null count
+    assert(g == Seq(
+      2L * 2 + 5L * 5, 2L * 3 + 5L * -7, 2L + 5L,
+      3L * 2 + -7L * 5, 3L * 3 + -7L * -7, 3L - 7L,
+      2L + 5L, 3L - 7L, 2L))
+    val empty = df.where($"g" === 99)
+      .agg(VectorAgg.longGram($"v").as("g")).select($"g").head()
+    assert(empty.isNullAt(0), "empty/all-null input must yield null gram")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(VectorAgg.longGram($"g").as("m")).collect()
+    }
+  }
+
   test("ivfTopK plan construction launches no Spark jobs") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
