@@ -23,13 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default driver heap: the 480-query bench/verify suite accumulates
+// cached warm() artifacts, localCheckpoint blocks, and codegen classes
+// in one JVM; at 8g the back half of the run is GC-bound (measured
+// rested REPS=2 sf0.1 totals: 8g 187.5s -> 16g 166.8s -> 32g 145.6s,
+// with late-suite queries inflated 2-4x at 8g vs isolated). But a fixed
+// 32g on a small dev/CI box would swap or invoke the OOM killer — worse
+// than GC pressure — so the default is clamped to half of detected
+// physical RAM, capped at 32g. OVERRIDE with SPARK_DRIVER_MEM=<n>g
+// (always wins, no clamp).
+val driverHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val physGb: Long =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong }
+      kb.map(_ / (1024L * 1024L)).getOrElse(64L)
+    } catch { case _: Throwable => 64L } // non-Linux: assume big box
+  s"${math.max(2L, math.min(32L, physGb / 2))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g, not 8g: the 480-query bench/verify suite accumulates cached
-  // warm() artifacts, localCheckpoint blocks, and codegen classes in one
-  // JVM; at 8g the back half of the run is GC-bound (measured rested
-  // REPS=2 sf0.1 totals: 8g 187.5s -> 16g 166.8s -> 32g 145.6s, with
-  // individual late-suite queries inflated 2-4x at 8g vs isolated runs).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx$driverHeap",
 )

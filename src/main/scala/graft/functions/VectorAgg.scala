@@ -177,7 +177,14 @@ case class AdcInnerProduct(codes: Expression, lut: Expression, k: Int)
 }
 
 
-/** Running d×d Gram-matrix accumulator over integer vectors. */
+/** Running d×d Gram-matrix accumulator over integer vectors.
+  *
+  * The dimension is fixed by the first vector each buffer sees; a
+  * later row (or a merged buffer) with a DIFFERENT length throws —
+  * silently truncating ragged input would make the result depend on
+  * which row a partition happened to see first (partition-order
+  * nondeterminism), and `long_gram` is a public Column-API function,
+  * not only the internal covariance kernel. */
 final class GramBuffer {
   var d: Int = 0
   var g: Array[Long] = _
@@ -185,13 +192,14 @@ final class GramBuffer {
   def add(a: ArrayData): Unit = {
     val n = a.numElements()
     if (g == null) { d = n; g = new Array[Long](n * n) }
-    val m = math.min(n, d)
+    else if (n != d) throw new IllegalArgumentException(
+      s"long_gram: ragged input — vector of length $n after length $d")
     var i = 0
-    while (i < m) {
+    while (i < n) {
       val ei = a.getLong(i)
       val row = i * d
       var j = 0
-      while (j < m) { g(row + j) += ei * a.getLong(j); j += 1 }
+      while (j < n) { g(row + j) += ei * a.getLong(j); j += 1 }
       i += 1
     }
   }
@@ -199,9 +207,10 @@ final class GramBuffer {
   def mergeFrom(o: GramBuffer): GramBuffer = {
     if (o.g != null) {
       if (g == null) { d = o.d; g = o.g.clone(); return this }
-      val m = math.min(g.length, o.g.length)
+      if (o.d != d) throw new IllegalArgumentException(
+        s"long_gram: merging buffers of dimension ${o.d} and $d (ragged input)")
       var i = 0
-      while (i < m) { g(i) += o.g(i); i += 1 }
+      while (i < g.length) { g(i) += o.g(i); i += 1 }
     }
     this
   }

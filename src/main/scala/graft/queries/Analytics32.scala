@@ -69,10 +69,22 @@ object Analytics32 {
             .head().getSeq[Long](0).toArray
           val d1 = math.sqrt(g.length.toDouble).round.toInt // = d + 1
           val d = d1 - 1
+          // n is the Gram corner = count of NON-NULL embedding rows
+          // (LongGram skips nulls), where the pre-r7 formulation used
+          // embeddings.count(); identical here because the generator
+          // emits no null embeddings — asserted below so a null-bearing
+          // input fails loudly instead of silently shifting n.
           val n = g(d1 * d1 - 1)
+          require(n == Tables.loadParallel(s, dir, "embeddings").count(),
+            "q270: null embedding rows — Gram corner n != table count")
           def sij(i: Int, j: Int): Long = g(i * d1 + j)
           def se(i: Int): Long = g(i * d1 + d)
-          val c = Array.tabulate(d, d)((i, j) => n * sij(i, j) - se(i) * se(j))
+          // Exact arithmetic: n·sij approaches 2^63 once n·d·scale²
+          // grows (ANSI SQL would error here; plain Long would wrap
+          // silently) — throw on overflow instead.
+          val c = Array.tabulate(d, d)((i, j) => Math.subtractExact(
+            Math.multiplyExact(n, sij(i, j)),
+            Math.multiplyExact(se(i), se(j))))
           val mc = c.iterator.flatMap(_.iterator).map(math.abs).max
           val den = math.max(mc / 1000000L, 1L)
           val rows = for { i <- 0 until d; j <- 0 until d } yield {

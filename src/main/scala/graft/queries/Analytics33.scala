@@ -300,11 +300,6 @@ object Analytics33 {
         val wr = w.head()
         val auSeg = wr.getAs[Long]("au_seg"); val duSeg = wr.getAs[Long]("du_seg")
         val auBand = wr.getAs[Long]("au_band"); val duBand = wr.getAs[Long]("du_band")
-        require(duSeg + duBand <= 0L,
-          s"Fellegi-Sunter degenerate: both-disagree combo scores positive " +
-            s"(du_seg=$duSeg du_band=$duBand) — some field value covers >= " +
-            s"m of the table; the agreement-family enumeration would drop " +
-            s"qualifying pairs. Widen m or fall back to nation blocking.")
         def fam(keys: Seq[String], extra: Column): DataFrame =
           cust.as("a").join(cust.as("b"),
               keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
@@ -319,8 +314,17 @@ object Analytics33 {
         // TT always enumerated (cheapest family, keeps the plan/schema
         // uniform even when its combo is non-positive — the score
         // filter below still decides); TF/FT only when they can emit.
+        // DEGENERATE weights (both-disagree combo scores positive —
+        // some field value covers ≥ m of the table): agreement-family
+        // pruning is unsound, so fall back to the full nation-block
+        // enumeration, which is correct at ANY weights (quadratic in
+        // the nation cohort — the pre-r7 cost, paid only on such data).
+        // The nation-only family also scores null seg/band rows as
+        // disagreements (=== is null → otherwise(du)) instead of
+        // dropping them from the equi-join.
         val families =
-          Seq(fam(Seq("nation", "seg", "band"), lit(true))) ++
+          if (duSeg + duBand > 0L) Seq(fam(Seq("nation"), lit(true)))
+          else Seq(fam(Seq("nation", "seg", "band"), lit(true))) ++
           (if (auSeg + duBand > 0L)
             Seq(fam(Seq("nation", "seg"), col("a.band") =!= col("b.band")))
           else Nil) ++
