@@ -246,18 +246,29 @@ object Analytics10 {
             datediff(col("maxday"), col("lastday")).as("rec"),
             col("freq"), col("mon"))
         import graft.operators.Ranks
-        val nCust = rfm.agg(count(lit(1)).as("n_cust"))
-        val ranked = Seq[(String, Seq[Column])](
-          "rn_r" -> Seq(col("rec"), col("o_custkey")),
-          "rn_f" -> Seq(col("freq").desc, col("o_custkey")),
-          "rn_m" -> Seq(col("mon").desc, col("o_custkey"))
-        ).foldLeft(rfm) { case (d, (out, ord)) =>
-          Ranks.withGlobalRank(d, ord, out)
-        }.crossJoin(broadcast(nCust))
-        def quart(rn: String) =
-          Ranks.ntileFromRank(col(rn), col("n_cust"), 4).cast("string")
-        ranked.select(concat(quart("rn_r"), quart("rn_f"), quart("rn_m"))
-            .as("segment"))
+        // ONE distributed rank pass for all three dimensions (was
+        // three sequential withGlobalRank passes + a count job): melt
+        // each customer into (dim, sort-key) rows — descending orders
+        // negate the exact integer key — and rank within dim; the
+        // pass's group total doubles as n_cust, so no separate count
+        // and no crossJoin. 3n melted rows shuffle once, versus n rows
+        // shuffling three times in sequence.
+        val melted = rfm.select(col("o_custkey"), explode(array(
+            struct(lit("r").as("dim"), col("rec").cast("long").as("sk")),
+            struct(lit("f").as("dim"), (-col("freq")).cast("long").as("sk")),
+            struct(lit("m").as("dim"),
+              (-(col("mon") * 100)).cast("long").as("sk")))).as("e"))
+          .select(col("o_custkey"), col("e.dim").as("dim"),
+            col("e.sk").as("sk"))
+        val ranked = Ranks.withPrefixSums(melted, Seq(col("dim")),
+          Seq(col("sk"), col("o_custkey")), Seq((lit(1L), "rn", "nc")))
+        val quart = Ranks.ntileFromRank(col("rn"), col("nc"), 4)
+          .cast("string")
+        ranked.groupBy("o_custkey")
+          .agg(concat(
+            max(when(col("dim") === "r", quart)),
+            max(when(col("dim") === "f", quart)),
+            max(when(col("dim") === "m", quart))).as("segment"))
           .groupBy("segment").agg(count(lit(1)).as("customers"))
           .orderBy("segment")
       },

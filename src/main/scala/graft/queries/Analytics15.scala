@@ -137,13 +137,12 @@ object Analytics15 {
     // ---- graph + label chain, so this audits q132's output ----------
     Q("q183_modularity",
       (s, dir) => {
-        val lbl = GraphRank.labelPropagation(
-          Analytics5.undEdgesCached(s, dir), iters = 3,
-          broadcastLabels = true)
-          .localCheckpoint(true) // three downstream references
+        // labels + degrees are the cached cross-query artifacts
+        // (q132/q183/q279 share them) — no per-query checkpoint needed
+        val lbl = Analytics5.lpaLabelsCached(s, dir)
         val e = Analytics4.triEdgesCached(s, dir)
-        val deg = Analytics5.undEdgesCached(s, dir)
-          .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        val deg = Analytics5.undDegCached(s, dir)
+          .select(col("node"), col("ki").as("d"))
         val m = e.agg(count(lit(1)).as("m"))
         val intra = e
           .join(lbl.select(col("node").as("p1"), col("community").as("c1")),

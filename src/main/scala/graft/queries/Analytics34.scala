@@ -260,12 +260,10 @@ object Analytics34 {
     Q("q279_louvain_gains",
       (s, dir) => {
         val und = Analytics5.undEdgesCached(s, dir)
-        // lbl/deg/links each feed 2-3 downstream joins — checkpoint so
-        // the label round and the edge-sized aggregations run once
-        val lbl = GraphRank.labelPropagation(und, iters = 3,
-          broadcastLabels = true).localCheckpoint(true)
-        val deg = und.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("ki")).localCheckpoint(true)
+        // labels + degrees come from the cached cross-query artifacts
+        // (q132/q183 share them); links feeds 2 joins — checkpoint it
+        val lbl = Analytics5.lpaLabelsCached(s, dir)
+        val deg = Analytics5.undDegCached(s, dir)
         val m = Analytics4.triEdgesCached(s, dir).agg(count(lit(1)).as("m"))
         val sTot = lbl.join(deg, Seq("node"))
           .groupBy(col("community")).agg(sum(col("ki")).as("stot"))

@@ -185,59 +185,56 @@ object Analytics45 {
     // ---- winsorized moments. ----------------------------------------
     Q("q333_huber_location",
       (s, dir) => {
+        import s.implicits._
+        import graft.operators.Select
+        // The whole chain is scalar-valued: two exact order-statistic
+        // pairs (median, MAD) and three IRLS scalars. Selection
+        // (bounded-histogram refinement, Select scaladoc) reads each
+        // median pair off in 2 scan-aggregations — no range exchange,
+        // no checkpoint, no rank join — and the IRLS estimates thread
+        // through as driver literals (1-row metadata, the centroid
+        // class). 8 dependent jobs total, each a map-side-combined
+        // scan of one pruned column; the r7 rank formulation paid ~12.
         val data = t(s, dir, "orders")
-          .select(col("o_orderkey").as("key"),
-            round(col("o_totalprice") * 100).cast("long").as("x"))
-          .localCheckpoint(true)
-        val n = data.agg(count(lit(1)).as("nm"))
-        // exact medians via distributed global rank (range-partitioned;
-        // no single-task sort of the orders table — Ranks scaladoc)
-        val med2 = graft.operators.Ranks
-          .withGlobalRank(data, Seq(asc("x"), asc("key")), "rn")
-          .crossJoin(broadcast(n))
-          .agg(sum(when(col("rn") === expr("(nm + 1) div 2"), col("x"))
-            .otherwise(0L)).as("m1"),
-            sum(when(col("rn") === expr("(nm + 2) div 2"), col("x"))
-              .otherwise(0L)).as("m2"))
-          .select((col("m1") + col("m2")).as("med2"))
-        val absdev = data.crossJoin(broadcast(med2))
-          .select(col("key"), abs(col("x") * 2 - col("med2")).as("d2"))
-        val mad4 = graft.operators.Ranks
-          .withGlobalRank(absdev, Seq(asc("d2"), asc("key")), "rn")
-          .crossJoin(broadcast(n))
-          .agg(sum(when(col("rn") === expr("(nm + 1) div 2"), col("d2"))
-            .otherwise(0L)).as("d1"),
-            sum(when(col("rn") === expr("(nm + 2) div 2"), col("d2"))
-              .otherwise(0L)).as("dd2"))
-          .select((col("d1") + col("dd2")).as("mad4"))
-        val params = med2.crossJoin(mad4)
-          .select((col("med2").cast("double") / 2.0).as("m0"),
-            (col("mad4").cast("double") / 4.0).as("mad"),
-            (lit(1.5) * col("mad4").cast("double") / 4.0).as("kk"))
-        def step(prev: DataFrame, mCol: String): DataFrame =
-          data.crossJoin(broadcast(prev))
-            .select(prev.columns.map(col) :+
-              least(lit(1.0), col("kk") /
-                abs(col("x").cast("double") - col(mCol))).as("w") :+
-              col("x"): _*)
-            .select(prev.columns.map(col) :+
-              round(col("w") * col("x").cast("double"), 6)
-                .cast(DecimalType(38, 6)).as("wx") :+
-              round(col("w"), 9).cast(DecimalType(38, 9)).as("wt"): _*)
-            .groupBy(prev.columns.map(col): _*)
+          .select(round(col("o_totalprice") * 100).cast("long").as("x"))
+        val st = Select.longStats(data, col("x"))
+        val ks = Seq((st.n + 1) / 2, (st.n + 2) / 2).distinct
+        val med = Select.kthLong(data, col("x"), ks, Some(st),
+          buckets = 1 << 16)
+        val med2 = ks.map(med).sum * (if (ks.size == 1) 2 else 1)
+        val dev = data.select(abs(col("x") * 2 - med2).as("d2"))
+        // d2 ∈ [0, 2·max(|x|) + |med2|] — same stats, no extra job
+        val dst = Select.LongStats(st.n, 0L,
+          math.max(math.abs(2 * st.hi - med2), math.abs(2 * st.lo - med2)))
+        val madv = Select.kthLong(dev, col("d2"), ks, Some(dst),
+          buckets = 1 << 16)
+        val mad4 = ks.map(madv).sum * (if (ks.size == 1) 2 else 1)
+        val m0 = med2.toDouble / 2.0
+        val mad = mad4.toDouble / 4.0
+        val kk = 1.5 * mad4.toDouble / 4.0
+        // IRLS: each step's weighted mean is one aggregation with the
+        // previous estimate as a literal — arithmetic identical to the
+        // r7 column form (same round/cast grid, same ψ-weights)
+        var m = m0
+        for (_ <- 1 to 3) {
+          val r = data
+            .select(least(lit(1.0), lit(kk) /
+              abs(col("x").cast("double") - m)).as("w"), col("x"))
+            .select(round(col("w") * col("x").cast("double"), 6)
+              .cast(DecimalType(38, 6)).as("wx"),
+              round(col("w"), 9).cast(DecimalType(38, 9)).as("wt"))
             .agg(sum(col("wx")).cast("double").as("swx"),
-              sum(col("wt")).cast("double").as("swt"))
-            .select(prev.columns.map(col) :+
-              (col("swx") / col("swt")).as(mCol + "n"): _*)
-        val it1 = step(params, "m0")
-        val it2 = step(it1, "m0n")
-        val it3 = step(it2, "m0nn")
-        it3.crossJoin(broadcast(n))
-          .select(col("nm").as("n"),
+              sum(col("wt")).cast("double").as("swt")).head()
+          m = r.getDouble(0) / r.getDouble(1)
+        }
+        // final rounding through the SAME Spark round() the r7 column
+        // form used (engine-identical HALF_UP on doubles)
+        Seq((st.n, m0, mad, m)).toDF("n", "m0", "madr", "m3")
+          .select(col("n"),
             round(col("m0") / 100.0, 2).as("median"),
-            round(col("mad") / 100.0, 2).as("mad"),
-            round(col("m0nnn") / 100.0, 2).as("huber_m"),
-            round((col("m0nnn") - col("m0")) / 100.0, 2).as("shift"))
+            round(col("madr") / 100.0, 2).as("mad"),
+            round(col("m3") / 100.0, 2).as("huber_m"),
+            round((col("m3") - col("m0")) / 100.0, 2).as("shift"))
       },
       Some("""WITH data AS MATERIALIZED (
              |  SELECT o_orderkey AS key,

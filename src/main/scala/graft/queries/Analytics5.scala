@@ -367,8 +367,7 @@ object Analytics5 {
     // ---- then community sizes. Per round: one equi-join + two
     // ---- key-partitioned aggregations, argmax via max(struct) ------
     Q("q132_lpa_communities",
-      (s, dir) => GraphRank.labelPropagation(undEdgesCached(s, dir),
-          iters = 3, broadcastLabels = true)
+      (s, dir) => lpaLabelsCached(s, dir)
         .groupBy(col("community")).agg(count(lit(1)).as("size"))
         .orderBy(desc("size"), asc("community")).limit(20),
       Some(GraphRank.lpaSql(
@@ -471,25 +470,32 @@ object Analytics5 {
              |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)),
 
     // ---- exact weighted median per group: cumulative-weight crossing
-    // ---- over DECIMAL-exact weights; the qualifying set is an upper
-    // ---- suffix of the price order, so MIN(price) reads the median
-    // ---- off without a second sort. The running sum is computed
-    // ---- distributively (Ranks.withPrefixSum) — `flag` has only 3
-    // ---- values, so a flag-partitioned window would sort a third of
-    // ---- lineitem in one task. `cw >= tw - cw` avoids widening the
-    // ---- decimal beyond either engine's 38-digit cap ----------------
+    // ---- over DECIMAL-exact weights. The crossing row's price is the
+    // ---- smallest p with 2·W(≤p) ≥ W_total (the qualifying set is an
+    // ---- upper suffix of the price order), so it is 2 bounded-
+    // ---- histogram refinement jobs over the cent grid
+    // ---- (Select.weightedCrossings) — no row-level shuffle, no
+    // ---- localCheckpoint, versus the r7 prefix-sum pass's range
+    // ---- exchange + offset join (1.23 s of job-chain floor at
+    // ---- sf0.1). `flag` is a 3-value enum (lattice-sized driver
+    // ---- state); the histogram stays ≤ 2^16 counters per group at
+    // ---- any scale factor. ------------------------------------------
     Q("q135_weighted_median",
       (s, dir) => {
-        val base = t(s, dir, "lineitem")
-          .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
-            col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("w"))
-        graft.operators.Ranks.withPrefixSum(base, Seq(col("flag")),
-            Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
-            col("w"), "cw", "tw")
-          .where(col("cw") >= col("tw") - col("cw"))
-          .groupBy(col("flag"))
-          .agg(min(col("l_extendedprice")).as("wmedian"))
-          .orderBy("flag")
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        // domain hint: extendedprice is 2-dp money < $1.34M, so the
+        // cent grid sits inside [0, 2^27) — the hint fuses the stats
+        // job into round 1 (2 scan-aggs total) and is efficiency-only
+        // (out-of-hint values still count; see Select scaladoc)
+        graft.operators.Select.weightedCrossings(li,
+            Seq(col("l_returnflag")),
+            round(col("l_extendedprice") * 100).cast("long"),
+            col("l_extendedprice"), dec("l_quantity"),
+            domainHint = Some((0L, (1L << 27) - 1)))
+          .map { case (key, _, carry, _) =>
+            (key.head.asInstanceOf[String], carry.asInstanceOf[Double]) }
+          .toDF("flag", "wmedian").orderBy("flag")
       },
       Some("""WITH f AS (
              |  SELECT l_returnflag AS flag, l_extendedprice, l_orderkey,
@@ -514,6 +520,25 @@ object Analytics5 {
       val e = Analytics4.triEdgesCached(s, dir)
       e.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(e.select(col("p2").as("src"), col("p1").as("dst")))
+    }
+
+  /** The 3-round LPA community labels over [[undEdgesCached]], cached
+    * per (app, dir): q132 reports their sizes, q183 their modularity,
+    * q279 the Louvain move gains — one label table feeds all three
+    * (node-sized, like a centroid table; the clustering is an ingest
+    * artifact, its audits are queries). */
+  def lpaLabelsCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, s"lpa-lbl:$dir") {
+      GraphRank.labelPropagation(undEdgesCached(s, dir), iters = 3,
+        broadcastLabels = true)
+    }
+
+  /** Per-node degree of the undirected co-purchase graph (node-sized),
+    * cached: q183's degree-share terms and q279's k_i both read it. */
+  def undDegCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, s"tri-und-deg:$dir") {
+      undEdgesCached(s, dir)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("ki"))
     }
 
 }
