@@ -100,6 +100,19 @@ object Multimodal {
     }.toDF()
   }
 
+  /** BMP-still synthesis for the q103 oracle: every document becomes a
+    * real uncompressed 24-bit BMP whose dimensions are pure functions
+    * of the id (see [[PortableMedia.bmpBlob]]), so the oracle re-derives
+    * width/height/byte-count arithmetically and a pass proves the BMP
+    * parser inverts the synthesis. */
+  def synthesizeBmp(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    val ids = docs.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map(id => MediaRow(id, "image", PortableMedia.bmpBlob(id)))
+    }.toDF()
+  }
+
   /** Batched decode: blob → typed metadata + feature vector. */
   def decodeAll(media: DataFrame, decoder: MediaDecoder,
                 featureDim: Int = 8): Dataset[DecodedRow] = {

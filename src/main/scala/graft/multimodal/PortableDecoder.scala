@@ -4,7 +4,10 @@ package graft.multimodal
   * zero native libraries:
   *
   *  - `image`: binary PPM (netpbm P6) — header `P6 <w> <h> <maxval>`
-  *    with whitespace/`#`-comment handling, then `3·w·h` raw RGB bytes;
+  *    with whitespace/`#`-comment handling, then `3·w·h` raw RGB bytes —
+  *    or classic Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  *    uncompressed 24-bit, padded bottom-up/top-down rows), sniffed by
+  *    container magic;
   *  - `video`: a concatenated-P6 stream (the netpbm animation
   *    convention: frames are back-to-back P6 images);
   *  - `audio`: RIFF/WAVE PCM — proper chunk walk to `fmt ` and `data`,
@@ -75,6 +78,30 @@ object PortableDecoder extends MediaDecoder {
     if (ok && frames > 0) dims.map { case (w, h) => (w, h, frames) } else None
   }
 
+  // ---- BMP (BITMAPINFOHEADER, uncompressed 24-bit) --------------------
+
+  /** Parse a classic BMP still: Some((w, h, dataOff, rowSize)).
+    * Accepts bottom-up (h > 0) and top-down (h < 0) rows; requires
+    * BI_RGB 24-bit and the pixel array to end exactly at EOF (stills
+    * refuse trailing bytes, like the P6 path). */
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    val h = math.abs(hRaw)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 ||
+      compression != 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val end = dataOff + rowSize.toLong * h
+    if (dataOff < 54 || end != b.length) return None
+    Some((w, h, dataOff.toInt, rowSize))
+  }
+
   // ---- RIFF/WAVE -----------------------------------------------------
 
   private def le16(b: Array[Byte], i: Int): Int =
@@ -115,6 +142,12 @@ object PortableDecoder extends MediaDecoder {
   private def bad(kind: String) = MediaMeta(kind, 0, 0, 0, 0, ok = false)
 
   def decode(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
+    // stills sniff the container magic: 'BM' -> BMP, 'P6' -> netpbm
+    case "image" if bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M' =>
+      parseBmp(bytes) match {
+        case Some((w, h, _, _)) => MediaMeta(kind, w, h, 0, 1, ok = true)
+        case None => bad(kind)
+      }
     case "image" => parseP6(bytes, 0) match {
       // a still must be exactly one frame — trailing bytes are refused
       case Some((w, h, end)) if end == bytes.length =>
@@ -153,6 +186,26 @@ object PortableDecoder extends MediaDecoder {
       out
     }
     kind match {
+      case "image" if bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M' =>
+        parseBmp(bytes) match {
+          case Some((w, h, off, rowSize)) =>
+            // pool over the BGR bytes row-wise, skipping the 4-byte pad
+            val n = 3 * w * h
+            val out = new Array[Float](dim)
+            val cnt = new Array[Int](dim)
+            var i = 0
+            while (i < n) {
+              val row = i / (3 * w); val c = i % (3 * w)
+              val slot = (i.toLong * dim / n).toInt
+              out(slot) += (bytes(off + row * rowSize + c) & 0xFF) / 255.0f
+              cnt(slot) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+            out
+          case None => new Array[Float](dim)
+        }
       case "image" | "video" => parseP6(bytes, 0) match {
         case Some((w, h, end)) =>
           val px = end - 3 * w * h

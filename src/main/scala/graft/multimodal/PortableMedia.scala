@@ -55,6 +55,39 @@ object PortableMedia {
     out.toByteArray
   }
 
+  /** Classic Windows BMP: 14-byte BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up rows padded
+    * to 4 bytes — the other still format a JVM can parse without any
+    * codec library. Total size = 54 + ((3w + 3) / 4 · 4) · h. */
+  def bmpBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowSize * h
+    val out = new ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write('B'); out.write('M')
+    le32(54L + dataLen); le32(0L); le32(54L)          // file header
+    le32(40L); le32(w.toLong); le32(h.toLong)          // info header
+    le16(1); le16(24); le32(0L); le32(dataLen.toLong)  // planes/bpp/BI_RGB
+    le32(2835L); le32(2835L); le32(0L); le32(0L)       // 72 dpi, palette
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 3 * w) { out.write(pixel(seed, y * 3 * w + x) & 0xFF); x += 1 }
+      var p = 3 * w
+      while (p < rowSize) { out.write(0); p += 1 }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** q103 synthesis formulas: w = 4 + id % 9, h = 4 + id % 7. */
+  def bmpBlob(id: Long): Array[Byte] =
+    bmpBytes(4 + (id % 9).toInt, 4 + (id % 7).toInt, id)
+
   def videoBytes(frames: Int, seed: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     var f = 0

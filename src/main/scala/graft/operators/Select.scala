@@ -155,6 +155,122 @@ object Select {
     out
   }
 
+  /** Exact weighted QUANTILE crossings (ungrouped): for each rational
+    * target num/den, the smallest x with W(≤x)·den ≥ W_total·num —
+    * plus the exact max x as the (1, 1) target. One aggregation when
+    * the hinted domain is exact-collectable (≤ 4·buckets values, e.g.
+    * a concurrency-level axis); refinement rounds otherwise, exactly
+    * as [[kthLong]]. Weights must be exactly summable (long/decimal).
+    * Returns target → crossing x. */
+  def weightedQuantilesLong(df: DataFrame, x: Column, w: Column,
+                            targets: Seq[(Long, Long)],
+                            domainHint: (Long, Long),
+                            buckets: Int = 1 << 13): Map[(Long, Long), Long] = {
+    require(targets.nonEmpty && targets.size <= 16)
+    require(targets.forall { case (n, d) => n >= 0 && d > 0 && n <= d })
+    val data = df.select(x.cast("long").as("_sx"), w.as("_w"))
+      .where(col("_sx").isNotNull)
+    def dec(a: Any): BigDecimal = a match {
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case l: java.lang.Long => BigDecimal(l)
+      case i: java.lang.Integer => BigDecimal(i.intValue())
+      case other => throw new IllegalArgumentException(
+        s"weightedQuantilesLong: non-exact weight type ${other.getClass}")
+    }
+    val (hlo, hhi) = domainHint
+    val exactW = buckets.toLong * 4
+    // round 0: absolute-grid histogram, unfiltered (hint is efficiency-
+    // only; out-of-hint values land in out-of-range bucket ids and are
+    // still counted — see weightedCrossings scaladoc)
+    val exact0 = widthOf(hlo, hhi) <= exactW
+    val shift0 = if (exact0) 0 else shiftFor(hlo, hhi, buckets)
+    val bk0 =
+      if (exact0) col("_sx") - hlo
+      else when(col("_sx") >= hlo, shiftright(col("_sx") - hlo, shift0))
+        .otherwise(lit(-1L) *
+          (shiftright(lit(hlo) - col("_sx") - 1, shift0) + 1))
+    val h0 = timed("wq.round0")(collectHist(
+      data.groupBy(bk0.as("_bk")).agg(sum(col("_w")).as("_ws")),
+      exactW + 64, "Select.weightedQuantilesLong round 0"))
+      .map(r => (r.getLong(0), dec(r.get(1)))).sortBy(_._1)
+    val tot = h0.iterator.map(_._2).foldLeft(BigDecimal(0))(_ + _)
+    var out = Map.empty[(Long, Long), Long]
+    // state per target: (lo, hi, weight below lo)
+    var state = Map.empty[(Long, Long), (Long, Long, BigDecimal)]
+    targets.distinct.foreach { case (num, den) =>
+      var cum = BigDecimal(0)
+      var hit = false
+      val it = h0.iterator
+      while (it.hasNext && !hit) {
+        val (b, ws) = it.next()
+        if ((cum + ws) * BigDecimal(den) >= tot * BigDecimal(num)) {
+          if (exact0) out += (num, den) -> (hlo + b)
+          else {
+            val nlo = hlo + (b << shift0)
+            state += (num, den) -> (nlo, nlo + (1L << shift0) - 1, cum)
+          }
+          hit = true
+        }
+        cum += ws
+      }
+      require(hit || num == 0,
+        s"weightedQuantilesLong: no crossing for $num/$den")
+      if (!hit && num == 0) out += (num, den) -> hlo // empty input, W=0
+    }
+    var rounds = 0
+    while (state.nonEmpty) {
+      rounds += 1
+      require(rounds <= 8, "weightedQuantilesLong: failed to converge")
+      val intervals = state.values.map { case (lo, hi, _) => (lo, hi) }
+        .toSeq.distinct.sortBy(_._1)
+      val tagged = intervals.zipWithIndex.map { case ((lo, hi), i) =>
+        val in = col("_sx") >= lo && col("_sx") <= hi
+        val b =
+          if (widthOf(lo, hi) <= exactW) col("_sx") - lo
+          else shiftright(col("_sx") - lo, shiftFor(lo, hi, buckets))
+        (in, lit(i), b)
+      }
+      val iv = tagged.foldRight(lit(null).cast("int")) { case ((in, i, _), e) =>
+        when(in, i).otherwise(e) }
+      val bk = tagged.foldRight(lit(null).cast("long")) { case ((in, _, b), e) =>
+        when(in, b).otherwise(e) }
+      val hist = timed(s"wq.round$rounds")(collectHist(
+        data.where(iv.isNotNull)
+          .groupBy(iv.as("_iv"), bk.as("_bk")).agg(sum(col("_w")).as("_ws")),
+        intervals.size.toLong * (exactW + 1),
+        "Select.weightedQuantilesLong (intervals x buckets)"))
+        .map(r => (r.getInt(0), r.getLong(1), dec(r.get(2))))
+        .groupBy(_._1)
+        .map { case (i, rs) =>
+          i -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      var next = Map.empty[(Long, Long), (Long, Long, BigDecimal)]
+      state.foreach { case (t @ (num, den), (lo, hi, below)) =>
+        val i = intervals.indexOf((lo, hi))
+        val bs = hist.getOrElse(i, Seq.empty)
+        var cum = below
+        var hit = false
+        val isExact = widthOf(lo, hi) <= exactW
+        val shift = if (isExact) 0 else shiftFor(lo, hi, buckets)
+        val it = bs.iterator
+        while (it.hasNext && !hit) {
+          val (b, ws) = it.next()
+          if ((cum + ws) * BigDecimal(den) >= tot * BigDecimal(num)) {
+            if (isExact) out += t -> (lo + b)
+            else {
+              val nlo = lo + (b << shift)
+              next += t -> (nlo, math.min(hi, nlo + (1L << shift) - 1), cum)
+            }
+            hit = true
+          }
+          cum += ws
+        }
+        require(hit, s"weightedQuantilesLong: lost crossing for $num/$den")
+      }
+      state = next
+    }
+    out
+  }
+
   /** Exact weighted-median CROSSING per group: the smallest x with
     * 2·W(≤x) ≥ W_total under exactly-summable weights (long / decimal)
     * — the `cw >= tw - cw` crossing row of the cumulative-distribution

@@ -88,11 +88,14 @@ object Analytics13 {
     // ---- second score; never supplier² -------------------------------
     Q("q172_supplier_similarity",
       (s, dir) => {
-        // the self-join's two sp references dedupe via ReuseExchange;
-        // sizes is supplier-sized, so its joins broadcast
+        // sp feeds four consumers (self-join twice + sizes' two
+        // broadcast builds, whose differing projections defeat
+        // ReuseExchange) — checkpoint so the lineitem scan + distinct
+        // runs once; sizes is supplier-sized, so its joins broadcast
         val sp = t(s, dir, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint(false)
         val sizes = sp.groupBy("sk").agg(count(lit(1)).as("n"))
         val co = sp.select(col("pk"), col("sk").as("s1"))
           .join(sp.select(col("pk"), col("sk").as("s2")), Seq("pk"))

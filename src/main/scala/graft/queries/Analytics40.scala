@@ -186,31 +186,48 @@ object Analytics40 {
         val deltas = sess.select(col("st").as("ts"), lit(1L).as("d"))
           .unionByName(sess.select(col("en").as("ts"), lit(-1L).as("d")))
           .groupBy("ts").agg(sum(col("d")).as("d"))
-        // sweep line: the running level and the successor timestamp are
-        // endpoint-grain (scales with events) → distributed prefix sum
-        // + rank/self-join, never a global-window sort. The level table
-        // (distinct concurrency levels) gets its running sum the same
-        // way — peak concurrency scales with data too.
-        import graft.operators.Ranks
-        // running level + endpoint position in ONE prefix-sum pass
-        val levR = Ranks.withPrefixSums(deltas, Seq.empty, Seq(col("ts")),
-            Seq((col("d"), "level", "_sumd"), (lit(1L), "rn", "_ne")))
-          .drop("_sumd", "_ne")
-        val levels = levR
-          .join(levR.select((col("rn") - 1L).as("rn"), col("ts").as("nxt")),
-            Seq("rn"))   // inner join drops the last endpoint (no successor)
+        // fused sweep line: ONE frozen range layout yields the running
+        // level (per-partition prefix sum + broadcast offsets), the
+        // successor timestamp (lead within partition + the next
+        // partition's first ts from the same census) and the per-level
+        // durations — r7's separate rank self-join and second prefix
+        // pass are folded away. Endpoint grain scales with events, so
+        // everything row-level stays distributed; the census is
+        // shuffle-partition-sized metadata.
+        val np = s.sessionState.conf.numShufflePartitions
+        val parted = deltas.repartitionByRange(np, col("ts"))
+          .sortWithinPartitions("ts")
+          .withColumn("_pid", shiftright(monotonically_increasing_id(), 33))
+          .localCheckpoint(false)
+        val census = parted.groupBy("_pid")
+          .agg(sum(col("d")).as("sd"), min(col("ts")).as("fts"))
+          .collect().sortBy(_.getLong(0)) // ≤ np rows (metadata-sized)
+        val offRows = census.zipWithIndex.map { case (r, i) =>
+          val off = census.take(i).map(_.getLong(1)).sum
+          val nft: java.lang.Long =
+            if (i + 1 < census.length) census(i + 1).getLong(2) else null
+          (r.getLong(0), off, nft)
+        }.toSeq
+        import s.implicits._
+        val offDf = offRows.toDF("_pid", "_off", "_nft")
+        val lw = Window.partitionBy("_pid").orderBy("ts")
+        val lev = parted.join(broadcast(offDf), Seq("_pid"))
+          .withColumn("level", col("_off") + sum(col("d")).over(
+            lw.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nxt", coalesce(lead(col("ts"), 1).over(lw),
+            col("_nft")))
+          .where(col("nxt").isNotNull) // global last endpoint: no successor
           .select(col("level"), (col("nxt") - col("ts")).as("dur"))
-          .groupBy("level").agg(sum(col("dur")).as("dur"))
-        val ranked = Ranks.withPrefixSum(levels, Seq.empty,
-          Seq(col("level")), col("dur"), "cum", "tt")
-        // all four readouts in ONE scan of the (small) ranked level
-        // table: conditional-min per quantile + max for the peak —
-        // four separate filter+agg jobs and three crossJoins were pure
-        // stage-submission overhead (2.7 s → the job count, not data)
-        def pct(num: Int) =
-          min(when(col("cum") * 100 >= col("tt") * num, col("level")))
-        ranked.agg(pct(50).as("p50"), pct(90).as("p90"),
-          pct(99).as("p99"), max(col("level")).as("peak"))
+        // all four readouts from ONE histogram job: the three quantile
+        // crossings plus the peak as the (1,1) crossing (= max level).
+        // Hint: concurrency peak < 2^17 simultaneous sessions — exact-
+        // collectable axis; a larger peak refines in one more round.
+        val qs = graft.operators.Select.weightedQuantilesLong(lev,
+          col("level"), col("dur"),
+          Seq((50L, 100L), (90L, 100L), (99L, 100L), (1L, 1L)),
+          domainHint = (0L, (1L << 17) - 1), buckets = 1 << 15)
+        Seq((qs((50L, 100L)), qs((90L, 100L)), qs((99L, 100L)),
+          qs((1L, 1L)))).toDF("p50", "p90", "p99", "peak")
       },
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events

@@ -98,6 +98,32 @@ object MultimodalQueries {
              |       END AS INTEGER) AS n_bytes,
              |  TRUE AS ok
              |FROM documents
+             |ORDER BY media_id""".stripMargin)),
+
+    // ---- REAL BMP decode (round 8): classic BITMAPFILEHEADER +
+    // ---- BITMAPINFOHEADER, uncompressed 24-bit, 4-byte-padded rows —
+    // ---- the second codec-free still format. The oracle re-derives
+    // ---- width, height and the padded byte count arithmetically
+    // ---- (54 + ceil(3w/4)·4·h), so a pass proves the BMP chunk walk
+    // ---- inverts the synthesis, including the row-padding math ------
+    Q("q103_media_bmp_decode",
+      (s, dir) => Multimodal.decodeAll(
+          Multimodal.synthesizeBmp(Tables.load(s, dir, "documents")),
+          PortableDecoder)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nFrames").as("n_frames"),
+          col("n_bytes"), col("meta.ok").as("ok"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             |  CAST(4 + doc_id % 9 AS INTEGER) AS width,
+             |  CAST(4 + doc_id % 7 AS INTEGER) AS height,
+             |  CAST(1 AS INTEGER) AS n_frames,
+             |  CAST(54 + (((4 + doc_id % 9) * 3 + 3) // 4) * 4
+             |    * (4 + doc_id % 7) AS INTEGER) AS n_bytes,
+             |  TRUE AS ok
+             |FROM documents
              |ORDER BY media_id""".stripMargin))
   )
 }

@@ -53,6 +53,52 @@ class PortableDecoderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(f.length == 8 && f.forall(_ == 0f))
   }
 
+  test("BMP decode inverts synthesis across the padding lattice") {
+    // w = 4..12 crosses every 4-byte row-padding residue; h varies too
+    (0L until 63L).foreach { id =>
+      val m = PortableDecoder.decode("image", PortableMedia.bmpBlob(id))
+      assert(m.ok, s"id=$id BMP failed to decode")
+      assert(m.width == 4 + (id % 9).toInt && m.height == 4 + (id % 7).toInt)
+      assert(m.nFrames == 1 && m.sampleRate == 0)
+      // byte accounting incl. padded rows
+      val rowSize = ((m.width * 3 + 3) / 4) * 4
+      assert(PortableMedia.bmpBlob(id).length == 54 + rowSize * m.height)
+    }
+  }
+
+  test("BMP top-down (negative height) decodes; malformed BMP refused") {
+    val b = PortableMedia.bmpBytes(5, 3, 9L)
+    // flip to top-down: height field at offset 22, little-endian -3
+    val neg = b.clone()
+    val nh = -3
+    neg(22) = (nh & 0xFF).toByte; neg(23) = ((nh >> 8) & 0xFF).toByte
+    neg(24) = ((nh >> 16) & 0xFF).toByte; neg(25) = ((nh >> 24) & 0xFF).toByte
+    val m = PortableDecoder.decode("image", neg)
+    assert(m.ok && m.width == 5 && m.height == 3)
+    // 8-bit palette BMP (bpp=8) is codec-free but unsupported: refused
+    val pal = b.clone(); pal(28) = 8.toByte
+    assert(!PortableDecoder.decode("image", pal).ok)
+    // RLE compression flag: refused
+    val rle = b.clone(); rle(30) = 1.toByte
+    assert(!PortableDecoder.decode("image", rle).ok)
+    // truncated pixel array: refused
+    assert(!PortableDecoder.decode("image",
+      java.util.Arrays.copyOf(b, b.length - 1)).ok)
+    // trailing bytes: refused (still = exactly one pixel array)
+    assert(!PortableDecoder.decode("image", b ++ Array[Byte](0)).ok)
+  }
+
+  test("BMP features mean-pool the pixel bytes, skipping row padding") {
+    // 1x2 all-255 pixels: rowSize 4 has 1 pad byte of 0 per row — if
+    // padding leaked into the pool the mean would drop below 1
+    val hdr = PortableMedia.bmpBytes(1, 2, 0L)
+    val full = hdr.clone()
+    // overwrite the two 3-byte pixels (offsets 54..56 and 58..60)
+    Seq(54, 55, 56, 58, 59, 60).foreach(i => full(i) = 255.toByte)
+    val f = PortableDecoder.features("image", full, 2)
+    assert(f.forall(v => math.abs(v - 1f) < 1e-6), f.mkString(","))
+  }
+
   test("features mean-pool the real payload") {
     // all-zero pixels → all-zero features; all-255 → all-one features
     val zero = ("P6\n4 4\n255\n".getBytes("US-ASCII")) ++
