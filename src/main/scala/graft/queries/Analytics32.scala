@@ -75,7 +75,8 @@ object Analytics32 {
           // emits no null embeddings — asserted below so a null-bearing
           // input fails loudly instead of silently shifting n.
           val n = g(d1 * d1 - 1)
-          require(n == Tables.loadParallel(s, dir, "embeddings").count(),
+          // plain load: parquet count() is a metadata read, no shuffle
+          require(n == Tables.load(s, dir, "embeddings").count(),
             "q270: null embedding rows — Gram corner n != table count")
           def sij(i: Int, j: Int): Long = g(i * d1 + j)
           def se(i: Int): Long = g(i * d1 + d)

@@ -485,17 +485,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "q133 must not join:\n" + p.take(600))
   }
 
-  test("q135: weighted median is distributed — broadcast census only, no global sort") {
-    // the Ranks.withPrefixSum rewrite joins the ≤parts-row partition
-    // census back by BROADCAST; anything heavier (sort-merge join,
-    // shuffled hash join, cartesian) or an unpartitioned window would
-    // mean the distributed-prefix-sum shape regressed
-    val p = SparkEntry.queries("q135_weighted_median")(spark, sfDir)
-      .queryExecution.explainString(SimpleMode)
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("CartesianProduct"), p.take(800))
-    // (WindowAuditSpec separately bans unpartitioned data-grain windows)
+  test("q135: weighted median is a selection readout — no shuffle in the result plan") {
+    // r8: the crossing is computed by Select.weightedCrossings (two
+    // bounded map-side-combined scan-aggs, construction-bounded driver
+    // histograms — see Select scaladoc); the RETURNED plan is the
+    // 3-row local readout, so any join/window/row-shuffle appearing in
+    // it means the selection shape regressed back to a rank pass
+    val df = SparkEntry.queries("q135_weighted_median")(spark, sfDir)
+    val p = df.queryExecution.explainString(SimpleMode)
+    assert(p.contains("LocalTableScan"), p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("FileScan"), p.take(800))
+    // and the values still equal the prefix-sum formulation on the
+    // same data (differential vs Ranks.withPrefixSum)
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("w"))
+    val oracle = graft.operators.Ranks.withPrefixSum(li, Seq(col("flag")),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        col("w"), "cw", "tw")
+      .where(col("cw") >= col("tw") - col("cw"))
+      .groupBy(col("flag")).agg(min(col("l_extendedprice")).as("wmedian"))
+    assertSameRows(df, oracle)
   }
 
   test("q123: triangle wedges join on oriented sources, no cartesian") {
