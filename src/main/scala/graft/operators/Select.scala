@@ -73,6 +73,24 @@ object Select {
     s
   }
 
+  /** Coarse rounds bucket on the ABSOLUTE grid `x >> s` (arithmetic
+    * shift = floor division by 2^s, defined for every long including
+    * the Long.Min/Max corners) — an offset-relative `x - lo` overflows
+    * under ANSI mode once an interval spans more than half the int64
+    * line (caught by SelectPropertySpec's extreme-spread domain). The
+    * absolute grid costs ≤ 1 extra bucket per interval. */
+  /** Worst-case refinement depth: the span shrinks `buckets`-fold per
+    * round, so ⌈64 / log₂ buckets⌉ rounds resolve any int64 domain;
+    * +4 slack for the exact-wait and hint rounds. */
+  private def maxRounds(buckets: Int): Int =
+    64 / (31 - Integer.numberOfLeadingZeros(buckets)).max(1) + 4
+
+  private def narrowTo(lo: Long, hi: Long, b: Long, shift: Int): (Long, Long) = {
+    val base = b << shift
+    val top = (BigInt(base) + (BigInt(1) << shift) - 1).min(BigInt(hi)).toLong
+    (math.max(lo, base), top)
+  }
+
   /** Exact k-th smallest values (1-based `ks`, each in [1, n]) of long
     * column `x`. Each k keeps its own shrinking interval, so distant
     * ks (e.g. p1 and p99) still converge in ≤ 4 rounds; at most one
@@ -95,7 +113,8 @@ object Select {
     var rounds = 0
     while (state.nonEmpty) {
       rounds += 1
-      require(rounds <= 8, "kthLong: refinement failed to converge")
+      require(rounds <= maxRounds(buckets),
+        "kthLong: refinement failed to converge")
       // distinct intervals this round (ks often share one)
       val intervals = state.values.map { case (lo, hi, _) => (lo, hi) }
         .toSeq.distinct.sortBy(_._1)
@@ -110,7 +129,7 @@ object Select {
         val in = col("_sx") >= lo && col("_sx") <= hi
         val b =
           if (widthOf(lo, hi) <= exactW) col("_sx") - lo
-          else shiftright(col("_sx") - lo, shiftFor(lo, hi, buckets))
+          else shiftright(col("_sx"), shiftFor(lo, hi, buckets))
         (in, lit(i), b)
       }
       val iv = tagged.foldRight(lit(null).cast("int")) { case ((in, i, _), e) =>
@@ -140,8 +159,7 @@ object Select {
           if (cum + c >= k) {
             if (isExact) out += k -> (lo + b)
             else {
-              val nlo = lo + (b << shift)
-              val nhi = math.min(hi, nlo + (1L << shift) - 1)
+              val (nlo, nhi) = narrowTo(lo, hi, b, shift)
               next(k) = (nlo, nhi, cum)
             }
             hit = true
@@ -184,11 +202,11 @@ object Select {
     // still counted — see weightedCrossings scaladoc)
     val exact0 = widthOf(hlo, hhi) <= exactW
     val shift0 = if (exact0) 0 else shiftFor(hlo, hhi, buckets)
+    // absolute grid (x itself when exact, x >> s when coarse): defined
+    // for every long, no offset subtraction to overflow
     val bk0 =
-      if (exact0) col("_sx") - hlo
-      else when(col("_sx") >= hlo, shiftright(col("_sx") - hlo, shift0))
-        .otherwise(lit(-1L) *
-          (shiftright(lit(hlo) - col("_sx") - 1, shift0) + 1))
+      if (exact0) col("_sx")
+      else shiftright(col("_sx"), shift0)
     val h0 = timed("wq.round0")(collectHist(
       data.groupBy(bk0.as("_bk")).agg(sum(col("_w")).as("_ws")),
       exactW + 64, "Select.weightedQuantilesLong round 0"))
@@ -204,10 +222,10 @@ object Select {
       while (it.hasNext && !hit) {
         val (b, ws) = it.next()
         if ((cum + ws) * BigDecimal(den) >= tot * BigDecimal(num)) {
-          if (exact0) out += (num, den) -> (hlo + b)
+          if (exact0) out += (num, den) -> b
           else {
-            val nlo = hlo + (b << shift0)
-            state += (num, den) -> (nlo, nlo + (1L << shift0) - 1, cum)
+            val (nlo, nhi) = narrowTo(Long.MinValue, Long.MaxValue, b, shift0)
+            state += (num, den) -> (nlo, nhi, cum)
           }
           hit = true
         }
@@ -220,14 +238,15 @@ object Select {
     var rounds = 0
     while (state.nonEmpty) {
       rounds += 1
-      require(rounds <= 8, "weightedQuantilesLong: failed to converge")
+      require(rounds <= maxRounds(buckets),
+        "weightedQuantilesLong: failed to converge")
       val intervals = state.values.map { case (lo, hi, _) => (lo, hi) }
         .toSeq.distinct.sortBy(_._1)
       val tagged = intervals.zipWithIndex.map { case ((lo, hi), i) =>
         val in = col("_sx") >= lo && col("_sx") <= hi
         val b =
           if (widthOf(lo, hi) <= exactW) col("_sx") - lo
-          else shiftright(col("_sx") - lo, shiftFor(lo, hi, buckets))
+          else shiftright(col("_sx"), shiftFor(lo, hi, buckets))
         (in, lit(i), b)
       }
       val iv = tagged.foldRight(lit(null).cast("int")) { case ((in, i, _), e) =>
@@ -257,8 +276,8 @@ object Select {
           if ((cum + ws) * BigDecimal(den) >= tot * BigDecimal(num)) {
             if (isExact) out += t -> (lo + b)
             else {
-              val nlo = lo + (b << shift)
-              next += t -> (nlo, math.min(hi, nlo + (1L << shift) - 1), cum)
+              val (nlo, nhi) = narrowTo(lo, hi, b, shift)
+              next += t -> (nlo, nhi, cum)
             }
             hit = true
           }
@@ -321,17 +340,13 @@ object Select {
         // their totals AND the crossing bucket of each
         val exact0 = widthOf(hlo, hhi) <= buckets.toLong * 4
         val shift0 = if (exact0) 0 else shiftFor(hlo, hhi, buckets)
-        val bk0 =
-          if (exact0) col("_sx") - hlo
-          else shiftright(col("_sx") - hlo, shift0)
-        // negative x - hlo would floor-divide wrong under >>: guard by
-        // bucketing the below-hint tail to its own floored ids via a
-        // conditional (kept exact; only efficiency depends on the hint)
+        // absolute grid (x itself when exact, x >> s when coarse):
+        // defined for every long, no offset arithmetic to overflow,
+        // negative values floor-divide correctly under the arithmetic
+        // shift — out-of-hint values simply occupy extra bucket ids
         val bk0safe =
-          if (exact0) bk0
-          else when(col("_sx") >= hlo, bk0)
-            .otherwise(lit(-1L) *
-              (shiftright(lit(hlo) - col("_sx") - 1, shift0) + 1))
+          if (exact0) col("_sx")
+          else shiftright(col("_sx"), shift0)
         val agg0 =
           if (exact0) Seq(sum(col("_w")).as("_ws"), min(col("_cy")).as("_cy"))
           else Seq(sum(col("_w")).as("_ws"))
@@ -356,10 +371,11 @@ object Select {
           while (it.hasNext && !hit) {
             val (b, ws, cy) = it.next()
             if ((cum + ws) * 2 >= tw) {
-              if (exact0) out ::= ((key, hlo + b, cy, tw))
+              if (exact0) out ::= ((key, b, cy, tw))
               else {
-                val nlo = hlo + (b << shift0)
-                state = state :+ G(key, nlo, nlo + (1L << shift0) - 1, tw, cum)
+                val (nlo, nhi) =
+                  narrowTo(Long.MinValue, Long.MaxValue, b, shift0)
+                state = state :+ G(key, nlo, nhi, tw, cum)
               }
               hit = true
             }
@@ -384,7 +400,8 @@ object Select {
     var rounds = 0
     while (state.nonEmpty) {
       rounds += 1
-      require(rounds <= 8, "weightedCrossings: refinement failed to converge")
+      require(rounds <= maxRounds(buckets),
+        "weightedCrossings: refinement failed to converge")
       val preds = state.map { g =>
         val keyPred = gcols.zip(g.key).map { case (c, v) => c <=> lit(v) }
           .reduceOption(_ && _).getOrElse(lit(true))
@@ -396,7 +413,7 @@ object Select {
       val bk = preds.foldRight(lit(null).cast("long")) { case ((g, p), e) =>
         val b =
           if (widthOf(g.lo, g.hi) <= exactW) col("_sx") - g.lo
-          else shiftright(col("_sx") - g.lo, shiftFor(g.lo, g.hi, buckets))
+          else shiftright(col("_sx"), shiftFor(g.lo, g.hi, buckets))
         when(p, b).otherwise(e)
       }
       val aggCols =
@@ -433,8 +450,7 @@ object Select {
           if ((cum + ws) * 2 >= g.tw) {
             if (isExact) out ::= ((g.key, g.lo + b, cy, totals(g.key)))
             else {
-              val nlo = g.lo + (b << shift)
-              val nhi = math.min(g.hi, nlo + (1L << shift) - 1)
+              val (nlo, nhi) = narrowTo(g.lo, g.hi, b, shift)
               next += G(g.key, nlo, nhi, g.tw, cum)
             }
             hit = true
