@@ -195,8 +195,17 @@ object Analytics45 {
         // through as driver literals (1-row metadata, the centroid
         // class). 8 dependent jobs total, each a map-side-combined
         // scan of one pruned column; the r7 rank formulation paid ~12.
+        // The 8 dependent jobs all scan the same one-column projection;
+        // sf-bench parquet is a single row group (single-task scans),
+        // so repartition + cache once and every subsequent round runs
+        // 32-way in-memory. Released before returning — the result is
+        // a driver-built 1-row relation, so nothing leaks into the
+        // suite's block manager.
         val data = t(s, dir, "orders")
           .select(round(col("o_totalprice") * 100).cast("long").as("x"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        try {
         val st = Select.longStats(data, col("x"))
         val ks = Seq((st.n + 1) / 2, (st.n + 2) / 2).distinct
         val med = Select.kthLong(data, col("x"), ks, Some(st),
@@ -235,6 +244,7 @@ object Analytics45 {
             round(col("madr") / 100.0, 2).as("mad"),
             round(col("m3") / 100.0, 2).as("huber_m"),
             round((col("m3") - col("m0")) / 100.0, 2).as("shift"))
+        } finally data.unpersist()
       },
       Some("""WITH data AS MATERIALIZED (
              |  SELECT o_orderkey AS key,
