@@ -33,13 +33,26 @@ val jdk17AddOpens = Seq(
 // physical RAM, capped at 32g. OVERRIDE with SPARK_DRIVER_MEM=<n>g
 // (always wins, no clamp).
 val driverHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  // portable physical-RAM probe: the JMX OperatingSystemMXBean works on
+  // Linux/macOS/Windows alike (reflection because getTotalMemorySize is
+  // on the com.sun.management subtype). If even that fails, default to
+  // a CONSERVATIVE 8g — a too-small heap is GC pressure, a too-big one
+  // is swap/OOM-killer territory, which is strictly worse.
   val physGb: Long =
     try {
-      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemTotal:") =>
-          l.split("\\s+")(1).toLong }
-      kb.map(_ / (1024L * 1024L)).getOrElse(64L)
-    } catch { case _: Throwable => 64L } // non-Linux: assume big box
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val m = os.getClass.getMethod("getTotalMemorySize")
+      m.setAccessible(true)
+      m.invoke(os).asInstanceOf[java.lang.Long].longValue() / (1L << 30)
+    } catch {
+      case _: Throwable =>
+        try {
+          scala.io.Source.fromFile("/proc/meminfo").getLines()
+            .collectFirst { case l if l.startsWith("MemTotal:") =>
+              l.split("\\s+")(1).toLong / (1024L * 1024L) }
+            .getOrElse(16L)
+        } catch { case _: Throwable => 16L } // unknown box: clamp to 8g
+    }
   s"${math.max(2L, math.min(32L, physGb / 2))}g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

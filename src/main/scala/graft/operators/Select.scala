@@ -177,8 +177,15 @@ object Select {
     * target num/den, the smallest x with W(≤x)·den ≥ W_total·num —
     * plus the exact max x as the (1, 1) target. One aggregation when
     * the hinted domain is exact-collectable (≤ 4·buckets values, e.g.
-    * a concurrency-level axis); refinement rounds otherwise, exactly
-    * as [[kthLong]]. Weights must be exactly summable (long/decimal).
+    * a concurrency-level axis) AND every crossing lands inside the
+    * hint; refinement rounds otherwise, exactly as [[kthLong]].
+    * Round 0 buckets out-of-hint values on the GLOBAL coarse grid
+    * (`x >> shiftFor(int64, buckets)`), side-tagged below/above the
+    * hint, so the collect bound is `exactW + 2·buckets + 64` BY
+    * CONSTRUCTION for any data — a wrong hint costs refinement
+    * rounds, never a failure. Weights must be exactly summable
+    * (long/decimal). Empty input (total weight 0) returns the empty
+    * map — callers decide what an order statistic of nothing means.
     * Returns target → crossing x. */
   def weightedQuantilesLong(df: DataFrame, x: Column, w: Column,
                             targets: Seq[(Long, Long)],
@@ -196,22 +203,38 @@ object Select {
         s"weightedQuantilesLong: non-exact weight type ${other.getClass}")
     }
     val (hlo, hhi) = domainHint
+    require(hlo <= hhi, s"weightedQuantilesLong: bad hint [$hlo, $hhi]")
     val exactW = buckets.toLong * 4
-    // round 0: absolute-grid histogram, unfiltered (hint is efficiency-
-    // only; out-of-hint values land in out-of-range bucket ids and are
-    // still counted — see weightedCrossings scaladoc)
+    // round 0: side-tagged two-grid histogram, unfiltered. In-hint
+    // values bucket on the hint grid (the value itself when the hint
+    // is exact-narrow, x >> s otherwise); out-of-hint values bucket on
+    // the GLOBAL coarse grid, tagged −1 (below hint) / +1 (above), so
+    // they sort before/after every in-hint entry and the collect stays
+    // ≤ exactW + 2·buckets + 64 rows by construction — the hint is an
+    // efficiency contract only, never a bound assumption. A crossing
+    // landing in an out-of-hint coarse bucket refines like any other
+    // interval (clipped to its side so refinement never re-counts
+    // weight already attributed to the other grids).
     val exact0 = widthOf(hlo, hhi) <= exactW
     val shift0 = if (exact0) 0 else shiftFor(hlo, hhi, buckets)
-    // absolute grid (x itself when exact, x >> s when coarse): defined
-    // for every long, no offset subtraction to overflow
-    val bk0 =
+    val gshift = shiftFor(Long.MinValue, Long.MaxValue, buckets)
+    val side = when(col("_sx") < hlo, lit(-1))
+      .when(col("_sx") > hhi, lit(1)).otherwise(lit(0))
+    // absolute grids throughout (x itself or x >> s): defined for
+    // every long, no offset subtraction to overflow
+    val bkIn =
       if (exact0) col("_sx")
       else shiftright(col("_sx"), shift0)
+    val bk0 = when(side === 0, bkIn)
+      .otherwise(shiftright(col("_sx"), gshift))
     val h0 = timed("wq.round0")(collectHist(
-      data.groupBy(bk0.as("_bk")).agg(sum(col("_w")).as("_ws")),
-      exactW + 64, "Select.weightedQuantilesLong round 0"))
-      .map(r => (r.getLong(0), dec(r.get(1)))).sortBy(_._1)
-    val tot = h0.iterator.map(_._2).foldLeft(BigDecimal(0))(_ + _)
+      data.groupBy(side.as("_sd"), bk0.as("_bk"))
+        .agg(sum(col("_w")).as("_ws")),
+      exactW + 2L * buckets + 64, "Select.weightedQuantilesLong round 0"))
+      .map(r => (r.getInt(0), r.getLong(1), dec(r.get(2))))
+      .sortBy(t => (t._1, t._2)) // (side, bucket) = global value order
+    val tot = h0.iterator.map(_._3).foldLeft(BigDecimal(0))(_ + _)
+    if (tot == 0) return Map.empty // empty input: nothing to select
     var out = Map.empty[(Long, Long), Long]
     // state per target: (lo, hi, weight below lo)
     var state = Map.empty[(Long, Long), (Long, Long, BigDecimal)]
@@ -220,20 +243,26 @@ object Select {
       var hit = false
       val it = h0.iterator
       while (it.hasNext && !hit) {
-        val (b, ws) = it.next()
+        val (sd, b, ws) = it.next()
         if ((cum + ws) * BigDecimal(den) >= tot * BigDecimal(num)) {
-          if (exact0) out += (num, den) -> b
+          if (sd == 0 && exact0) out += (num, den) -> b
           else {
-            val (nlo, nhi) = narrowTo(Long.MinValue, Long.MaxValue, b, shift0)
+            // clip the refinement interval to this entry's side so
+            // round-1's range scan sees exactly the rows this bucket
+            // counted (sides share absolute grids but not value ranges)
+            val (clo, chi) =
+              if (sd < 0) (Long.MinValue, hlo - 1)
+              else if (sd > 0) (hhi + 1, Long.MaxValue)
+              else (hlo, hhi)
+            val (nlo, nhi) =
+              narrowTo(clo, chi, b, if (sd == 0) shift0 else gshift)
             state += (num, den) -> (nlo, nhi, cum)
           }
           hit = true
         }
         cum += ws
       }
-      require(hit || num == 0,
-        s"weightedQuantilesLong: no crossing for $num/$den")
-      if (!hit && num == 0) out += (num, den) -> hlo // empty input, W=0
+      require(hit, s"weightedQuantilesLong: no crossing for $num/$den")
     }
     var rounds = 0
     while (state.nonEmpty) {
@@ -327,7 +356,9 @@ object Select {
       case d: java.math.BigDecimal => BigDecimal(d)
       case l: java.lang.Long => BigDecimal(l)
       case i: java.lang.Integer => BigDecimal(i.intValue())
-      case d: java.lang.Double => BigDecimal(d)
+      // java.lang.Double deliberately NOT accepted: a float weight sum
+      // depends on partial-aggregation order, so the crossing row could
+      // flip between runs — cast weights to decimal at the call site
       case other => throw new IllegalArgumentException(
         s"weightedCrossings: non-exact weight type ${other.getClass}")
     }

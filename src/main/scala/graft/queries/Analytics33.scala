@@ -322,14 +322,23 @@ object Analytics33 {
         // The nation-only family also scores null seg/band rows as
         // disagreements (=== is null → otherwise(du)) instead of
         // dropping them from the equi-join.
+        // family "differs" predicates mirror the oracle's CASE exactly:
+        // a pair disagrees on a field whenever `a.f = b.f` does NOT
+        // evaluate TRUE — so NULL-vs-value AND NULL-vs-NULL both score
+        // du units and must stay in the family. `!coalesce(===, false)`
+        // is that three-valued truth table; a plain =!= (null for any
+        // NULL operand) or null-safe <=> (true for NULL-NULL) would
+        // each silently drop a NULL-bearing pair the oracle scores.
+        def differs(f: String): Column =
+          !coalesce(col(s"a.$f") === col(s"b.$f"), lit(false))
         val families =
           if (duSeg + duBand > 0L) Seq(fam(Seq("nation"), lit(true)))
           else Seq(fam(Seq("nation", "seg", "band"), lit(true))) ++
           (if (auSeg + duBand > 0L)
-            Seq(fam(Seq("nation", "seg"), col("a.band") =!= col("b.band")))
+            Seq(fam(Seq("nation", "seg"), differs("band")))
           else Nil) ++
           (if (duSeg + auBand > 0L)
-            Seq(fam(Seq("nation", "band"), col("a.seg") =!= col("b.seg")))
+            Seq(fam(Seq("nation", "band"), differs("seg")))
           else Nil)
         families.reduce(_ unionByName _)
           .where(col("score_units") > 0L)

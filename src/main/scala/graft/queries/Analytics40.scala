@@ -221,12 +221,18 @@ object Analytics40 {
         // all four readouts from ONE histogram job: the three quantile
         // crossings plus the peak as the (1,1) crossing (= max level).
         // Hint: concurrency peak < 2^17 simultaneous sessions — exact-
-        // collectable axis; a larger peak refines in one more round.
+        // collectable axis; a larger peak lands on the side-tagged
+        // global coarse grid and refines in one more round (the r9
+        // two-grid round 0 — the collect bound no longer depends on
+        // the hint holding). Empty events table → empty result, same
+        // as the oracle's unmatched quantile selects.
         val qs = graft.operators.Select.weightedQuantilesLong(lev,
           col("level"), col("dur"),
           Seq((50L, 100L), (90L, 100L), (99L, 100L), (1L, 1L)),
           domainHint = (0L, (1L << 17) - 1), buckets = 1 << 15)
-        Seq((qs((50L, 100L)), qs((90L, 100L)), qs((99L, 100L)),
+        if (qs.isEmpty) Seq.empty[(Long, Long, Long, Long)]
+          .toDF("p50", "p90", "p99", "peak")
+        else Seq((qs((50L, 100L)), qs((90L, 100L)), qs((99L, 100L)),
           qs((1L, 1L)))).toDF("p50", "p90", "p99", "peak")
       },
       Some("""WITH ev AS (

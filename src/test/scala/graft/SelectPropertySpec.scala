@@ -83,4 +83,39 @@ class SelectPropertySpec extends SparkSpec {
       Seq((1L, 2L), (1L, 1L)), domainHint = (0L, 15L), buckets = 1 << 3)
     assert(q((1L, 2L)) == 3L && q((1L, 1L)) == 900000000L)
   }
+
+  test("exact-width hint exceeded refines instead of breaking its bound") {
+    // the q308 shape: hint exactly exactW wide (4·buckets), so round 0
+    // takes the exact in-hint path — a peak ABOVE the hint must land on
+    // the side-tagged global grid and refine, not blow the collect bound
+    val b = 1 << 3 // exactW = 32
+    val xs = (0L until 32L) ++ Seq(1000000L, 5000000L, Long.MaxValue - 5)
+    val q = Select.weightedQuantilesLong(xs.toDF("x"), col("x"), lit(1L),
+      Seq((1L, 2L), (1L, 1L)), domainHint = (0L, 31L), buckets = b)
+    val sorted = xs.sorted
+    val n = sorted.size // 35; 1/2-crossing = 18th value = sorted(17)
+    assert(q((1L, 2L)) == sorted((n + 1) / 2 - 1))
+    assert(q((1L, 1L)) == Long.MaxValue - 5)
+    // below-hint side too (negative values on the global coarse grid)
+    val ys = Seq(Long.MinValue + 3, -900000L, -5L) ++ (0L until 32L)
+    val q2 = Select.weightedQuantilesLong(ys.toDF("x"), col("x"), lit(1L),
+      Seq((1L, 35L), (1L, 1L)), domainHint = (0L, 31L), buckets = b)
+    assert(q2((1L, 35L)) == Long.MinValue + 3 && q2((1L, 1L)) == 31L)
+  }
+
+  test("weightedQuantilesLong on empty input returns the empty map") {
+    val q = Select.weightedQuantilesLong(
+      Seq.empty[Long].toDF("x"), col("x"), lit(1L),
+      Seq((1L, 2L), (0L, 1L), (1L, 1L)), domainHint = (0L, 100L),
+      buckets = 1 << 3)
+    assert(q.isEmpty)
+  }
+
+  test("weightedCrossings rejects float weights loudly") {
+    val df = Seq((1L, 0.5), (2L, 0.5)).toDF("x", "w")
+    val e = intercept[Exception] {
+      Select.weightedCrossings(df, Seq.empty, col("x"), col("x"), col("w"))
+    }
+    assert(e.getMessage.contains("non-exact weight type"))
+  }
 }
