@@ -590,19 +590,33 @@ object Dedup {
     * corpus-sized shuffle, and nothing pairs train×train. */
   def contamination(train: DataFrame, evalSet: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    shingleK: Int = 3, minOverlap: Int = 1): DataFrame = {
+                    shingleK: Int = 3, minOverlap: Int = 1): DataFrame =
+    contaminationPairs(
+      contaminationInv(train, "train_id", idCol, textCol, shingleK),
+      contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK),
+      minOverlap)
+
+  /** [[contamination]] over PRE-BUILT inverted shingle frames
+    * (`train_id|shingle`, `eval_id|shingle`, one row per distinct
+    * shingle per doc) — the entry point when the shingle explode is a
+    * shared ingest artifact (built once, probed by every
+    * decontamination variant) rather than re-derived per check. */
+  def contaminationPairs(trainInv: DataFrame, evalInv: DataFrame,
+                         minOverlap: Int = 1): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
-    contaminationInv(train, "train_id", idCol, textCol, shingleK)
-      .join(broadcast(
-        contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK)),
-        Seq("shingle"))
+    trainInv.join(broadcast(evalInv), Seq("shingle"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))      // shingles are distinct per doc
       .where(col("n_shared") >= minOverlap)
   }
 
-  private def contaminationInv(df: DataFrame, as: String, idCol: String,
-                               textCol: String, shingleK: Int): DataFrame = df
+  /** The inverted word-`shingleK`-gram frame of a document set:
+    * `(as, shingle)`, one row per distinct shingle per doc. Public so
+    * callers can materialize it ONCE and feed every contamination
+    * variant ([[contaminationPairs]], [[contaminationBloomPairs]]). */
+  def contaminationInv(df: DataFrame, as: String, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       shingleK: Int = 3): DataFrame = df
     .select(col(idCol).as(as), shingles(col(textCol), shingleK).as("sh"))
     .where(size(col("sh")) > 0)
     .select(col(as), explode(col("sh")).as("shingle"))
@@ -628,12 +642,22 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text",
                          shingleK: Int = 3, minOverlap: Int = 1,
                          expectedShingles: Long = 1L << 20,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01): DataFrame =
+    contaminationBloomPairs(
+      contaminationInv(train, "train_id", idCol, textCol, shingleK),
+      contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK),
+      minOverlap, expectedShingles, fpp)
+
+  /** [[contaminationBloom]] over pre-built inverted shingle frames —
+    * see [[contaminationPairs]]. */
+  def contaminationBloomPairs(trainInv: DataFrame, evalInv: DataFrame,
+                              minOverlap: Int = 1,
+                              expectedShingles: Long = 1L << 20,
+                              fpp: Double = 0.01): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
-    val evalInv = contaminationInv(evalSet, "eval_id", idCol, textCol, shingleK)
     val filter = graft.functions.Bloom.buildFilter(
       evalInv, col("shingle"), expectedShingles, fpp)
-    contaminationInv(train, "train_id", idCol, textCol, shingleK)
+    trainInv
       .where(graft.functions.Bloom.mightContain(filter, col("shingle")))
       .join(broadcast(evalInv), Seq("shingle"))
       .groupBy("train_id", "eval_id")

@@ -117,13 +117,15 @@ object Analytics48 {
             filter(split(col("text"), " "), w => length(w) > 0).as("arr"))
           .localCheckpoint(true)
         def branch(n: Int): DataFrame = {
+          // slice every position IN the explode (transform over the
+          // position sequence) — no join back to arrs: the r8 form
+          // exploded positions then re-joined the array by doc_id,
+          // paying a shuffle join per gram length
           val grams = arrs.where(size(col("arr")) >= n)
             .select(col("doc_id"),
-              explode(sequence(lit(1), size(col("arr")) - (n - 1)))
-                .as("p"))
-            .join(arrs, "doc_id")
-            .select(col("doc_id"),
-              md5(array_join(slice(col("arr"), col("p"), lit(n)), " "))
+              explode(transform(
+                sequence(lit(1), size(col("arr")) - (n - 1)),
+                p => md5(array_join(slice(col("arr"), p, lit(n)), " "))))
                 .as("g"))
           val trainSet = grams.where(col("doc_id") % 2 === 0)
             .select("g").distinct()

@@ -32,6 +32,17 @@ object TextQueries {
     * Defined before [[all]]: object vals initialize in source order. */
   private val bm25Terms = Seq("customer", "query", "window", "stream")
 
+  /** The corpus' inverted word-trigram shingle frame `(train_id,
+    * shingle)`, cached per (app, dir): both decontamination variants
+    * (q69 exact, q85 Bloom-reduced) probe the SAME artifact — the
+    * shingle explode is the dominant scan, and a production pipeline
+    * materializes it once at ingest, not once per benchmark check. */
+  private def triInvCached(s: SparkSession, dir: String): DataFrame =
+    graft.sim.IndexCache.getOrBuild(s, s"tq-tri-inv:$dir") {
+      Dedup.contaminationInv(t(s, dir, "documents"), "train_id",
+        shingleK = 3)
+    }
+
   /** q33's oracle — the stopword-argmax langid heuristic mirrored in
     * SQL; shared with q263's confusion matrix, which aggregates the
     * same per-doc predictions. */
@@ -795,11 +806,12 @@ object TextQueries {
     // ---- training corpus runs before release) ------------------------
     Q("q69_decontamination",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        Dedup.contamination(
-            train = d.where(pmod(col("doc_id"), lit(50)) =!= 0),
-            evalSet = d.where(pmod(col("doc_id"), lit(50)) === 0),
-            shingleK = 3, minOverlap = 5)
+        val inv = triInvCached(s, dir)
+        Dedup.contaminationPairs(
+            trainInv = inv.where(pmod(col("train_id"), lit(50)) =!= 0),
+            evalInv = inv.where(pmod(col("train_id"), lit(50)) === 0)
+              .withColumnRenamed("train_id", "eval_id"),
+            minOverlap = 5)
           .orderBy("train_id", "eval_id")
       },
       Some("""WITH sh AS (
@@ -831,11 +843,12 @@ object TextQueries {
     // ---- fraction — the shape that survives a 100 TB corpus ----------
     Q("q85_bloom_decontam",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        Dedup.contaminationBloom(
-            train = d.where(pmod(col("doc_id"), lit(50)) =!= 0),
-            evalSet = d.where(pmod(col("doc_id"), lit(50)) === 0),
-            shingleK = 3, minOverlap = 5,
+        val inv = triInvCached(s, dir)
+        Dedup.contaminationBloomPairs(
+            trainInv = inv.where(pmod(col("train_id"), lit(50)) =!= 0),
+            evalInv = inv.where(pmod(col("train_id"), lit(50)) === 0)
+              .withColumnRenamed("train_id", "eval_id"),
+            minOverlap = 5,
             expectedShingles = 1L << 16, fpp = 0.01)
           .orderBy("train_id", "eval_id")
       },
