@@ -247,17 +247,40 @@ object Analytics17 {
     // ---- output (sampling must not change any window value) ---------
     Q("q194_window_gallery",
       (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
-            col("o_totalprice").as("price"),
-            ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"),
-            lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
-            lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
-          .where(col("o_orderkey") % 199 === 0)
+        // status has 3 values over base-grain orders: a partitionBy
+        // on it is a single-task sort in all but name (each task
+        // sorts ~n/3 rows at 100 TB). Rank machinery instead: ONE
+        // Ranks.withPrefixSums pass (grp = status) yields the exact
+        // 1-based position rn and group size n per status under the
+        // total order (price, key); quartile / percent_rank /
+        // cume_dist are pure arithmetic on (rn, n) — no ties, since
+        // the order key is unique. Neighbor prices come from two
+        // equi-joins on (status, rn±1) against the checkpointed
+        // narrow rank frame — the probe side is the 1/199 sample
+        // (sampling after ranking, so no window value changes).
+        import graft.operators.Ranks
+        val ranked = Ranks.withPrefixSums(
+            t(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price")),
+            Seq(col("status")), Seq(col("price"), col("o_orderkey")),
+            Seq((lit(1L), "rn", "n")))
+          .localCheckpoint(false)
+        val nbr = ranked.select(col("status"), col("rn"), col("price"))
+        ranked.where(col("o_orderkey") % 199 === 0)
+          .join(nbr.select(col("status"), (col("rn") + 1L).as("rn"),
+            col("price").as("pp")), Seq("status", "rn"), "left")
+          .join(nbr.select(col("status"), (col("rn") - 1L).as("rn"),
+            col("price").as("np")), Seq("status", "rn"), "left")
+          .select(col("o_orderkey"), col("status"), col("price"),
+            Ranks.ntileFromRank(col("rn"), col("n"), 4).as("quartile"),
+            when(col("n") === 1L, lit(0.0)).otherwise(
+              round((col("rn") - 1L).cast("double")
+                / (col("n") - 1L).cast("double"), 6)).as("pct_rank"),
+            round(col("rn").cast("double") / col("n").cast("double"), 6)
+              .as("cume"),
+            coalesce(col("pp"), lit(-1.0)).as("prev_price"),
+            coalesce(col("np"), lit(-1.0)).as("next_price"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT * FROM (

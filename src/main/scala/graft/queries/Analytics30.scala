@@ -264,12 +264,13 @@ object Analytics30 {
         val perPart = t(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(dec("l_extendedprice")).as("rev"))
-        val total = perPart.agg(sum(col("rev")).as("total_rev"))
-        val cum = perPart
-          .withColumn("cum_rev", sum(col("rev")).over(
-            Window.orderBy(col("rev").desc, col("l_partkey"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(broadcast(total))
+        // part grain scales with data volume — the running revenue
+        // share goes through Ranks.withPrefixSum (range-partitioned
+        // prefix sums), not an unpartitioned window; the pass's group
+        // total replaces the separate total agg + crossJoin.
+        val cum = graft.operators.Ranks.withPrefixSum(perPart, Seq.empty,
+            Seq(-col("rev"), col("l_partkey")),
+            col("rev"), "cum_rev", "total_rev")
           .withColumn("abc_class",
             when(col("cum_rev") * 5 <= col("total_rev") * 4, "A")
               .when(col("cum_rev") * 20 <= col("total_rev") * 19, "B")

@@ -132,13 +132,29 @@ object Analytics59 {
           .crossJoin(broadcast(horizon))
           .select(col("ck"), col("f"), col("m"),
             datediff(col("maxd"), col("lastd")).cast("long").as("rdays"))
-        val scored = rfm
-          .withColumn("r_score", ntile(5).over(
-            Window.orderBy(col("rdays").desc, col("ck"))))
-          .withColumn("f_score", ntile(5).over(
-            Window.orderBy(col("f").asc, col("ck"))))
-        scored.groupBy(col("r_score").cast("long").as("r_score"),
-          col("f_score").cast("long").as("f_score"))
+        // customer grain scales with the data — NTILE(5) must not be
+        // an unpartitioned window (single-task sort of every customer
+        // at 100 TB). q160's melted shape: each customer becomes one
+        // (dim, sort-key) row per dimension, ONE Ranks.withPrefixSums
+        // pass ranks both dims (descending recency negates the exact
+        // integer key), and the group total doubles as n_cust for the
+        // exact NTILE formula.
+        val melted = rfm.select(col("ck"), col("m"), explode(array(
+            struct(lit("r").as("dim"), (-col("rdays")).as("sk")),
+            struct(lit("f").as("dim"), col("f").cast("long").as("sk"))))
+            .as("e"))
+          .select(col("ck"), col("m"), col("e.dim").as("dim"),
+            col("e.sk").as("sk"))
+        val ranked = graft.operators.Ranks.withPrefixSums(melted,
+          Seq(col("dim")), Seq(col("sk"), col("ck")),
+          Seq((lit(1L), "rn", "nc")))
+        val quint = graft.operators.Ranks
+          .ntileFromRank(col("rn"), col("nc"), 5).cast("long")
+        val scored = ranked.groupBy("ck")
+          .agg(max(when(col("dim") === "r", quint)).as("r_score"),
+            max(when(col("dim") === "f", quint)).as("f_score"),
+            max(col("m")).as("m"))
+        scored.groupBy(col("r_score"), col("f_score"))
           .agg(count(lit(1)).as("n_customers"),
             round(sum(col("m")).cast("double")
               / count(lit(1)).cast("double") / 100.0, 2)

@@ -287,10 +287,14 @@ object Analytics71 {
           .groupBy(col("l_partkey").as("pk"))
           .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("rev"))
-        val wcum = Window.orderBy(col("rev").desc, col("pk"))
-        val abc = rev
-          .withColumn("cum", sum(col("rev")).over(wcum))
-          .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        // part grain scales with the data — the cumulative share must
+        // NOT be an unpartitioned window (single-task sort of every
+        // part at 100 TB). Ranks.withPrefixSum range-partitions the
+        // (rev desc, pk) order and its group total doubles as the
+        // grand total, so the Window.partitionBy() pass goes too.
+        val abc = graft.operators.Ranks.withPrefixSum(rev, Seq.empty,
+            Seq((-col("rev")).as("nrev"), col("pk")),
+            col("rev"), "cum", "tot")
           .select(col("pk"),
             when(lit(100L) * (col("cum") - col("rev"))
               < lit(80L) * col("tot"), "A")
