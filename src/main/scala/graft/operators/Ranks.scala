@@ -156,6 +156,32 @@ object Ranks {
         wNames.flatMap(n => Seq(n, s"${n}_lcw", s"${n}_off"))): _*)
   }
 
+  /** Append the doubled average midrank `out` of `value` within `grp`
+    * (2·avgrank = 2·minrank + ties − 1 — integral, so rank sums stay
+    * exact under ties). Midranks depend only on the VALUE, so this
+    * ranks the (grp, value) CENSUS — a [[withPrefixSum]] over census
+    * rows, 2·cum − ties + 1 — and joins back on (grp, value), never
+    * sorting data-grain rows in one task. The partitioned-rank window
+    * it replaces caps parallelism at |grp| tasks; here every stage is
+    * hash- or range-partitioned on data-scaled keys. */
+  def withMidrank2(df: DataFrame, grp: Seq[Column], value: Column,
+                   out: String, parts: Int = 0): DataFrame = {
+    val gNames = grp.indices.map(i => s"_mr_g$i")
+    val tagged = gNames.zip(grp).foldLeft(df) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
+      .withColumn("_mr_v", value)
+    val census = tagged
+      .groupBy((gNames :+ "_mr_v").map(col): _*)
+      .agg(count(lit(1)).as("_mr_tc"))
+    val cum = withPrefixSum(census, gNames.map(col), Seq(col("_mr_v")),
+        col("_mr_tc"), "_mr_cw", "_mr_tw", parts)
+      .select((gNames :+ "_mr_v").map(col) :+
+        (lit(2L) * col("_mr_cw") - col("_mr_tc") + 1L).as(out): _*)
+    tagged.join(cum, (gNames :+ "_mr_v").toSeq)
+      .drop((gNames :+ "_mr_v"): _*)
+  }
+
   /** Exact SQL `NTILE(k)` bucket from a 1-based rank and the total row
     * count: the first `n mod k` buckets get `⌈n/k⌉` rows, the rest
     * `⌊n/k⌋`. Arithmetic is exact for n < 2^53 (floor-div via doubles;

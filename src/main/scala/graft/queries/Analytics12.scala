@@ -170,11 +170,23 @@ object Analytics12 {
     // ---- order keeps the compare deterministic ----------------------
     Q("q169_topk_with_ties",
       (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus")
-          .orderBy(desc("o_totalprice"))
+        // 3 status values over order grain: partitionBy(status) rank
+        // is single-task in all but name. Competition rank depends
+        // only on the VALUE, so rank the (status, price) census with
+        // a Ranks prefix-sum (rk = cum − ties + 1), keep the ≤ 3
+        // winning prices (≤ 9 rows), and broadcast-join back for the
+        // tied order rows.
+        val census = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_totalprice"))
+          .agg(count(lit(1)).as("tc"))
+        val top = graft.operators.Ranks.withPrefixSum(census,
+            Seq(col("o_orderstatus")), Seq(-col("o_totalprice")),
+            col("tc"), "cw", "tw")
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            (col("cw") - col("tc") + 1L).as("rk"))
+          .where(col("rk") <= 3L)
         t(s, dir, "orders")
-          .withColumn("rk", rank().over(w))
-          .where(col("rk") <= 3)
+          .join(broadcast(top), Seq("o_orderstatus", "o_totalprice"))
           .select(col("o_orderstatus").as("status"),
             col("rk").cast("int").as("rk"),
             col("o_totalprice").as("price"), col("o_orderkey"))

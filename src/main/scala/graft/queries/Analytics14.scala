@@ -171,12 +171,14 @@ object Analytics14 {
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
             .cast(DecimalType(18, 2)).as("sp"))
-        val ranked = spend
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("sp").desc, col("o_custkey"))))
-          .withColumn("nc", count(lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+        // customer grain scales with the data — the global row_number
+        // + count() windows become ONE Ranks.withPrefixSums pass over
+        // the (sp desc, key) total order; the rank weight's group
+        // total doubles as the customer census nc. The decile lattice
+        // windows below stay: 10 rows is aggregate grain.
+        val ranked = graft.operators.Ranks.withPrefixSums(spend,
+            Seq.empty, Seq(-col("sp"), col("o_custkey")),
+            Seq((lit(1L), "rk", "nc")))
           .withColumn("decile",
             least(floor((col("rk") - 1) * 10 / col("nc")), lit(9L)).cast("int"))
         val byDecile = ranked.groupBy("decile")

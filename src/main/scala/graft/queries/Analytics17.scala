@@ -25,14 +25,10 @@ object Analytics17 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Doubled average rank (2·avgrank = 2·minrank + ties − 1): integral,
-    * so rank sums stay exact under ties. Scale-invariance of Pearson
-    * makes the doubling drop out of Spearman's rho. */
-  private def rank2(part: Seq[Column], value: Column): Column = {
-    val w = Window.partitionBy(part: _*).orderBy(value)
-    val ties = Window.partitionBy(part :+ value: _*)
-    lit(2) * rank().over(w) + count(lit(1)).over(ties) - lit(1)
-  }
+  // Doubled average ranks (2·avgrank = 2·minrank + ties − 1, integral
+  // under ties) come from Ranks.withMidrank2 — a census prefix-sum, not
+  // a |sources|-task rank window. Scale-invariance of Pearson makes the
+  // doubling drop out of Spearman's rho.
 
   val all: Seq[Q] = Seq(
 
@@ -48,10 +44,11 @@ object Analytics17 {
           col("source"), col("doc_id"), col("n_chars").as("x"),
           size(array_distinct(split(col("text"), " ")))
             .cast("long").as("y"))
-        val ranked = docs.select(
-          col("source"),
-          rank2(Seq(col("source")), col("x")).cast("long").as("rx"),
-          rank2(Seq(col("source")), col("y")).cast("long").as("ry"))
+        val ranked = graft.operators.Ranks.withMidrank2(
+            graft.operators.Ranks.withMidrank2(docs,
+              Seq(col("source")), col("x"), "rx"),
+            Seq(col("source")), col("y"), "ry")
+          .select(col("source"), col("rx"), col("ry"))
         val sums = ranked.groupBy("source").agg(
           count(lit(1)).as("n"),
           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
@@ -119,9 +116,10 @@ object Analytics17 {
           .select(col("lang").as("pair_lang"), col("n_chars"),
             lit(0L).as("is_en"))
         val combined = en.unionByName(other)
-        val ranked = combined.select(col("pair_lang"), col("n_chars"),
-          col("is_en"),
-          rank2(Seq(col("pair_lang")), col("n_chars")).cast("long").as("r2"))
+        val ranked = graft.operators.Ranks.withMidrank2(combined,
+            Seq(col("pair_lang")), col("n_chars"), "r2")
+          .select(col("pair_lang"), col("n_chars"), col("is_en"),
+            col("r2"))
         // tie groups of the combined sample, per comparison
         val ties = ranked.groupBy("pair_lang", "n_chars")
           .agg(count(lit(1)).as("tc"))

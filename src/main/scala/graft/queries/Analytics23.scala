@@ -24,13 +24,6 @@ object Analytics23 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Doubled average rank — see [[Analytics17.rank2]]. */
-  private def rank2(part: Seq[Column], value: Column): Column = {
-    val w = Window.partitionBy(part: _*).orderBy(value)
-    val ties = Window.partitionBy(part :+ value: _*)
-    lit(2) * rank().over(w) + count(lit(1)).over(ties) - lit(1)
-  }
-
   val all: Seq[Q] = Seq(
 
     // ---- sweep-line concurrency: how many line items are "open"
@@ -152,9 +145,11 @@ object Analytics23 {
           col("source"),
           when(col("lang") === "en", 1L).otherwise(0L).as("y"),
           col("n_chars").as("score"))
-        val ranked = docs.select(
-          col("source"), col("y"),
-          rank2(Seq(col("source")), col("score")).cast("long").as("r2"))
+        // doubled midranks via the census prefix-sum (Ranks.withMidrank2)
+        // — a |sources|-task rank window caps parallelism at 100 TB
+        val ranked = graft.operators.Ranks.withMidrank2(docs,
+            Seq(col("source")), col("score"), "r2")
+          .select(col("source"), col("y"), col("r2"))
         val sums = ranked.groupBy("source").agg(
           sum(col("y")).as("n_pos"),
           sum(lit(1L) - col("y")).as("n_neg"),

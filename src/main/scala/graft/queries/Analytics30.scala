@@ -159,14 +159,21 @@ object Analytics30 {
     // ---- scale and the one double division happens at output. --------
     Q("q258_twap",
       (s, dir) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("us"), col("event_id"))
-        val obs = t(s, dir, "events")
-          .select(col("event_type"), col("event_id"),
-            unix_micros(col("ts")).as("us"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .withColumn("next_us", lead(col("us"), 1).over(w))
-          .where(col("next_us").isNotNull)
+        // a handful of event types over event grain: partitionBy(type)
+        // sorts ~n/|types| rows in one task at 100 TB. Rank pass
+        // (grp = type) + an equi-join on (type, rn+1) replaces lead():
+        // the checkpointed narrow frame is probed once for successors.
+        val ranked = graft.operators.Ranks.withPrefixSums(
+            t(s, dir, "events")
+              .select(col("event_type"), col("event_id"),
+                unix_micros(col("ts")).as("us"),
+                round(col("value") * 100).cast("long").as("cents")),
+            Seq(col("event_type")), Seq(col("us"), col("event_id")),
+            Seq((lit(1L), "rn", "nr")))
+          .localCheckpoint(false)
+        val obs = ranked
+          .join(ranked.select(col("event_type"), (col("rn") - 1L).as("rn"),
+            col("us").as("next_us")), Seq("event_type", "rn"))
           .select(col("event_type"), col("cents"),
             floor(least(col("next_us") - col("us"),
               lit(TwapCapSec * 1000000L)) / lit(1000000.0)).cast("long")

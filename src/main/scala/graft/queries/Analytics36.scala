@@ -373,10 +373,29 @@ object Analytics36 {
     // ---- largest orders), run through spark.sql so the DECORRELATION
     // ---- path itself is what's exercised (Spark rewrites it to a
     // ---- ranked join; the same text runs verbatim in DuckDB). -------
+    // Spark decorrelates LATERAL-with-LIMIT into a rank window
+    // partitioned by the 25-value nation key — single-task in all but
+    // name over order grain at 100 TB. The engine-side form is the
+    // partial-aggregable bounded top-k heap (each task reduces to 2
+    // rows per nation pre-shuffle); the SQL LATERAL surface itself is
+    // still exercised by the other LATERAL queries (q3xx packs). The
+    // heap's (score desc, id asc) order matches the oracle's ORDER BY
+    // o_totalprice DESC, o_orderkey exactly.
     Q("q290_lateral_topn",
       (s, dir) => {
-        Tables.registerAll(s, dir)
-        s.sql(LateralSql)
+        val top = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(graft.functions.TopKAgg.topKBy(col("o_totalprice"),
+            col("o_orderkey"), 2).as("topk"))
+          .select(col("c_nationkey"), explode(col("topk")).as("tk"))
+        t(s, dir, "nation")
+          .join(top, col("n_nationkey") === col("c_nationkey"))
+          .select(col("n_name"), col("tk.id").as("o_orderkey"),
+            col("tk.score").as("o_totalprice"))
+          .orderBy(col("n_name"), col("o_totalprice").desc,
+            col("o_orderkey"))
       },
       Some(LateralSql))
   )

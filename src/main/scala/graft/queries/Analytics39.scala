@@ -41,10 +41,12 @@ object Analytics39 {
             col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("segment"), col("o_totalprice")
             .as("x"), col("o_orderkey"))
-        val ranked = v
-          .withColumn("rn", row_number().over(Window.partitionBy("segment")
-            .orderBy(col("x"), col("o_orderkey"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("segment")))
+        // 5 market segments over order grain: partitionBy(segment) is
+        // single-task in all but name — one Ranks.withPrefixSums pass
+        // gives the within-segment rank and group size distributively.
+        val ranked = graft.operators.Ranks.withPrefixSums(v,
+          Seq(col("segment")), Seq(col("x"), col("o_orderkey")),
+          Seq((lit(1L), "rn", "n")))
         val oct = ranked
           .crossJoin(broadcast(s.range(1, 8).select(col("id").as("k"))))
           .where(col("rn") === expr("k * n div 8"))

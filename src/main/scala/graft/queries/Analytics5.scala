@@ -75,6 +75,10 @@ object Analytics5 {
             emb.filter(col("vec_id") === 0), k = 50, excludeSelf = false)
           .select(col("neighbor_id").as("id"),
             round(col("cosine"), 6).as("sc"))
+          // already ≤ k rows from the bounded-heap top-k aggregate;
+          // the explicit limit is a no-op that records that bound in
+          // the plan itself (the window audit's barrier)
+          .orderBy(desc("sc"), asc("id")).limit(50)
         // row_number over the bounded 50-row lists (single partition
         // by construction — the lists are already top-k results)
         val w = Window.orderBy(desc("sc"), asc("id"))

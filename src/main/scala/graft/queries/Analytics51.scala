@@ -244,16 +244,25 @@ object Analytics51 {
             col("o_custkey") === col("c_custkey"))
           .select(col("seg"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val wseg = Window.partitionBy("seg").orderBy("cents")
-        val med = base
-          .withColumn("rn", row_number().over(wseg).cast("long"))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy("seg")).cast("long"))
+        // 5 segments over order grain: the per-segment median must not
+        // ride a partitionBy(seg) rank window (~n/5 rows in one task
+        // at 100 TB). The median is positional in the sorted multiset,
+        // so it reads off the (seg, cents) VALUE census instead: a
+        // Ranks prefix-sum over census rows locates the runs holding
+        // positions (n+1)÷2 and n÷2+1 — tie-invariant by construction.
+        val census = base.groupBy("seg", "cents")
+          .agg(count(lit(1)).as("tc"))
+        val cum = graft.operators.Ranks.withPrefixSum(census,
+          Seq(col("seg")), Seq(col("cents")), col("tc"), "cw", "n")
+        val med = cum
+          .withColumn("p1", expr("(n + 1) div 2"))
+          .withColumn("p2", expr("n div 2 + 1"))
           .groupBy("seg")
-          .agg((sum(when(col("rn") === expr("(n + 1) div 2"),
-            col("cents")).otherwise(0L))
-            + sum(when(col("rn") === expr("n div 2 + 1"),
-              col("cents")).otherwise(0L))).as("med2"))
+          .agg((sum(when(col("cw") - col("tc") < col("p1")
+              && col("p1") <= col("cw"), col("cents")).otherwise(0L))
+            + sum(when(col("cw") - col("tc") < col("p2")
+              && col("p2") <= col("cw"), col("cents")).otherwise(0L)))
+            .as("med2"))
         val per = base.join(broadcast(med), Seq("seg"))
           .select(col("seg"),
             abs(lit(2L) * col("cents") - col("med2")).as("z2"))

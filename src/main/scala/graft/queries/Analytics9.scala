@@ -129,11 +129,14 @@ object Analytics9 {
             .cast(DecimalType(18, 2)).as("sp"))
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"))
-        val ranked = spend
-          .join(broadcast(c), spend("o_custkey") === c("c_custkey"))
-          .withColumn("i", row_number().over(
-            Window.partitionBy("c_nationkey").orderBy(col("sp"), col("o_custkey"))))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+        // 25 nations over customer grain: partitionBy(nation) is
+        // single-task in all but name (each task sorts ~n/25 rows at
+        // 100 TB). One Ranks.withPrefixSums pass (grp = nation) gives
+        // the within-nation rank i and group size nn distributively.
+        val ranked = graft.operators.Ranks.withPrefixSums(
+            spend.join(broadcast(c), spend("o_custkey") === c("c_custkey")),
+            Seq(col("c_nationkey")), Seq(col("sp"), col("o_custkey")),
+            Seq((lit(1L), "i", "nn")))
           .withColumn("wt",
             // DECIMAL(10,0) holds |2i - n - 1| for any group the rank
             // window itself could survive (the q153-fix width rule:

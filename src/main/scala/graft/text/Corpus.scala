@@ -73,10 +73,23 @@ object Corpus {
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
                        k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(idCol), 1 << 20), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k).drop("__rk")
+    // bounded top-k heap per stratum, not a partitionBy(stratum) rank
+    // window: strata are often few (langs, sources), and the window
+    // form lays each stratum's whole corpus into one task. The heap
+    // orders (score desc, id asc); score = −bucket is exact in a
+    // double (bucket < 2^20), so the kept set is bit-identical to
+    // ROW_NUMBER() OVER (ORDER BY bucket, id) ≤ k. `idCol` must be
+    // integral (the heap carries bigint ids).
+    val winners = df.groupBy(col(stratumCol))
+      .agg(graft.functions.TopKAgg.topKBy(
+        -hashBucket(col(idCol), 1 << 20).cast("double"),
+        col(idCol), k).as("__tk"))
+      .select(col(stratumCol).as("__ws"), explode(col("__tk")).as("__t"))
+      .select(col("__ws"), col("__t.id").as("__wid"))
+    // winners is k·|strata| rows — metadata-sized next to the corpus;
+    // AQE broadcasts it when small
+    df.join(winners, df(stratumCol) === col("__ws") &&
+        df(idCol).cast("long") === col("__wid"), "leftsemi")
   }
 
   /** Deterministic resampling to a target domain mixture: keep each row
@@ -128,16 +141,20 @@ object Corpus {
     * shard), documents are laid out in `idCol` order and cut into
     * training sequences of ~`capacity` tokens — a document starts in
     * the sequence its cumulative start-offset falls into. Returns the
-    * input plus (seq_no, cum_tokens). Real pipelines pack per shard
-    * precisely so the window never orders the whole corpus on one node.
-    */
+    * input plus (seq_no, cum_tokens).
+    *
+    * Scale shape: the running offset is a [[graft.operators.Ranks]]
+    * prefix-sum (range-partitioned on (stratum, id)), NOT a
+    * `partitionBy(stratum)` window — strata are often few (a handful
+    * of sources), and a per-stratum window would lay the whole corpus
+    * of each stratum into one task. `idCol` must be unique within a
+    * stratum (the layout order must be total). */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     capacity: Int, stratumCol: String): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(col(tokenCol)).over(w)
-    df.withColumn("cum_tokens", cum)
+    graft.operators.Ranks.withPrefixSum(df, Seq(col(stratumCol)),
+        Seq(col(idCol)), col(tokenCol), "cum_tokens", "_pack_tw")
+      .drop("_pack_tw")
       .withColumn("seq_no",
         floor((col("cum_tokens") - col(tokenCol)) / lit(capacity.toLong))
           .cast("long"))
