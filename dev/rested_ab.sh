@@ -29,9 +29,29 @@ done
 echo "[ab] resting ${REST}s before DuckDB run"
 sleep "$REST"
 python3 dev/duck_bench.py "$SF" "$ORACLE" 2 > $OUT/${TAG}_duck_reps2.json
+
+# Canonical pair artifact (r10 protocol): the duck leg lands at a fixed
+# path that graft.Bench reads on its NEXT run, embedding
+# {spark_total, duck_total, ratio} into BENCH_summary.json / the stdout
+# line — the gate ratio always rides a contemporaneous pair, never a
+# cross-day DuckDB number. The tag records provenance.
 python3 - <<EOF
 import json
 d = json.load(open("$OUT/${TAG}_duck_reps2.json"))
+d["tag"] = "${TAG}_duck_reps2"
+d["sf"] = "$SF"
+with open("$OUT/latest_pair.json.tmp", "w") as f:
+    json.dump(d, f)
+import os
+os.replace("$OUT/latest_pair.json.tmp", "$OUT/latest_pair.json")
+s = json.load(open("$OUT/${TAG}_spark_32g.json"))
+common = set(d["queries"]) & set(s["queries"])
+ds = sum(d["queries"][q] for q in common)
+ss = sum(s["queries"][q] for q in common)
+wins = sum(1 for q in common if s["queries"][q] < d["queries"][q])
 print(f"[ab] duck: total {d['total']} s over {len(d['queries'])} queries")
+print(f"[ab] PAIR (32g vs duck, {len(common)} aligned): "
+      f"spark {ss:.1f} s, duck {ds:.1f} s, ratio {ss/ds:.3f}x, "
+      f"{wins} spark wins")
 EOF
-echo "[ab] done — artifacts under $OUT/${TAG}_*"
+echo "[ab] done — artifacts under $OUT/${TAG}_*; pair at $OUT/latest_pair.json"

@@ -91,6 +91,35 @@ object Bench {
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Contemporaneous-pair fence (r10 protocol): dev/rested_ab.sh drops
+    // its DuckDB leg at a fixed path; when present, the bench envelope
+    // carries {spark_total, duck_total, ratio} over the ALIGNED query
+    // set, so the gate ratio travels in the same artifact as the run —
+    // BASELINE comparisons stop depending on cross-day DuckDB numbers.
+    // pair_age_sec discloses how stale the duck leg is (host throttling
+    // drifts both engines together only within a session).
+    val pairExtra: String = try {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PAIR_FILE",
+        "dev/bench_artifacts/latest_pair.json"))
+      if (!Files.exists(p)) "" else {
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val qre = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        val duck = qre.findAllMatchIn(
+            txt.substring(txt.indexOf("\"queries\"")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val sparkMap = results.toMap
+        val common = duck.keySet.intersect(sparkMap.keySet)
+        if (common.isEmpty) "" else {
+          val ds = common.toSeq.map(duck).sum
+          val ss = common.toSeq.map(sparkMap).sum
+          val age = (System.currentTimeMillis -
+            Files.getLastModifiedTime(p).toMillis) / 1000
+          s""""pair":{"spark_total":${fmt(ss)},"duck_total":${fmt(ds)},""" +
+            s""""ratio":${fmt(ss / ds)},"aligned_n":${common.size},""" +
+            s""""pair_age_sec":$age},"""
+        }
+      }
+    } catch { case _: Throwable => "" }
     def entries(rs: Seq[(String, Double)], short: Boolean): Seq[String] =
       rs.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
@@ -101,7 +130,7 @@ object Bench {
     // Full query names, full vector → the file (atomic rename).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
-      val line = envelope(entries(results, short = false).mkString("{", ",", "}"), "") + "\n"
+      val line = envelope(entries(results, short = false).mkString("{", ",", "}"), pairExtra) + "\n"
       val tmp = Paths.get(out + ".tmp")
       Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(out),
@@ -124,7 +153,7 @@ object Bench {
     try {
       val s = envelope(
         entries(slowFirst.take(32), short = false).mkString("{", ",", "}"),
-        s""""full":"$out",""") + "\n"
+        s""""full":"$out",""" + pairExtra) + "\n"
       val tmp = Paths.get(summaryPath + ".tmp")
       Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(summaryPath),
@@ -132,11 +161,12 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Throwable => () }
     val kept = new scala.collection.mutable.ArrayBuffer[String]
-    var used = envelope("{}", s""""full":"$out",""").length
+    var used = envelope("{}", s""""full":"$out",""" + pairExtra).length
     entries(slowFirst, short = true).foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     spark.stop()
-    println(envelope(kept.mkString("{", ",", "}"), s""""full":"$out","""))
+    println(envelope(kept.mkString("{", ",", "}"),
+      s""""full":"$out",""" + pairExtra))
   }
 }
