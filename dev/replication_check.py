@@ -31,10 +31,27 @@ import json
 import sys
 
 import duckdb
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 BASE, VERIFY, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
-STRIDE = 100000  # gen_scale offset for part keys at sf0.1 (max 20000)
+
+
+def stride():
+    """Part-key replication offset, computed the way gen_scale.span()
+    computes it (next power of 10 above the base max p_partkey) — a
+    hard-coded 100000 silently diverges if the base dir is a different
+    sf or part keys ever cross 10^5."""
+    t = pq.read_table(f"{BASE}/part.parquet", columns=["p_partkey"])
+    mx = pc.max(t.column(0)).as_py()
+    off = 10
+    while off <= mx:
+        off *= 10
+    return off
+
+
+STRIDE = stride()
+print(f"[replication] base part-key stride {STRIDE} (from {BASE})")
 
 # query -> (offset key columns, k, sort key builder)
 APPLICABLE = {
@@ -69,4 +86,13 @@ for q, (keys, k, order) in APPLICABLE.items():
     ok &= match
     print(f"{'ok  ' if match else 'FAIL'} {q} (replication law, "
           f"{len(got)} rows)")
+    if not match:
+        # diagnostic diff (mirrors check.py): a rounding-level
+        # divergence must be distinguishable from a law violation
+        diffs = [(i, e, g) for i, (e, g)
+                 in enumerate(zip(exp, got)) if e != g]
+        for i, e, g in diffs[:5]:
+            print(f"  row {i}: exp {e}\n          got {g}")
+        if len(exp) != len(got):
+            print(f"  row counts differ: exp {len(exp)} got {len(got)}")
 sys.exit(0 if ok else 1)
