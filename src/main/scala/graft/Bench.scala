@@ -103,9 +103,27 @@ object Bench {
         "dev/bench_artifacts/latest_pair.json"))
       if (!Files.exists(p)) "" else {
         val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        // Anchor the scan to the queries object's OWN balanced braces —
+        // not "everything after the key" — so numeric metadata fields
+        // appearing after the queries object (or a query literally named
+        // like one) can never leak into duck_total. The duck leg has no
+        // nested objects inside queries, so brace-balance is exact.
+        val qKey = txt.indexOf("\"queries\"")
+        val open = if (qKey < 0) -1 else txt.indexOf('{', qKey)
+        val body = if (open < 0) "" else {
+          var depth = 0; var i = open; var end = -1
+          while (end < 0 && i < txt.length) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (end < 0) "" else txt.substring(open, end + 1)
+        }
         val qre = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-        val duck = qre.findAllMatchIn(
-            txt.substring(txt.indexOf("\"queries\"")))
+        val duck = qre.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val sparkMap = results.toMap
         val common = duck.keySet.intersect(sparkMap.keySet)

@@ -8,6 +8,11 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.Explain <sfDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, names) = args.take(2)
     val spark = SparkEnv.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   * carry. Boundaries sampled by RangePartitioner vary run-to-run, but
   * ranks are positions in the total order and thus independent of where
   * the cuts fall.
+  *
+  * Fault-tolerance contract: the frozen layout (see [[freeze]]) is a
+  * `localCheckpoint` by default — blocks live on their executor, so a
+  * lost executor fails the query with NO recompute path (batch-retry
+  * semantics: rerun the job). For long-running or large-cluster jobs
+  * set `spark.graft.ranks.checkpoint=reliable` to write the frozen
+  * layout to the SparkContext checkpoint directory instead (survives
+  * any executor loss; requires `sparkContext.setCheckpointDir`).
+  * Rank/offset consistency holds identically in both modes — the
+  * checkpoint is what pins ONE RangePartitioner boundary sample for
+  * both plan branches.
   */
 object Ranks {
 
@@ -45,6 +56,17 @@ object Ranks {
   private def defaultParts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Freeze ONE physical layout for the plan's two consumers (offset
+    * census + rank join): RangePartitioner samples its boundaries per
+    * exchange materialization, so two independent evaluations of the
+    * same plan could cut the range differently and de-sync offsets
+    * from local positions (observed: ranks > n). Mode per the
+    * fault-tolerance contract in the object scaladoc. */
+  private def freeze(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.ranks.checkpoint", "local")
+        == "reliable") df.checkpoint(false)
+    else df.localCheckpoint(false)
+
   /** Append an exact 1-based global dense position `out` (row_number
     * semantics) over the total order `ord`. One balanced range shuffle;
     * every sort is per-partition. */
@@ -52,26 +74,22 @@ object Ranks {
                      parts: Int = 0): DataFrame = {
     val p = if (parts > 0) parts else defaultParts(df)
     val mid = col("_rk_mid")
-    // localCheckpoint freezes ONE physical layout for both consumers
-    // below (offset census + rank join): RangePartitioner samples its
-    // boundaries per exchange materialization, so two independent
-    // evaluations of this plan could cut the range differently and
-    // de-sync offsets from local positions (observed: ranks > n).
-    val parted = df
+    val parted = freeze(df
       .repartitionByRange(p, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("_rk_mid", monotonically_increasing_id())
       .withColumn("_rk_pid", shiftright(mid, LocalIdxBits))
       .withColumn("_rk_lrn", (mid.bitwiseAND(LocalIdxMask)) + 1L)
-      .drop("_rk_mid")
-      .localCheckpoint(false)
-    // ≤ `parts` rows: the per-partition census. The cumulative window
-    // below runs on this partition-count-sized table, never on data.
-    val offsets = parted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("_rk_cnt"))
-      .withColumn("_rk_off", coalesce(
-        sum(col("_rk_cnt")).over(Window.orderBy(col("_rk_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_rk_pid"), col("_rk_off"))
+      .drop("_rk_mid"))
+    // Exclusive per-partition count offsets in ONE bounded-state
+    // aggregate (state ≤ `parts` entries) — no census window, no
+    // single-task sort anywhere in this operator.
+    val offsets = parted
+      .agg(graft.functions.PrefixOffsetsAgg.prefixOffsets(
+        col("_rk_pid"), Seq(lit(1L))).as("_rk_po"))
+      .select(explode(col("_rk_po")).as("_rk_e"))
+      .select(col("_rk_e.pid").as("_rk_pid"),
+        col("_rk_e.off0").as("_rk_off"))
     parted.join(broadcast(offsets), "_rk_pid")
       .withColumn(out, col("_rk_off") + col("_rk_lrn"))
       .drop("_rk_pid", "_rk_lrn", "_rk_off")
@@ -104,16 +122,15 @@ object Ranks {
     val p = if (parts > 0) parts else defaultParts(df)
     val mid = col("_rk_mid")
     val wNames = ws.indices.map(i => s"_rk_w$i")
-    // same single-layout freeze as withGlobalRank (see comment there)
-    val parted = ws.zip(wNames).foldLeft(
+    // same single-layout freeze as withGlobalRank (see freeze())
+    val parted = freeze(ws.zip(wNames).foldLeft(
         df.repartitionByRange(p, grp ++ ord: _*)
           .sortWithinPartitions(grp ++ ord: _*)) {
         case (d, ((w, _, _), n)) => d.withColumn(n, w)
       }
       .withColumn("_rk_mid", monotonically_increasing_id())
       .withColumn("_rk_pid", shiftright(mid, LocalIdxBits))
-      .drop("_rk_mid")
-      .localCheckpoint(false)
+      .drop("_rk_mid"))
     val grpNames = grp.zipWithIndex.map { case (_, i) => s"_rk_g$i" }
     val tagged = grpNames.zip(grp).foldLeft(parted) {
       case (d, (n, c)) => d.withColumn(n, c)
@@ -127,26 +144,46 @@ object Ranks {
     val localled = wNames.foldLeft(tagged) { (d, n) =>
       d.withColumn(s"${n}_lcw", sum(col(n)).over(localW))
     }
-    // per-(partition, group) totals: ≤ parts × (groups straddling) rows.
-    // Taken from the PRE-window frame so this branch shares the range
-    // exchange but never re-runs the window sort.
-    val partTotals = tagged
-      .groupBy((col("_rk_pid") +: grpNames.map(col)): _*)
-      .agg(sum(col(wNames.head)).as(s"${wNames.head}_pw"),
-        wNames.tail.map(n => sum(col(n)).as(s"${n}_pw")): _*)
-    val offW = Window.partitionBy(grpNames.map(col): _*)
-      .orderBy(col("_rk_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val twW = Window.partitionBy(grpNames.map(col): _*)
-    val offsets0 = ws.zip(wNames).foldLeft(partTotals) {
-      case (d, ((_, _, tw), n)) =>
-        d.withColumn(s"${n}_off", coalesce(sum(col(s"${n}_pw")).over(offW),
-            lit(0L).cast(partTotals.schema(s"${n}_pw").dataType)))
-          .withColumn(tw, sum(col(s"${n}_pw")).over(twW))
+    val offsets = if (grp.isEmpty) {
+      // Global (no-group) offsets: ONE bounded-state aggregate (state
+      // ≤ `parts` entries — see PrefixOffsetsAgg) replaces the census
+      // + unpartitioned offsets window. No window node anywhere on
+      // this path, so queries ranking through here need no
+      // unpartitioned-window certification at all.
+      tagged
+        .agg(graft.functions.PrefixOffsetsAgg.prefixOffsets(
+          col("_rk_pid"), wNames.map(col)).as("_rk_po"))
+        .select(explode(col("_rk_po")).as("_rk_e"))
+        .select(col("_rk_e.pid").as("_rk_pid") +:
+          ws.zip(wNames).zipWithIndex.flatMap {
+            case (((_, _, tw), n), i) =>
+              Seq(col(s"_rk_e.off$i").as(s"${n}_off"),
+                col(s"_rk_e.tot$i").as(tw))
+          }: _*)
+    } else {
+      // per-(partition, group) totals: ≤ parts × (groups straddling)
+      // rows. Taken from the PRE-window frame so this branch shares
+      // the range exchange but never re-runs the window sort. The
+      // offsets window is PARTITIONED by the group keys — never a
+      // single-task sort.
+      val partTotals = tagged
+        .groupBy((col("_rk_pid") +: grpNames.map(col)): _*)
+        .agg(sum(col(wNames.head)).as(s"${wNames.head}_pw"),
+          wNames.tail.map(n => sum(col(n)).as(s"${n}_pw")): _*)
+      val offW = Window.partitionBy(grpNames.map(col): _*)
+        .orderBy(col("_rk_pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val twW = Window.partitionBy(grpNames.map(col): _*)
+      val offsets0 = ws.zip(wNames).foldLeft(partTotals) {
+        case (d, ((_, _, tw), n)) =>
+          d.withColumn(s"${n}_off", coalesce(sum(col(s"${n}_pw")).over(offW),
+              lit(0L).cast(partTotals.schema(s"${n}_pw").dataType)))
+            .withColumn(tw, sum(col(s"${n}_pw")).over(twW))
+      }
+      offsets0.select(
+        (col("_rk_pid") +: grpNames.map(col)) ++
+          wNames.map(n => col(s"${n}_off")) ++ ws.map(t => col(t._3)): _*)
     }
-    val offsets = offsets0.select(
-      (col("_rk_pid") +: grpNames.map(col)) ++
-        wNames.map(n => col(s"${n}_off")) ++ ws.map(t => col(t._3)): _*)
     val joined = localled.join(broadcast(offsets), "_rk_pid" +: grpNames)
     ws.zip(wNames).foldLeft(joined) {
         case (d, ((_, cw, _), n)) =>
@@ -163,7 +200,11 @@ object Ranks {
     * rows, 2·cum − ties + 1 — and joins back on (grp, value), never
     * sorting data-grain rows in one task. The partitioned-rank window
     * it replaces caps parallelism at |grp| tasks; here every stage is
-    * hash- or range-partitioned on data-scaled keys. */
+    * hash- or range-partitioned on data-scaled keys.
+    *
+    * Precondition: `grp` and `value` must be NON-NULL — the join-back
+    * is an equality join, so a NULL value row would be silently dropped
+    * (a rank window would have ordered it NULLS FIRST/LAST instead). */
   def withMidrank2(df: DataFrame, grp: Seq[Column], value: Column,
                    out: String, parts: Int = 0): DataFrame = {
     val gNames = grp.indices.map(i => s"_mr_g$i")

@@ -230,10 +230,15 @@ object Analytics39 {
         val per = occ.groupBy("w")
           .agg(count(lit(1)).as("df"), sum(col("k")).as("total_occ"),
             sum(when(col("k") >= 2, 1L).otherwise(0L)).as("df2"))
+        // top-W head of the term census WITHOUT ranking the full
+        // vocabulary in one task: orderBy+limit under the topK
+        // fallback threshold plans as TakeOrderedAndProject — a
+        // per-partition bounded heap with exact (df DESC, w ASC)
+        // tie-break, so the vocabulary (data-scaled under Heaps' law)
+        // is never single-task sorted.
         per
-          .withColumn("rk", row_number().over(
-            Window.orderBy(desc("df"), asc("w"))))
-          .where(col("rk") <= BurstTopW)
+          .orderBy(desc("df"), asc("w"))
+          .limit(BurstTopW)
           .select(col("w").as("word"), col("df"), col("total_occ"),
             round(col("total_occ").cast("double") / col("df").cast("double"),
               6).as("mean_tf"),

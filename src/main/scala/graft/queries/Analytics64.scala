@@ -171,17 +171,21 @@ object Analytics64 {
             explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) >= 1)
         val firsts = occ.groupBy("w").agg(min(col("srcnum")).as("fs"))
-        val vocabTot = firsts.agg(count(lit(1)).as("v"))
-        firsts.groupBy(col("fs").as("source_num"))
-          .agg(count(lit(1)).as("new_terms"))
-          .crossJoin(broadcast(vocabTot))
-          .withColumn("cum_terms",
-            sum(col("new_terms")).over(Window.orderBy("source_num")
-              .rowsBetween(Window.unboundedPreceding, 0)))
+        // Source count is data-scaled (far smaller than vocab, but not
+        // bounded by construction): the running coverage goes through
+        // the range-partitioned prefix sum, not an unpartitioned
+        // window. Its group total IS the vocabulary size (every term
+        // has exactly one first-claiming source), so the separate
+        // vocab-count aggregate + crossJoin drop out too.
+        graft.operators.Ranks.withPrefixSum(
+            firsts.groupBy(col("fs").as("source_num"))
+              .agg(count(lit(1)).as("new_terms")),
+            Seq.empty, Seq(col("source_num")),
+            col("new_terms"), "cum_terms", "_v")
           .select(col("source_num"), col("new_terms"),
             col("cum_terms"),
             round(col("cum_terms").cast("double")
-              / col("v").cast("double"), 6).as("cum_coverage"))
+              / col("_v").cast("double"), 6).as("cum_coverage"))
       },
       Some("""WITH occ AS (
              |  SELECT CAST(SUBSTR(source, 4) AS BIGINT) AS srcnum,
@@ -214,24 +218,30 @@ object Analytics64 {
     // ---- stopword list actually faces. ------------------------------
     Q("q430_token_mass_concentration",
       (s, dir) => {
+        // Zipf head WITHOUT ranking the full vocabulary (data-scaled
+        // under Heaps' law) in one task: a single bounded TopKAgg heap
+        // (k = 1000, the largest cut) reduces every partition to 1000
+        // census entries BEFORE the shuffle; head mass at each cut is
+        // a slice-sum of the (score DESC)-sorted heap array. Boundary
+        // ties carry EQUAL counts, so which tied term the heap keeps
+        // cannot change the mass — the sum is tie-invariant and
+        // hash-exact against the ROW_NUMBER oracle. Counts ride as the
+        // heap score (long < 2^53, exact in the double).
         val counts = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
-        val ranked = counts
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("c").desc, col("w"))).cast("long"))
-        val tot = counts.agg(sum(col("c")).as("mass"),
-          count(lit(1)).as("vocab"))
+        val top = counts.agg(
+          graft.functions.TopKAgg.topKBy(col("c").cast("double"),
+            xxhash64(col("w")), 1000).as("tk"),
+          sum(col("c")).as("mass"), count(lit(1)).as("vocab"))
         val ks = s.range(1, 4)
           .select(pow(lit(10.0), col("id").cast("double"))
             .cast("long").as("k"))
-        ranked.crossJoin(broadcast(ks))
-          .where(col("rk") <= col("k"))
-          .groupBy("k")
-          .agg(sum(col("c")).as("head_mass"))
-          .crossJoin(broadcast(tot))
+        top.crossJoin(broadcast(ks))
           .select(col("k").as("top_k"), col("vocab"),
-            round(col("head_mass").cast("double")
+            round(
+              aggregate(slice(col("tk"), lit(1), col("k").cast("int")),
+                lit(0.0), (acc, x) => acc + x.getField("score"))
               / col("mass").cast("double"), 6).as("mass_share"))
       },
       Some("""WITH counts AS (

@@ -333,8 +333,8 @@ object TextQueries {
 
     // ---- vocabulary coverage curve: how many vocab entries cover 90 /
     // ---- 95 / 99% of corpus token mass (the Zipf statistic behind
-    // ---- tokenizer vocab-size choices). The rank window runs over the
-    // ---- vocabulary table — bounded regardless of corpus size --------
+    // ---- tokenizer vocab-size choices). Vocab is data-scaled (Heaps'
+    // ---- law), so rank+cum go through Ranks, never one task ----------
     Q("q110_vocab_coverage",
       (s, dir) => TextAnalysis.vocabCoverage(
         Tables.loadParallel(s, dir, "documents")),

@@ -69,10 +69,30 @@ object Corpus {
     * their hash bucket (id as tiebreak) and keep the first k. One
     * shuffle on the stratum key; resampling with a different k keeps
     * every previously-sampled row (the order is stable), which is what
-    * makes grow-the-eval-set workflows reproducible. */
+    * makes grow-the-eval-set workflows reproducible.
+    *
+    * Preconditions (enforced / documented):
+    *  - `idCol` MUST be an integral column (byte/short/int/long) — the
+    *    bounded heap carries bigint ids and the join-back compares the
+    *    id as a long. A string/decimal id would cast to null (empty
+    *    sample) or collide; `require` fails loudly instead.
+    *  - `(stratumCol, idCol)` should be unique and non-null: rows with
+    *    a NULL stratum or id never match the winner semi-join (they are
+    *    dropped, where a window form would have ranked them), and
+    *    duplicate (stratum, id) rows all survive if their id wins. */
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
                        k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require({
+        import org.apache.spark.sql.types._
+        df.schema(idCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      },
+      s"sampleStratified: id column '$idCol' must be integral " +
+        s"(byte/short/int/long), got ${df.schema(idCol).dataType.sql} — " +
+        "a non-integral id would cast to NULL and silently empty the sample")
     // bounded top-k heap per stratum, not a partitionBy(stratum) rank
     // window: strata are often few (langs, sources), and the window
     // form lays each stratum's whole corpus into one task. The heap
@@ -148,7 +168,14 @@ object Corpus {
     * `partitionBy(stratum)` window — strata are often few (a handful
     * of sources), and a per-stratum window would lay the whole corpus
     * of each stratum into one task. `idCol` must be unique within a
-    * stratum (the layout order must be total). */
+    * stratum (the layout order must be total).
+    *
+    * Preconditions (the prefix-sum join-back contract, surfaced here
+    * because this is the public entry point, not just in Ranks):
+    * `stratumCol` must be NON-NULL — rows with a NULL stratum are
+    * silently dropped by the offsets equi-join (a window form would
+    * have grouped them); `(stratumCol, idCol)` must be unique or the
+    * layout order is not total and seq_no assignment is undefined. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     capacity: Int, stratumCol: String): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")

@@ -107,25 +107,32 @@ object TextAnalysis {
     * `(vocab_total, total_tokens, vocab_90, vocab_95, vocab_99)`.
     *
     * Scale shape: the corpus is touched once for the token-count
-    * aggregate; the rank/cumsum window runs over the VOCABULARY table,
-    * which is bounded (~1e6 entries at web scale) regardless of corpus
-    * size, so the single-partition window is safe by construction. */
+    * aggregate; the rank + cumulative mass over the vocabulary table
+    * go through [[graft.operators.Ranks.withPrefixSums]] — vocabulary
+    * is NOT bounded by construction (Heaps' law: URLs/typos/numbers
+    * push real web-scale vocab past 10^8), so the old single-task
+    * rank window was the one shape here that would not survive a
+    * 100× corpus. One range shuffle on (cnt DESC, token), every sort
+    * per-partition. */
   def vocabCoverage(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    counts
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    // rank = running count (weight 1), cum = running token mass, in
+    // the SAME pass; `n` (total mass) rides on every row as the
+    // prefix-sum group total.
+    graft.operators.Ranks.withPrefixSums(counts, Seq.empty,
+        Seq(col("cnt").desc, col("token")),
+        Seq((lit(1L), "rank", "_vc_vocab"), (col("cnt"), "cum", "n")))
       .agg(
-        max(col("rank")).as("vocab_total"),
+        max(col("rank")).cast("int").as("vocab_total"),
         max(col("n")).as("total_tokens"),
-        min(when(col("cum") >= col("n") * 0.90, col("rank"))).as("vocab_90"),
-        min(when(col("cum") >= col("n") * 0.95, col("rank"))).as("vocab_95"),
-        min(when(col("cum") >= col("n") * 0.99, col("rank"))).as("vocab_99"))
+        min(when(col("cum") >= col("n") * 0.90, col("rank")))
+          .cast("int").as("vocab_90"),
+        min(when(col("cum") >= col("n") * 0.95, col("rank")))
+          .cast("int").as("vocab_95"),
+        min(when(col("cum") >= col("n") * 0.99, col("rank")))
+          .cast("int").as("vocab_99"))
   }
 
   /** BPE merge-candidate statistics (Sennrich, Haddow & Birch, "Neural

@@ -104,21 +104,74 @@ class RanksSpec extends SparkSpec {
       s"rank set not 1..n: $stats")
   }
 
-  test("no single-partition sort in the physical plan") {
-    val plan = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")), "rn")
+  test("NO unpartitioned window in the plan — global rank & global " +
+      "prefix sum (prefix_offsets aggregate replaced the census window)") {
+    val rankPlan = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")), "rn")
       .queryExecution.executedPlan
-    val offenders = plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
-    // the only unpartitioned window allowed is the partition-census
-    // cumulative offset (child is an aggregate over ≤ parts rows)
-    offenders.foreach { w =>
-      val hasAgg = w.child.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    val psPlan = Ranks.withPrefixSum(orders, Seq.empty, Seq(col("v"), col("k")),
+        col("v"), "cw", "tw")
+      .queryExecution.executedPlan
+    Seq("withGlobalRank" -> rankPlan, "withPrefixSum(global)" -> psPlan)
+      .foreach { case (name, plan) =>
+        val offenders = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(offenders.isEmpty,
+          s"$name plans an unpartitioned WindowExec:\n" +
+            offenders.mkString("\n"))
       }
-      assert(hasAgg.nonEmpty,
-        s"unpartitioned WindowExec over non-aggregate input:\n$w")
+  }
+
+  test("reliable checkpoint mode: identical ranks/prefix sums, " +
+      "lineage written to the checkpoint dir") {
+    val dir = tmpDir("ranks-ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.ranks.checkpoint", "reliable")
+    try {
+      val viaWindow = orders.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+      val viaRanks = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")),
+        "rn", parts = 7)
+      assertSameRows(viaWindow, viaRanks)
+      val df = (1 to 500).map(i => (i.toLong, (i % 11 + 1).toLong))
+        .toDF("id", "w")
+      val wcum = Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val viaW2 = df
+        .withColumn("cw", sum(col("w")).over(wcum))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+      val viaR2 = Ranks.withPrefixSum(df, Seq.empty, Seq(col("id")),
+        col("w"), "cw", "tw", parts = 8)
+      assertSameRows(viaW2, viaR2)
+      // the frozen layout must actually live in reliable storage: the
+      // checkpoint dir is non-empty after the actions above
+      def anyFile(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles).getOrElse(Array.empty)
+        kids.exists(k => k.isFile || anyFile(k))
+      }
+      assert(anyFile(new java.io.File(dir)),
+        s"reliable mode wrote nothing under $dir")
+    } finally {
+      spark.conf.set("spark.graft.ranks.checkpoint", "local")
+    }
+  }
+
+  test("ranks permutation invariance holds in BOTH checkpoint modes") {
+    val dir = tmpDir("ranks-ckpt2")
+    spark.sparkContext.setCheckpointDir(dir)
+    for (mode <- Seq("local", "reliable")) {
+      spark.conf.set("spark.graft.ranks.checkpoint", mode)
+      try {
+        val stats = Ranks.withGlobalRank(orders, Seq(col("v"), col("k")), "rn")
+          .agg(count(lit(1)).as("n"), countDistinct(col("rn")).as("d"),
+            min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+          .as[(Long, Long, Long, Long)].head()
+        assert(stats._1 == stats._2 && stats._3 == 1L && stats._4 == stats._1,
+          s"[$mode] rank set not 1..n: $stats")
+      } finally {
+        spark.conf.set("spark.graft.ranks.checkpoint", "local")
+      }
     }
   }
 }

@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.graftx.{ColumnBridge, PlanBridge}
 
 /** Fleet-wide ban on the single-partition window anti-pattern.
   *
@@ -35,17 +37,28 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * barrier only when it was materialized through
   * `Lattice.checkpointBounded` (runtime-asserted cardinality).
   *
-  * Third gate (r10): the same single-task failure mode hides behind a
-  * LOW-CARDINALITY `partitionBy`. `partitionBy(status)` over base-grain
-  * orders is partitioned in letter only — 3 partition values means each
-  * task sorts ~n/3 rows. A Window whose input is unbounded and whose
-  * partition keys ALL resolve to bounded-domain expressions (bare
-  * non-key attributes, literal-labeled CASE buckets) is flagged.
-  * Partition keys that resolve to a per-entity key/id, to a calendar
-  * bucket (year/month/day functions — cardinality grows with the time
-  * span, not the data volume), or to a physical-partition id
-  * (`_rk_pid`, `spark_partition_id()` — balanced by construction)
-  * distribute, and pass.
+  * Third gate (r10, CLOSED TYPE-AGNOSTIC in r11): the same single-task
+  * failure mode hides behind a LOW-CARDINALITY `partitionBy`.
+  * `partitionBy(status)` over base-grain orders is partitioned in
+  * letter only — 3 partition values means each task sorts ~n/3 rows.
+  * Every partition key is classified:
+  *  - DISTRIBUTES — per-entity key/id, physical-partition id
+  *    (`_rk_pid`, `spark_partition_id()`), calendar bucket, or a bare
+  *    date/timestamp attribute (cardinality grows with the time span);
+  *  - BOUNDED-DOMAIN — string/boolean bare attrs (enum-ish labels),
+  *    fixed-domain dimension keys, literal-output CASE buckets,
+  *    mod-by-literal buckets (`pmod`/`%` with a foldable divisor), or
+  *    any foldable expression — regardless of OUTPUT TYPE (the r10
+  *    gate only looked at string/boolean, so a numeric label evaded
+  *    it);
+  *  - UNKNOWN — a bare numeric attribute or opaque computed key.
+  * A window over an unbounded input whose keys are ALL bounded-domain
+  * is flagged statically. A window with no distributing key and at
+  * least one UNKNOWN key is settled by a RUNTIME TWO-SCALE PROBE: the
+  * key tuple's distinct count is measured at sf0.001 and sf0.01 — a
+  * data-scaled value space grows with the data; a numeric label or a
+  * fixed value domain (`l_linenumber`: 1..7 at every scale) does not.
+  * Rows grew ≥2× with the key domain essentially flat → flagged.
   *
   * Second gate (r9): the CERTIFIED sites — unpartitioned windows whose
   * input IS aggregate-grain — are not merely tolerated, they are
@@ -58,6 +71,9 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * sort, not an accident.)
   */
 class WindowAuditSpec extends SparkSpec {
+
+  /** Second scale factor for the runtime cardinality probe. */
+  private val probeDirBig = "/root/testdata/sf0.01"
 
   /** Per-entity key names: cardinality scales with the data. The
     * nation/region dimension keys are fixed-domain (25/5) and exempt. */
@@ -157,60 +173,121 @@ class WindowAuditSpec extends SparkSpec {
     case other => other.children.forall(bounded)
   }
 
-  /** Partition keys that ALL resolve to provably-bounded-domain values
-    * over an unbounded input: single-task in all but name. String- or
-    * boolean-typed bare attributes are enum-ish (status, source, lang,
-    * segment); the fixed-domain dimension keys (nation/region: 25/5
-    * values by construction) are the numeric members of the class.
-    * Numeric bare attributes otherwise pass as value-space partitions
-    * (distinct values scale with the data) — a documented limitation:
-    * a numeric low-card label column evades this tripwire. */
-  private def lowCardPartition(w: Window, defs: Map[ExprId, Expression])
-      : Boolean =
-    w.partitionSpec.nonEmpty && w.partitionSpec.forall { pe =>
-      val r = resolve(pe, defs)
-      val fixedDomainKey = core(r) match {
-        case a: AttributeReference =>
-          FixedDomainKeys.contains(a.name.toLowerCase)
-        case _ => false
-      }
-      fixedDomainKey ||
-        (!keyGrain(r) && !partitionId(r) && !timeBucketed(r) &&
-          (core(r) match {
-            case a: AttributeReference =>
-              a.dataType == org.apache.spark.sql.types.StringType ||
-                a.dataType == org.apache.spark.sql.types.BooleanType
-            case c: CaseWhen =>                // literal-labeled buckets
-              (c.branches.map(_._2) ++ c.elseValue).forall(_.foldable)
-            case e => e.foldable
-          }))
-    }
+  /** Partition-key classification — see class scaladoc third gate. */
+  private object KeyClass extends Enumeration {
+    val Distributes, BoundedDomain, Unknown = Value
+  }
 
-  /** One plan sweep over every query: (unbounded offenders,
+  private def classifyKey(pe: Expression,
+                          defs: Map[ExprId, Expression]): KeyClass.Value = {
+    import org.apache.spark.sql.types._
+    val r = resolve(pe, defs)
+    val c = core(r)
+    val fixedDomainKey = c match {
+      case a: AttributeReference =>
+        FixedDomainKeys.contains(a.name.toLowerCase)
+      case _ => false
+    }
+    if (fixedDomainKey) KeyClass.BoundedDomain
+    else if (keyGrain(r) || partitionId(r) || timeBucketed(r))
+      KeyClass.Distributes
+    else c match {
+      case a: AttributeReference if a.dataType == StringType ||
+          a.dataType == BooleanType => KeyClass.BoundedDomain
+      case a: AttributeReference if a.dataType == DateType ||
+          a.dataType.isInstanceOf[TimestampType] ||
+          a.dataType == TimestampNTZType =>
+        KeyClass.Distributes                   // time-span-scaled
+      case _: AttributeReference => KeyClass.Unknown // bare numeric attr
+      case cw: CaseWhen                        // literal-labeled buckets,
+          if (cw.branches.map(_._2) ++ cw.elseValue) // ANY output type
+            .forall(_.foldable) => KeyClass.BoundedDomain
+      case Pmod(_, d, _) if d.foldable => KeyClass.BoundedDomain
+      case Remainder(_, d, _) if d.foldable => KeyClass.BoundedDomain
+      case e if e.foldable => KeyClass.BoundedDomain
+      case _ => KeyClass.Unknown               // opaque computed key
+    }
+  }
+
+  /** Execute `SELECT count(distinct keys), count(*)` on a window's
+    * child subplan. */
+  private def probeCounts(w: Window): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val df = PlanBridge.ofRows(spark, w.child)
+    val keys = w.partitionSpec.map(ColumnBridge.column)
+    val row = df.agg(countDistinct(struct(keys: _*)).as("d"),
+      count(lit(1)).as("n")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Audit ONE query: returns (offender descriptions, certified —
+    * plans a bounded unpartitioned window). Probing requires planning
+    * the query a second time at [[probeDirBig]]; done lazily, only for
+    * queries that have probe-candidate windows. */
+  private def auditQuery(name: String,
+      fn: (SparkSession, String) => DataFrame): (Seq[String], Boolean) = {
+    val off = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cert = false
+    val plan =
+      try fn(spark, sfDir).queryExecution.optimizedPlan
+      catch { case e: Throwable =>
+        fail(s"$name failed to plan: ${e.getMessage}")
+      }
+    def windowsOf(p: LogicalPlan): Seq[Window] =
+      (p +: p.subqueriesAll).flatMap(root =>
+        root.collect { case w: Window => w })
+    // windows needing the two-scale probe, by index in traversal order
+    val probeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val smallWindows = windowsOf(plan)
+    smallWindows.zipWithIndex.foreach { case (w, i) =>
+      val defs = definitions(plan)
+      if (w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable)) {
+        if (bounded(w.child)) cert = true
+        else off += s"$name: Window(${w.orderSpec.map(_.sql).mkString(", ")})"
+      } else if (!bounded(w.child)) {
+        val classes = w.partitionSpec.map(classifyKey(_, defs))
+        if (classes.forall(_ == KeyClass.BoundedDomain))
+          off += s"$name: low-card partitionBy(" +
+            s"${w.partitionSpec.map(_.sql).mkString(", ")}) over " +
+            "base-grain input"
+        else if (!classes.contains(KeyClass.Distributes) &&
+            classes.contains(KeyClass.Unknown))
+          probeIdx += i
+      }
+    }
+    if (probeIdx.nonEmpty) {
+      val bigPlan = fn(spark, probeDirBig).queryExecution.optimizedPlan
+      val bigWindows = windowsOf(bigPlan)
+      assert(bigWindows.size == smallWindows.size,
+        s"$name: window count differs across scale factors " +
+          s"(${smallWindows.size} vs ${bigWindows.size}) — probe cannot pair")
+      probeIdx.foreach { i =>
+        val (dSmall, nSmall) = probeCounts(smallWindows(i))
+        val (dBig, nBig) = probeCounts(bigWindows(i))
+        // rows grew ≥2× but the key domain stayed essentially flat →
+        // a label / fixed value domain partitioned in letter only.
+        // (+4 absorbs noise on tiny domains; 1.5× tolerates slowly-
+        // growing-but-genuine value spaces.)
+        if (nSmall > 0 && nBig >= 2 * nSmall &&
+            dBig < 1.5 * dSmall + 4)
+          off += s"$name: numeric/opaque low-card partitionBy(" +
+            s"${smallWindows(i).partitionSpec.map(_.sql).mkString(", ")}" +
+            s") over base-grain input — probed distinct $dSmall→$dBig " +
+            s"while rows $nSmall→$nBig"
+      }
+    }
+    (off.toSeq, cert)
+  }
+
+  /** One sweep over every query: (unbounded offenders,
     * query names with certified bounded unpartitioned windows). */
   private lazy val (offenders, certified): (Seq[String], Set[String]) = {
     val off = scala.collection.mutable.ArrayBuffer.empty[String]
     val cert = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.optimizedPlan
-        catch { case e: Throwable =>
-          fail(s"$name failed to plan: ${e.getMessage}")
-        }
-      (plan +: plan.subqueriesAll).foreach { root =>
-        val defs = definitions(root)
-        root.foreach {
-          case w: Window if w.partitionSpec.forall(_.foldable) =>
-            if (bounded(w.child)) cert += name
-            else off += s"$name: Window(${w.orderSpec.map(_.sql).mkString(", ")})"
-          case w: Window if lowCardPartition(w, defs) =>
-            if (!bounded(w.child))
-              off += s"$name: low-card partitionBy(" +
-                s"${w.partitionSpec.map(_.sql).mkString(", ")}) over " +
-                "base-grain input"
-          case _ => ()
-        }
-      }
+      val (o, c) = auditQuery(name, fn)
+      off ++= o
+      if (c) cert += name
     }
     (off.toSeq, cert.toSet)
   }
@@ -237,5 +314,72 @@ class WindowAuditSpec extends SparkSpec {
           s"unpartitioned window — remove):\n  " +
           stale.toSeq.sorted.mkString("\n  ")
       else ""))
+  }
+
+  // ---- red team: the blind spots this audit version closes ----------
+
+  test("red team: a bare NUMERIC label partitionBy over base grain " +
+      "is flagged by the two-scale probe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // l_linenumber is 1..7 at EVERY scale factor — a numeric label in
+    // all but name; the r10 string/boolean gate let exactly this shape
+    // through for 9 rounds (q194's class).
+    val fn = (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("l_linenumber"))
+            .orderBy(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))))
+    val (off, _) = auditQuery("redteam_numeric_label", fn)
+    assert(off.nonEmpty && off.head.contains("probed distinct"),
+      s"numeric label partition evaded the audit: $off")
+  }
+
+  test("red team: a numeric CASE bucket partitionBy over base grain " +
+      "is flagged statically (type-agnostic literal buckets)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val fn = (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("bucket", when(col("l_quantity") < 10, 1)
+          .when(col("l_quantity") < 30, 2).otherwise(3))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("bucket"))
+            .orderBy(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))))
+    val (off, _) = auditQuery("redteam_numeric_case", fn)
+    assert(off.nonEmpty && off.exists(_.contains("low-card partitionBy")),
+      s"numeric CASE bucket partition evaded the audit: $off")
+  }
+
+  test("red team: a mod-by-literal bucket partitionBy over base grain " +
+      "is flagged statically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val fn = (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rn", row_number().over(
+          W.partitionBy(pmod(col("l_partkey"), lit(8)))
+            .orderBy(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))))
+    val (off, _) = auditQuery("redteam_mod_bucket", fn)
+    assert(off.nonEmpty && off.exists(_.contains("low-card partitionBy")),
+      s"mod-by-literal bucket partition evaded the audit: $off")
+  }
+
+  test("negative control: a data-scaled numeric value-space partition " +
+      "passes the probe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // distinct l_extendedprice values grow with the data — a genuine
+    // value-space partition must NOT be flagged.
+    val fn = (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("l_extendedprice"))
+            .orderBy(col("l_orderkey"), col("l_linenumber"))))
+    val (off, _) = auditQuery("control_value_space", fn)
+    assert(off.isEmpty, s"value-space partition falsely flagged: $off")
   }
 }
