@@ -236,18 +236,20 @@ object Analytics26 {
     Q("q235_sprt",
       (s, dir) => {
         // ln(0.30/0.25), ln(0.70/0.75), ln(19) spelled identically in
-        // the SQL below — both engines evaluate the same literal text
-        val byVar = Window.partitionBy(col("variant"))
-          .orderBy(col("ts"), col("event_id"))
+        // the SQL below — both engines evaluate the same literal text.
+        // variant has exactly 2 values — partitionBy(variant) would
+        // walk each arm's whole event stream in one task; the ordered
+        // running (count, clicks) pair comes from ONE grouped
+        // prefix-sum pass instead (range-partitioned on (ts, event_id))
         val a = log(lit(0.30) / 0.25)
         val b = log(lit(0.70) / 0.75)
-        val walked = t(s, dir, "events")
+        val base = t(s, dir, "events")
           .select((col("user_id") % 2).as("variant"), col("ts"),
             col("event_id"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("s"))
-          .select(col("variant"),
-            row_number().over(byVar).cast("long").as("n"),
-            sum(col("s")).over(byVar).as("cs"))
+        val walked = graft.operators.Ranks.withPrefixSums(base,
+            Seq(col("variant")), Seq(col("ts"), col("event_id")),
+            Seq((lit(1L), "n", "_nt"), (col("s"), "cs", "_ct")))
           .select(col("variant"), col("n"), col("cs"),
             (a * col("cs").cast("double")
               + b * (col("n") - col("cs")).cast("double")).as("llr"))

@@ -487,11 +487,13 @@ object Analytics33 {
         val ev = t(s, dir, "events")
           .select((col("user_id") % 2L === 0L).as("treated"), col("value"),
             col("event_id"))
-        val counts = ev.groupBy("treated").agg(count(lit(1)).as("n"))
-        val ranked = ev
-          .withColumn("rn", row_number().over(Window.partitionBy("treated")
-            .orderBy(col("value"), col("event_id"))))
-          .join(broadcast(counts), Seq("treated"))
+        // treated is binary — partitionBy(treated) would sort each
+        // arm's whole event table in one task. The within-arm rank is
+        // a grouped prefix-sum (weight 1); its group total IS the arm
+        // count, so the separate counts aggregate + join drop out.
+        val ranked = graft.operators.Ranks.withPrefixSum(ev,
+            Seq(col("treated")), Seq(col("value"), col("event_id")),
+            lit(1L), "rn", "n")
           .crossJoin(broadcast(s.range(1, 10).select(col("id").as("d"))))
           .where(col("rn") === expr("d * n div 10"))
           .select(col("treated"), col("d").cast("int").as("decile"),

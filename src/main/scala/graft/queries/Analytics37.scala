@@ -229,8 +229,12 @@ object Analytics37 {
             coalesce(col("sp"), lit(java.math.BigDecimal.ZERO)
               .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
               .as("y"))
-        val ranked = cust.withColumn("rk", row_number().over(
-          Window.partitionBy("seg", "band", "treated").orderBy("id")))
+        // ~5 segments × ~7 bands × 2 arms — a bounded cell grid over a
+        // data-scaled customer table: partitionBy would cap the sort at
+        // ≤70 tasks. Within-cell rank via grouped prefix-sum instead.
+        val ranked = graft.operators.Ranks.withPrefixSum(cust,
+            Seq(col("seg"), col("band"), col("treated")), Seq(col("id")),
+            lit(1L), "rk", "_n").drop("_n")
         val tr = ranked.where(col("treated"))
           .select(col("seg"), col("band"), col("rk"), col("id").as("tid"),
             col("y").as("ty"))

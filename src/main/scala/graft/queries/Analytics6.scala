@@ -55,21 +55,29 @@ object Analytics6 {
     // ---- the standard fix is a second pass with a different key) ----
     Q("q136_sorted_neighborhood",
       (s, dir) => {
-        val w = Window.partitionBy(col("blk")).orderBy("p_name", "p_partkey")
-        val leads = (1 to SnWindow).map(i =>
-          struct(lead(col("p_partkey"), i).over(w).as("nid"),
-            lead(col("p_name"), i).over(w).as("nname")))
-        t(s, dir, "part")
+        // The 1-char block key has ≤ alphabet-many values at ANY scale
+        // — partitionBy(blk) would sort each block's whole slice of a
+        // 100 TB part table in one task. Instead: global rank with blk
+        // LEADING the total order (same-block rows are contiguous, so
+        // "i-th next row within the block" == rank rn+i with an equal
+        // blk), then the lead() window becomes an equi-join on
+        // (blk, rank) — hash-distributed on the data-scaled rank.
+        val parts = t(s, dir, "part")
           .withColumn("blk", substring(col("p_name"), 1, 1))
-          // window exprs must land in a plain projection before the
-          // generator — Generate can't host a windowspecdefinition
-          .select(col("p_partkey"), col("p_name"), array(leads: _*).as("nbs"))
-          .select(col("p_partkey"), col("p_name"), explode(col("nbs")).as("nb"))
-          .where(col("nb.nid").isNotNull)
-          .withColumn("dist", levenshtein(col("p_name"), col("nb.nname")))
+        val ranked = graft.operators.Ranks.withGlobalRank(parts,
+            Seq(col("blk"), col("p_name"), col("p_partkey")), "rn")
+          .select(col("blk"), col("rn"), col("p_partkey"), col("p_name"))
+        val probes = ranked.select(col("blk"), col("p_partkey"),
+          col("p_name"),
+          explode(sequence(col("rn") + 1L,
+            col("rn") + lit(SnWindow.toLong))).as("nrn"))
+        probes.join(ranked.select(col("blk"), col("rn").as("nrn"),
+            col("p_partkey").as("nid"), col("p_name").as("nname")),
+            Seq("blk", "nrn"))
+          .withColumn("dist", levenshtein(col("p_name"), col("nname")))
           .where(col("dist") <= SnMaxDist)
-          .select(least(col("p_partkey"), col("nb.nid")).as("id_a"),
-            greatest(col("p_partkey"), col("nb.nid")).as("id_b"),
+          .select(least(col("p_partkey"), col("nid")).as("id_a"),
+            greatest(col("p_partkey"), col("nid")).as("id_b"),
             col("dist").cast("int").as("dist"))
           .orderBy("id_a", "id_b")
       },

@@ -6,56 +6,45 @@ package graft
   *
   * Every entry is a lattice/census-grain sort: a KS/rank test over a
   * bounded grid, a Pareto/gains curve over a groupBy key space, a
-  * Lattice.checkpointBounded frame, or a top-k-limited input. These
+  * Lattice.checkpointBounded frame, or a top-k-limited input. (The
+  * Ranks census window left this list entirely in r11 — the
+  * prefix_offsets aggregate replaced it, so 22 entries whose only
+  * unpartitioned window was that census are gone.) These
   * are also the certified sources of the cosmetic `WindowExec: No
   * Partition Defined` WARNs in bench logs. */
 object AllowedUnpartitionedWindows {
   val names: Set[String] = Set(
-    "q104_perplexity_buckets",
     "q105_bpe_pair_stats",
-    "q110_vocab_coverage",
     "q124_rrf_fusion",
     "q125_pareto_skyline",
     "q150_km_survival",
     "q152_ks_test",
     "q155_cusum_changepoint",
     "q158_autocorrelation",
-    "q161_quantile_norm",
     "q162_lttb_downsample",
     "q179_pareto_curve",
     "q187_heaps_curve",
     "q212_seasonal_anomaly",
     "q213_open_interval_peak",
-    "q224_kruskal_wallis",
     "q229_weighted_sample",
     "q240_ewma_chart",
     "q255_adoption_curve",
-    "q260_abc_classification",
-    "q262_woe_binning",
     "q266_decision_stump",
     "q276_sax_encoding",
     "q277_rolling_ols",
-    "q282_evt_tail",
     "q283_bh_fdr",
     "q284_seasonal_decompose",
     "q299_isotonic_regression",
     "q302_rank_turnover",
-    "q304_term_burstiness",
     "q307_gains_table",
-    "q312_avg_precision",
     "q319_theil_u",
     "q322_littles_law",
-    "q323_cochran_armitage",
     "q326_max_drawdown",
     "q327_durbin_watson",
-    "q329_inequality_panel",
     "q332_runs_test",
     "q335_xmr_chart",
     "q339_granger",
-    "q343_ks_separation",
-    "q344_psi_drift",
     "q348_token_budget",
-    "q350_lognormal_lengths",
     "q351_neyman_allocation",
     "q355_rmst",
     "q356_wilcoxon_signed_rank",
@@ -66,13 +55,11 @@ object AllowedUnpartitionedWindows {
     "q364_energy_distance",
     "q365_moods_median",
     "q366_mase",
-    "q367_pinball_loss",
     "q368_tracking_signal",
     "q369_crps",
     "q370_diebold_mariano",
     "q371_ordinal_association",
     "q372_nelson_aalen",
-    "q373_siegel_tukey",
     "q374_quade_test",
     "q385_interarrival_expcheck",
     "q386_cramer_von_mises",
@@ -93,14 +80,8 @@ object AllowedUnpartitionedWindows {
     "q423_variance_ratio",
     "q425_spectral_flatness",
     "q427_shingle_saturation",
-    "q429_vocab_contribution",
-    "q430_token_mass_concentration",
-    "q454_shrinkage_rank_moves",
-    "q456_conformal_coverage",
-    "q460_margin_reliability", // Ranks census window (≤ parts rows)
     "q461_erlang_b",
     "q462_newsvendor",
     "q464_safety_stock",
-    "q465_abc_xyz",
   )
 }
