@@ -255,7 +255,10 @@ object Graft {
   def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
     text.Corpus.splitAssign(id, trainPct, valPct)
 
-  /** Deterministic k-per-stratum sample with grow-k stability. */
+  /** Deterministic k-per-stratum sample with grow-k stability.
+    * `idCol` must be integral (enforced — the heap carries bigint ids);
+    * `(stratumCol, idCol)` should be non-null and unique (NULL strata
+    * never match the winner semi-join; duplicate ids all survive). */
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
                        k: Int): DataFrame =
     text.Corpus.sampleStratified(df, idCol, stratumCol, k)
@@ -268,7 +271,10 @@ object Graft {
     text.Corpus.resampleToMixture(df, idCol, domainCol, weights,
       targetNum, targetDen)
 
-  /** Concat-and-chunk sequence packing per shard (adds seq_no). */
+  /** Concat-and-chunk sequence packing per shard (adds seq_no).
+    * `stratumCol` must be non-null and `(stratumCol, idCol)` unique —
+    * the running offset's join-back silently drops NULL strata and a
+    * non-total layout order leaves seq_no undefined. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     capacity: Int, stratumCol: String): DataFrame =
     text.Corpus.packSequences(df, idCol, tokenCol, capacity, stratumCol)

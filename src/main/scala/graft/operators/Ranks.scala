@@ -206,21 +206,42 @@ object Ranks {
     * is an equality join, so a NULL value row would be silently dropped
     * (a rank window would have ordered it NULLS FIRST/LAST instead). */
   def withMidrank2(df: DataFrame, grp: Seq[Column], value: Column,
-                   out: String, parts: Int = 0): DataFrame = {
+                   out: String, parts: Int = 0): DataFrame =
+    withMidrank2s(df, grp, Seq((value, out)), parts)
+
+  /** Multi-value variant of [[withMidrank2]]: each `(value, out)` pair
+    * gets its doubled midrank, but the per-value censuses are UNIONED
+    * (tagged by value index) into ONE prefix-sum pass — one range
+    * shuffle and one offsets aggregate instead of one per value. All
+    * value columns must share one data type (the union stacks them in
+    * a single column). The join-backs stay per-value (each value needs
+    * its own (grp, value) equality), chained in the main job. */
+  def withMidrank2s(df: DataFrame, grp: Seq[Column],
+                    values: Seq[(Column, String)],
+                    parts: Int = 0): DataFrame = {
     val gNames = grp.indices.map(i => s"_mr_g$i")
-    val tagged = gNames.zip(grp).foldLeft(df) {
+    val vNames = values.indices.map(j => s"_mr_v$j")
+    val tagged = vNames.zip(values).foldLeft(
+      gNames.zip(grp).foldLeft(df) {
         case (d, (n, c)) => d.withColumn(n, c)
+      }) { case (d, (n, (v, _))) => d.withColumn(n, v) }
+    val census = values.indices.map { j =>
+        tagged.groupBy((gNames :+ vNames(j)).map(col): _*)
+          .agg(count(lit(1)).as("_mr_tc"))
+          .select((gNames.map(col) :+ lit(j).as("_mr_which") :+
+            col(vNames(j)).as("_mr_v") :+ col("_mr_tc")): _*)
+      }.reduce(_ unionByName _)
+    val cum = withPrefixSum(census, (gNames :+ "_mr_which").map(col),
+        Seq(col("_mr_v")), col("_mr_tc"), "_mr_cw", "_mr_tw", parts)
+      .select((gNames :+ "_mr_which" :+ "_mr_v").map(col) :+
+        (lit(2L) * col("_mr_cw") - col("_mr_tc") + 1L).as("_mr_out"): _*)
+    values.zipWithIndex.foldLeft(tagged) { case (d, ((_, out), j)) =>
+        d.join(cum.where(col("_mr_which") === j)
+            .select((gNames.map(col) :+ col("_mr_v").as(vNames(j)) :+
+              col("_mr_out").as(out)): _*),
+          (gNames :+ vNames(j)).toSeq)
       }
-      .withColumn("_mr_v", value)
-    val census = tagged
-      .groupBy((gNames :+ "_mr_v").map(col): _*)
-      .agg(count(lit(1)).as("_mr_tc"))
-    val cum = withPrefixSum(census, gNames.map(col), Seq(col("_mr_v")),
-        col("_mr_tc"), "_mr_cw", "_mr_tw", parts)
-      .select((gNames :+ "_mr_v").map(col) :+
-        (lit(2L) * col("_mr_cw") - col("_mr_tc") + 1L).as(out): _*)
-    tagged.join(cum, (gNames :+ "_mr_v").toSeq)
-      .drop((gNames :+ "_mr_v"): _*)
+      .drop((gNames ++ vNames): _*)
   }
 
   /** Exact SQL `NTILE(k)` bucket from a 1-based rank and the total row

@@ -44,10 +44,11 @@ object Analytics17 {
           col("source"), col("doc_id"), col("n_chars").as("x"),
           size(array_distinct(split(col("text"), " ")))
             .cast("long").as("y"))
-        val ranked = graft.operators.Ranks.withMidrank2(
-            graft.operators.Ranks.withMidrank2(docs,
-              Seq(col("source")), col("x"), "rx"),
-            Seq(col("source")), col("y"), "ry")
+        // both midranks in ONE fused pass: the x and y censuses union
+        // into a single prefix-sum (one range shuffle, one offsets
+        // aggregate) instead of two chained Ranks passes
+        val ranked = graft.operators.Ranks.withMidrank2s(docs,
+            Seq(col("source")), Seq((col("x"), "rx"), (col("y"), "ry")))
           .select(col("source"), col("rx"), col("ry"))
         val sums = ranked.groupBy("source").agg(
           count(lit(1)).as("n"),

@@ -283,10 +283,17 @@ object Analytics71 {
     // ---- monthly unit demand (0.5 / 1.0 cutoffs); 9-cell counts. ---
     Q("q465_abc_xyz",
       (s, dir) => {
-        val rev = t(s, dir, "lineitem")
-          .groupBy(col("l_partkey").as("pk"))
-          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
-            .as("rev"))
+        // ONE lineitem scan: the monthly (pk, mon) aggregate carries
+        // BOTH measures (quantity for the CV, rounded revenue cents
+        // for ABC); per-part revenue is its re-aggregation.
+        val monthly = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("rev_m"))
+          .localCheckpoint(false)
+        val rev = monthly.groupBy("pk").agg(sum(col("rev_m")).as("rev"))
         // part grain scales with the data — the cumulative share must
         // NOT be an unpartitioned window (single-task sort of every
         // part at 100 TB). Ranks.withPrefixSum range-partitions the
@@ -301,10 +308,7 @@ object Analytics71 {
               .when(lit(100L) * (col("cum") - col("rev"))
                 < lit(95L) * col("tot"), "B")
               .otherwise("C").as("abc"))
-        val cv = t(s, dir, "lineitem")
-          .groupBy(col("l_partkey").as("pk"),
-            date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
-          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val cv = monthly
           .groupBy("pk")
           .agg(count(lit(1)).as("m"), sum(col("q")).as("s1"),
             sum(col("q") * col("q")).as("s2"))

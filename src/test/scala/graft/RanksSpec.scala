@@ -92,6 +92,37 @@ class RanksSpec extends SparkSpec {
     assertSameRows(viaWindow, viaRanks)
   }
 
+  test("withPrefixSum global form: DECIMAL and DOUBLE weights through " +
+      "the prefix_offsets aggregate == window sums") {
+    // the global path runs offsets through PrefixOffsetsAgg — pin its
+    // decimal (exact BigDecimal accumulation at Sum's p+10 precision)
+    // and double kinds against the single-partition window form
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_extendedprice").cast(DecimalType(12, 2)).as("wd"),
+        col("l_quantity").cast("double").as("wf"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+    val wcum = Window.orderBy(col("k1"), col("k2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = li
+      .withColumn("cwd", sum(col("wd")).over(wcum).cast(DecimalType(38, 2)))
+      .withColumn("twd", sum(col("wd")).over(Window.partitionBy())
+        .cast(DecimalType(38, 2)))
+      .withColumn("cwf", sum(col("wf")).over(wcum))
+    val viaRanks = Ranks.withPrefixSums(li, Seq.empty,
+        Seq(col("k1"), col("k2")),
+        Seq((col("wd"), "cwd", "twd"), (col("wf"), "cwf", "_twf")),
+        parts = 9)
+      .withColumn("cwd", col("cwd").cast(DecimalType(38, 2)))
+      .withColumn("twd", col("twd").cast(DecimalType(38, 2)))
+      .drop("_twf")
+    // (k1, k2) is NOT unique in this generator's lineitem (duplicate
+    // full rows exist), so per-row cums are tie-ambiguous — but tied
+    // rows are IDENTICAL, so the multiset of (row, cum) is exact in
+    // both forms. The double sums are over integral quantities
+    // (< 2^53), hence exact too — multiset compare is precise.
+    assertSameRows(viaWindow, viaRanks)
+  }
+
   test("ranks are an exact permutation of 1..n (layout-consistency)") {
     // regression: before the localCheckpoint layout freeze, the offset
     // census and the rank join could see DIFFERENT range boundaries
