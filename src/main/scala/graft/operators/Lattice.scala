@@ -43,7 +43,14 @@ object Lattice {
     out.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => blessed.add(l.rdd.id)
     }
-    out
+    // The checkpointed LogicalRDD inherits its ORIGIN plan's size
+    // estimate, not its actual (asserted-tiny) cardinality — a lattice
+    // whose upstream estimate exceeds autoBroadcastJoinThreshold turns
+    // every downstream non-equi join into a CartesianProduct (observed:
+    // q299's 10-row bin table carried a 17 MB estimate → 12k cartesian
+    // tasks, +8 s). The row bound was JUST asserted, so a broadcast
+    // hint is always truthful here.
+    org.apache.spark.sql.functions.broadcast(out)
   }
 
   /** Collect a driver-iterated lattice, asserting the bound FIRST so an
