@@ -237,7 +237,11 @@ object Analytics60 {
     Q("q409_passing_bablok",
       (s, dir) => {
         val p = paired(s, dir)
-        val slopes = p.as("a").join(p.as("b"),
+        // 12-row calendar lattice on both sides — broadcast the probe
+        // side so the non-equi pair join plans as BroadcastNestedLoop,
+        // not a CartesianProduct (the aggregate's SIZE ESTIMATE, not
+        // its actual 12 rows, drives that choice)
+        val slopes = p.as("a").join(broadcast(p.as("b")),
           col("b.mon") > col("a.mon"))
           .where(col("a.x") =!= col("b.x"))
           .select(round((col("b.y") - col("a.y")).cast("double")

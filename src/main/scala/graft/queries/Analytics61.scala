@@ -354,9 +354,11 @@ object Analytics61 {
         val obs = pairs.agg(count(lit(1)).as("n"),
           sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
             .as("wobs"))
+        // ≤5 marginal rows per side: broadcast so the grid cross plans
+        // as BroadcastNestedLoop, never a CartesianProduct
         val marg = pairs.groupBy("ca").agg(count(lit(1)).as("ri"))
-          .crossJoin(pairs.groupBy("cb").agg(count(lit(1)).as("cj"))
-            .withColumnRenamed("cb", "cbj"))
+          .crossJoin(broadcast(pairs.groupBy("cb").agg(count(lit(1)).as("cj"))
+            .withColumnRenamed("cb", "cbj")))
           .agg(sum((col("ca") - col("cbj")) * (col("ca") - col("cbj"))
             * col("ri") * col("cj")).as("wexp"))
         obs.crossJoin(broadcast(marg))
