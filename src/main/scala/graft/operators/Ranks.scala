@@ -225,6 +225,11 @@ object Ranks {
       gNames.zip(grp).foldLeft(df) {
         case (d, (n, c)) => d.withColumn(n, c)
       }) { case (d, (n, (v, _))) => d.withColumn(n, v) }
+    val vTypes = vNames.map(n => tagged.schema(n).dataType)
+    require(vTypes.distinct.size <= 1,
+      s"withMidrank2s: all value columns must share one data type " +
+        s"(the unioned census stacks them in a single column); got " +
+        vTypes.map(_.sql).mkString(", "))
     val census = values.indices.map { j =>
         tagged.groupBy((gNames :+ vNames(j)).map(col): _*)
           .agg(count(lit(1)).as("_mr_tc"))

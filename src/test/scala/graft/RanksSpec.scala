@@ -188,6 +188,25 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("empty input yields empty output (rank + prefix sum + midrank)") {
+    val empty = orders.where(lit(false))
+    assert(Ranks.withGlobalRank(empty, Seq(col("v"), col("k")), "rn")
+      .count() == 0)
+    assert(Ranks.withPrefixSum(empty, Seq.empty, Seq(col("v"), col("k")),
+      col("v"), "cw", "tw").count() == 0)
+    assert(Ranks.withMidrank2(empty, Seq(col("k")), col("v"), "r2")
+      .count() == 0)
+  }
+
+  test("withMidrank2s rejects mixed value types loudly") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Ranks.withMidrank2s(df, Seq.empty,
+        Seq((col("a"), "ra"), (col("b"), "rb")))
+    }
+    assert(e.getMessage.contains("share one data type"))
+  }
+
   test("ranks permutation invariance holds in BOTH checkpoint modes") {
     val dir = tmpDir("ranks-ckpt2")
     spark.sparkContext.setCheckpointDir(dir)
