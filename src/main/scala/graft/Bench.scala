@@ -19,8 +19,32 @@ import java.nio.charset.StandardCharsets
   * the round-over-round comparison fence that survives any stdout-capture
   * or line-format change.
   *
-  * `SPARK_GRAFT_REPS` (default 1) runs each query N times and records the
-  * minimum — use on hosts that CPU-throttle under sustained load.
+  * `SPARK_GRAFT_REPS` (default 2) runs each query N times and records the
+  * minimum of the SUCCESSFUL reps. Default is 2 — the r11 adjudication
+  * showed a REPS=1 official artifact can read 2-3× wrong in either
+  * direction from per-query host stalls (official 3.784× vs the same
+  * HEAD measuring 1.168× under the rested min-of-2 protocol), and the
+  * DuckDB comparison leg (dev/duck_bench.py) is min-of-2 as well, so
+  * min-of-2 is the SYMMETRIC protocol: every query in both engines gets
+  * the same rep count, and no per-query selection decides who gets a
+  * second chance.
+  *
+  * Fairness of the embedded pair ratio: the ratio is computed from the
+  * uniform min-of-REPS readings ONLY — the asymmetric transient-stall
+  * retry fence (`SPARK_GRAFT_RETRY_TOP`, now default 0 when REPS>=2)
+  * never feeds it, because retrying only the Spark leg's slowest
+  * queries while the DuckDB leg keeps fixed readings would bias the
+  * ratio downward. Retried improvements still reach the per-query
+  * vector and totals, disclosed via "retried". A pair leg older than
+  * one hour is marked `"stale": true` — cross-window host-throttle
+  * drift makes such a ratio unusable as the gate number in either
+  * direction (r11: one artifact rode a 20,639 s-old flattering leg,
+  * another a fogged-Spark/fresh-duck damning one).
+  *
+  * Failure tracking: a rep that throws is recorded as FAILED, not as a
+  * small "valid" wall time — failed reps never enter the min, a query
+  * with zero successful reps is excluded from totals and the pair
+  * alignment, and its name lands in `"failed"` in every artifact.
   */
 object Bench {
   private def fmt(v: Double): String = BigDecimal(v)
@@ -29,7 +53,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,43 +104,65 @@ object Bench {
     var ran = 0
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // One timed attempt: (wall seconds, succeeded). A failed rep's
+    // elapsed time is still returned for disclosure, but flagged so it
+    // can never enter a min or masquerade as a valid reading (the
+    // pre-r12 version swallowed the Throwable and let a fast-failing
+    // query record a winning "time").
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(fn))
-      ran += 1
-      if (gcEvery > 0 && ran % gcEvery == 0) System.gc()
-      name -> times.min
+    // Min over successful reps; if every rep failed, carry the fastest
+    // failed elapsed purely for disclosure alongside ok=false.
+    def bestOf(ts: Seq[(Double, Boolean)]): (Double, Boolean) = {
+      val good = ts.collect { case (t, true) => t }
+      if (good.nonEmpty) (good.min, true) else (ts.map(_._1).min, false)
     }
+    val firstPass: Seq[(String, (Double, Boolean))] =
+      selected.map { case (name, fn) =>
+        val times = (1 to reps).map(_ => timeOnce(fn))
+        ran += 1
+        if (gcEvery > 0 && ran % gcEvery == 0) System.gc()
+        name -> bestOf(times)
+      }
     // Transient-stall fence: a single host stall can inflate one query
     // 6–12× (r10: q89 at 11.7 s in the official artifact vs 0.98–1.85 s
-    // in clean same-day legs), and with REPS=1 the artifact inherits
-    // whichever stall lands on it. After the full pass, the RETRY_TOP
+    // in clean same-day legs). After the full pass, the RETRY_TOP
     // slowest queries get ONE extra rep (post-GC, so a deferred-GC
-    // pause can't masquerade as plan cost) and report the min. The
-    // retried set and their first-pass readings are disclosed in the
-    // file artifacts ("retried"); the stdout line carries "retry_top".
-    val retryTop = sys.env.getOrElse("SPARK_GRAFT_RETRY_TOP", "8").toInt
-    val retryNames = firstPass.sortBy(-_._2).take(math.max(retryTop, 0))
+    // pause can't masquerade as plan cost) and report the min. Default
+    // 0 when REPS>=2: uniform min-of-N is already the stall fence AND
+    // is symmetric with the DuckDB leg; the asymmetric top-K retry is
+    // a REPS=1 dev-loop aid only. When it does run, its improvements
+    // are disclosed ("retried") and NEVER feed the pair ratio below.
+    val retryTop = sys.env.getOrElse("SPARK_GRAFT_RETRY_TOP",
+      if (reps >= 2) "0" else "8").toInt
+    val retryNames = firstPass.sortBy(-_._2._1).take(math.max(retryTop, 0))
       .map(_._1).toSet
     if (retryNames.nonEmpty) System.gc()
     val fnByName = selected.toMap
     val retriedFirst = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = firstPass.map { case (name, t) =>
-      if (retryNames.contains(name)) {
-        retriedFirst += name -> t
-        name -> math.min(t, timeOnce(fnByName(name)))
-      } else name -> t
-    }
+    val finalPass: Seq[(String, (Double, Boolean))] =
+      firstPass.map { case (name, (t, ok)) =>
+        if (retryNames.contains(name)) {
+          retriedFirst += name -> t
+          name -> bestOf(Seq((t, ok), timeOnce(fnByName(name))))
+        } else name -> (t, ok)
+      }
+    val failed = finalPass.collect { case (n, (_, false)) => n }
+    val results = finalPass.collect { case (n, (t, true)) => n -> t }
     val retriedExtra =
       if (retriedFirst.isEmpty) ""
       else s""""retried":${retriedFirst.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"$k\":${fmt(v)}" }
         .mkString("{", ",", "}")},"""
+    val failedExtra =
+      if (failed.isEmpty) ""
+      else s""""failed":${failed.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Contemporaneous-pair fence (r10 protocol): dev/rested_ab.sh drops
     // its DuckDB leg at a fixed path; when present, the bench envelope
@@ -152,16 +198,26 @@ object Bench {
         val qre = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
         val duck = qre.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val sparkMap = results.toMap
+        // Ratio basis: the PRE-retry uniform min-of-REPS readings, and
+        // only queries whose reading is a successful rep — the
+        // asymmetric retry fence and failed-rep wall times must never
+        // shift the gate number (see class scaladoc, fairness note).
+        val sparkMap = firstPass
+          .collect { case (n, (t, true)) => n -> t }.toMap
         val common = duck.keySet.intersect(sparkMap.keySet)
         if (common.isEmpty) "" else {
           val ds = common.toSeq.map(duck).sum
           val ss = common.toSeq.map(sparkMap).sum
           val age = (System.currentTimeMillis -
             Files.getLastModifiedTime(p).toMillis) / 1000
+          // A duck leg from another thermal window is not a gate
+          // reading: host throttle drifts both engines together only
+          // within a session, so flag (don't silently drop) pairs
+          // whose legs are more than an hour apart.
+          val staleF = if (age > 3600) """"stale":true,""" else ""
           s""""pair":{"spark_total":${fmt(ss)},"duck_total":${fmt(ds)},""" +
             s""""ratio":${fmt(ss / ds)},"aligned_n":${common.size},""" +
-            s""""pair_age_sec":$age},"""
+            staleF + s""""pair_age_sec":$age},"""
         }
       }
     } catch { case _: Throwable => "" }
@@ -176,7 +232,8 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val line = envelope(entries(results, short = false).mkString("{", ",", "}"),
-        s""""retry_top":$retryTop,""" + retriedExtra + pairExtra) + "\n"
+        s""""retry_top":$retryTop,""" + failedExtra + retriedExtra +
+          pairExtra) + "\n"
       val tmp = Paths.get(out + ".tmp")
       Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(out),
@@ -199,8 +256,8 @@ object Bench {
     try {
       val s = envelope(
         entries(slowFirst.take(32), short = false).mkString("{", ",", "}"),
-        s""""full":"$out","retry_top":$retryTop,""" + retriedExtra +
-          pairExtra) + "\n"
+        s""""full":"$out","retry_top":$retryTop,""" + failedExtra +
+          retriedExtra + pairExtra) + "\n"
       val tmp = Paths.get(summaryPath + ".tmp")
       Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(summaryPath),
@@ -209,12 +266,14 @@ object Bench {
     } catch { case _: Throwable => () }
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = envelope("{}",
-      s""""full":"$out","retry_top":$retryTop,""" + pairExtra).length
+      s""""full":"$out","retry_top":$retryTop,""" + failedExtra +
+        pairExtra).length
     entries(slowFirst, short = true).foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     spark.stop()
     println(envelope(kept.mkString("{", ",", "}"),
-      s""""full":"$out","retry_top":$retryTop,""" + pairExtra))
+      s""""full":"$out","retry_top":$retryTop,""" + failedExtra +
+        pairExtra))
   }
 }
