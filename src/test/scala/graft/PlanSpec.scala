@@ -597,4 +597,53 @@ class PlanSpec extends SparkSpec {
     val all = CdcSource.subscribePattern("poc")
     assert("poc.public.anything".matches(all) && !"pocx.public.t".matches(all))
   }
+
+  // ---- r11 vocab-grain conversion pins: these queries were rebuilt to
+  // ---- avoid single-task sorts over the (data-scaled, Heaps'-law)
+  // ---- vocabulary; the shapes below are the conversion's whole point
+  // ---- and a threshold/optimizer drift could silently undo them
+  // ---- without tripping WindowAuditSpec (which watches Window nodes,
+  // ---- not Sort+GlobalLimit). ------------------------------------------
+
+  test("q304: vocab head is a bounded TakeOrderedAndProject, never a " +
+      "global vocabulary sort") {
+    val p = SparkEntry.queries("q304_term_burstiness")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-W census cut must plan as a per-partition bounded heap:\n" +
+        p.take(800))
+    assert(!p.contains("Sort ["),
+      "no Sort node may appear — the limit+orderBy must fold into " +
+        "TakeOrderedAndProject:\n" + p.take(800))
+    assert(!p.contains("Window"), "no window belongs in this plan")
+  }
+
+  test("q430: Zipf head mass is ONE bounded top_k_by aggregation, " +
+      "no vocabulary sort or window") {
+    val p = SparkEntry.queries("q430_token_mass_concentration")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    // exactly one partial/final top_k_by pair: every partition reduces
+    // to a k=1000 heap BEFORE the single-partition exchange
+    assert(raw"partial_top_k_by\(".r.findAllIn(p).size == 1 &&
+      raw"(?<!partial_)top_k_by\(".r.findAllIn(p).size == 1,
+      "head cut must be one partial+final top_k_by aggregation:\n" +
+        p.take(1200))
+    assert(!p.contains("Sort [") && !p.contains("Window"),
+      "no sort or window may touch the full vocabulary:\n" + p.take(800))
+  }
+
+  test("q136: neighborhood pairing is rank equi-joins over prefix " +
+      "offsets, no window over base grain") {
+    val p = SparkEntry.queries("q136_sorted_neighborhood")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Window"),
+      "the lead()-window form would single-task-sort each 1-char " +
+        "block at scale:\n" + p.take(800))
+    assert(p.contains("prefix_offsets("),
+      "global rank must come from the bounded-state offsets aggregate:\n" +
+        p.take(800))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      "offsets and neighbor lookups must meet on broadcast equi-joins:\n" +
+        p.take(800))
+  }
 }

@@ -16,7 +16,10 @@ abstract class SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  /** Test data scale dir — overridable so the suites run against any
+    * copy of the harness testdata layout, not one hardcoded box path. */
+  val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
   /** Order-insensitive exact comparison via except in both directions. */
   def assertSameRows(a: DataFrame, b: DataFrame): Unit = {

@@ -72,8 +72,23 @@ import org.apache.spark.sql.graftx.{ColumnBridge, PlanBridge}
   */
 class WindowAuditSpec extends SparkSpec {
 
-  /** Second scale factor for the runtime cardinality probe. */
-  private val probeDirBig = "/root/testdata/sf0.01"
+  /** Second scale factor for the runtime cardinality probe: env
+    * override first, else the sf0.01 sibling of the suite's sfDir
+    * (both come from the same testdata layout). When the directory is
+    * absent the probe-dependent tests cancel with a clear message
+    * instead of failing on a hardcoded path. */
+  private val probeDirBig = sys.env.getOrElse("SPARK_GRAFT_PROBE_SF_DIR",
+    new java.io.File(sfDir).getParentFile match {
+      case null => "sf0.01"
+      case parent => new java.io.File(parent, "sf0.01").getPath
+    })
+  private lazy val probeAvailable =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(probeDirBig))
+
+  private def requireProbeDir(): Unit =
+    assume(probeAvailable,
+      s"two-scale probe dir $probeDirBig absent — set " +
+        "SPARK_GRAFT_PROBE_SF_DIR to a larger-scale copy of the testdata")
 
   /** Per-entity key names: cardinality scales with the data. The
     * nation/region dimension keys are fixed-domain (25/5) and exempt. */
@@ -256,14 +271,33 @@ class WindowAuditSpec extends SparkSpec {
       }
     }
     if (probeIdx.nonEmpty) {
+      requireProbeDir()
       val bigPlan = fn(spark, probeDirBig).queryExecution.optimizedPlan
       val bigWindows = windowsOf(bigPlan)
-      assert(bigWindows.size == smallWindows.size,
-        s"$name: window count differs across scale factors " +
-          s"(${smallWindows.size} vs ${bigWindows.size}) — probe cannot pair")
+      // Pair windows across the two plans by STRUCTURAL key — the
+      // partition/order spec SQL — not traversal index: plan choices
+      // can depend on size estimates, and index pairing would silently
+      // compare mismatched windows when the two plans order or shape
+      // their Window nodes differently. Equal signature multisets are
+      // required; within a signature, occurrence order pairs (two
+      // same-signature windows are interchangeable for a cardinality
+      // probe of their partition keys).
+      def sig(w: Window): String =
+        w.partitionSpec.map(_.sql).mkString(",") + " ORDER " +
+          w.orderSpec.map(_.sql).mkString(",")
+      val bigBySig = bigWindows.groupBy(sig)
+      val smallBySig = smallWindows.groupBy(sig)
+      assert(smallBySig.keySet == bigBySig.keySet &&
+        smallBySig.forall { case (k, v) => bigBySig(k).size == v.size },
+        s"$name: window signature multisets differ across scale factors " +
+          s"— probe cannot pair\n  small: " +
+          smallBySig.view.mapValues(_.size).toMap + s"\n  big: " +
+          bigBySig.view.mapValues(_.size).toMap)
       probeIdx.foreach { i =>
-        val (dSmall, nSmall) = probeCounts(smallWindows(i))
-        val (dBig, nBig) = probeCounts(bigWindows(i))
+        val w = smallWindows(i)
+        val ordinal = smallWindows.take(i).count(sig(_) == sig(w))
+        val (dSmall, nSmall) = probeCounts(w)
+        val (dBig, nBig) = probeCounts(bigBySig(sig(w))(ordinal))
         // rows grew ≥2× but the key domain stayed essentially flat →
         // a label / fixed value domain partitioned in letter only.
         // (+4 absorbs noise on tiny domains; 1.5× tolerates slowly-
