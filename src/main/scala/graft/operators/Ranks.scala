@@ -64,8 +64,22 @@ object Ranks {
     * fault-tolerance contract in the object scaladoc. */
   private def freeze(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.ranks.checkpoint", "local")
-        == "reliable") df.checkpoint(false)
-    else df.localCheckpoint(false)
+        == "reliable") {
+      // Reliable checkpointing runs a SEPARATE job to write the
+      // checkpoint files after the first action; without a persist
+      // that job recomputes the whole lineage (range shuffle
+      // included), doubling the frozen frame's first-use cost.
+      // MEMORY_AND_DISK fills on the first action, the checkpoint
+      // writer reads the cached blocks, and once the lineage is
+      // truncated to the checkpoint files any evicted block re-reads
+      // from reliable storage — the cache is a first-use accelerator,
+      // never a correctness dependency. It stays registered until
+      // evicted (LRU) or the session ends; there is no post-write
+      // hook to unpersist on, which is the accepted cost of the
+      // opt-in durable mode.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(false)
+    } else df.localCheckpoint(false)
 
   /** Append an exact 1-based global dense position `out` (row_number
     * semantics) over the total order `ord`. One balanced range shuffle;
