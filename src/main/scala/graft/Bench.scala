@@ -29,6 +29,15 @@ import java.nio.charset.StandardCharsets
   * the same rep count, and no per-query selection decides who gets a
   * second chance.
   *
+  * Reps are PASS-INTERLEAVED, not back-to-back: the whole suite runs
+  * once, then again, and each query's min is taken across passes.
+  * Back-to-back reps are time-correlated — a multi-second host stall
+  * poisons BOTH consecutive reps of whichever query it lands on
+  * (observed r12: q100 read 23.4 s min-of-2-consecutive in one rested
+  * leg vs 1.85 s in the next), while a pass-interleaved min sees each
+  * stall window in at most one pass. Same rep count, same total work,
+  * strictly better decorrelation.
+  *
   * Fairness of the embedded pair ratio: the ratio is computed from the
   * uniform min-of-REPS readings ONLY — the asymmetric transient-stall
   * retry fence (`SPARK_GRAFT_RETRY_TOP`, now default 0 when REPS>=2)
@@ -122,12 +131,20 @@ object Bench {
       val good = ts.collect { case (t, true) => t }
       if (good.nonEmpty) (good.min, true) else (ts.map(_._1).min, false)
     }
-    val firstPass: Seq[(String, (Double, Boolean))] =
-      selected.map { case (name, fn) =>
-        val times = (1 to reps).map(_ => timeOnce(fn))
+    // Pass-interleaved reps (see class scaladoc): rep r of every query
+    // runs before rep r+1 of any query, so a host stall window can
+    // poison a query in at most one pass.
+    val passes: Seq[Seq[(Double, Boolean)]] = (1 to reps).map { _ =>
+      selected.map { case (_, fn) =>
+        val t = timeOnce(fn)
         ran += 1
         if (gcEvery > 0 && ran % gcEvery == 0) System.gc()
-        name -> bestOf(times)
+        t
+      }
+    }
+    val firstPass: Seq[(String, (Double, Boolean))] =
+      selected.zipWithIndex.map { case ((name, _), i) =>
+        name -> bestOf(passes.map(_(i)))
       }
     // Transient-stall fence: a single host stall can inflate one query
     // 6–12× (r10: q89 at 11.7 s in the official artifact vs 0.98–1.85 s
