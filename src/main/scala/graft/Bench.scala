@@ -29,18 +29,23 @@ import java.nio.charset.StandardCharsets
   * the same rep count, and no per-query selection decides who gets a
   * second chance.
   *
-  * Reps are PASS-INTERLEAVED, not back-to-back: the whole suite runs
-  * once, then again, and each query's min is taken across passes.
-  * Back-to-back reps are time-correlated — a multi-second host stall
-  * poisons BOTH consecutive reps of whichever query it lands on
-  * (observed r12: q100 read 23.4 s min-of-2-consecutive in one rested
-  * leg vs 1.85 s in the next), while a pass-interleaved min sees each
-  * stall window in at most one pass. Same rep count, same total work,
-  * strictly better decorrelation.
+  * Reps run BACK-TO-BACK per query, deliberately. Pass-interleaving
+  * (whole suite once, then again, min across passes) was tried in r12
+  * to decorrelate multi-second host stalls that can poison both
+  * consecutive reps of one query (q100 read 23.4 s min-of-2 in one
+  * rested leg vs 1.85 s in the adjacent leg) — and measured a uniform
+  * ~1.7× median inflation instead: with 481 queries between a query's
+  * reps, its codegen classes (cache: ~100 entries JVM-wide) and JIT
+  * state are gone by the second rep, so every rep pays warm-up again
+  * (+0.13 s median even on <0.3 s queries). Correlated stalls are the
+  * rarer failure and the RETRY_TOP fence below catches their survivors
+  * (a stall-poisoned min lands among the slowest, gets a post-suite
+  * rep minutes later); the warm-state tax would be paid by every query
+  * every run.
   *
   * Fairness of the embedded pair ratio: the ratio is computed from the
   * uniform min-of-REPS readings ONLY — the asymmetric transient-stall
-  * retry fence (`SPARK_GRAFT_RETRY_TOP`, now default 0 when REPS>=2)
+  * retry fence (`SPARK_GRAFT_RETRY_TOP`, default 8)
   * never feeds it, because retrying only the Spark leg's slowest
   * queries while the DuckDB leg keeps fixed readings would bias the
   * ratio downward. Retried improvements still reach the per-query
@@ -131,32 +136,24 @@ object Bench {
       val good = ts.collect { case (t, true) => t }
       if (good.nonEmpty) (good.min, true) else (ts.map(_._1).min, false)
     }
-    // Pass-interleaved reps (see class scaladoc): rep r of every query
-    // runs before rep r+1 of any query, so a host stall window can
-    // poison a query in at most one pass.
-    val passes: Seq[Seq[(Double, Boolean)]] = (1 to reps).map { _ =>
-      selected.map { case (_, fn) =>
-        val t = timeOnce(fn)
+    val firstPass: Seq[(String, (Double, Boolean))] =
+      selected.map { case (name, fn) =>
+        val times = (1 to reps).map(_ => timeOnce(fn))
         ran += 1
         if (gcEvery > 0 && ran % gcEvery == 0) System.gc()
-        t
-      }
-    }
-    val firstPass: Seq[(String, (Double, Boolean))] =
-      selected.zipWithIndex.map { case ((name, _), i) =>
-        name -> bestOf(passes.map(_(i)))
+        name -> bestOf(times)
       }
     // Transient-stall fence: a single host stall can inflate one query
     // 6–12× (r10: q89 at 11.7 s in the official artifact vs 0.98–1.85 s
-    // in clean same-day legs). After the full pass, the RETRY_TOP
-    // slowest queries get ONE extra rep (post-GC, so a deferred-GC
-    // pause can't masquerade as plan cost) and report the min. Default
-    // 0 when REPS>=2: uniform min-of-N is already the stall fence AND
-    // is symmetric with the DuckDB leg; the asymmetric top-K retry is
-    // a REPS=1 dev-loop aid only. When it does run, its improvements
-    // are disclosed ("retried") and NEVER feed the pair ratio below.
-    val retryTop = sys.env.getOrElse("SPARK_GRAFT_RETRY_TOP",
-      if (reps >= 2) "0" else "8").toInt
+    // in clean same-day legs; a long stall can even span BOTH
+    // back-to-back reps — r12's q100). After the full pass, the
+    // RETRY_TOP slowest queries get ONE extra rep (post-GC, so a
+    // deferred-GC pause can't masquerade as plan cost; minutes after
+    // the original reps, so a stall window that poisoned them has
+    // passed) and report the min. Its improvements are disclosed
+    // ("retried") and NEVER feed the pair ratio below — the ratio
+    // stays on the uniform, duck-leg-symmetric min-of-REPS basis.
+    val retryTop = sys.env.getOrElse("SPARK_GRAFT_RETRY_TOP", "8").toInt
     val retryNames = firstPass.sortBy(-_._2._1).take(math.max(retryTop, 0))
       .map(_._1).toSet
     if (retryNames.nonEmpty) System.gc()
