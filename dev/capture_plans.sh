@@ -13,6 +13,7 @@ python3 - "$TMP" "$SUFFIX" <<'EOF'
 import re, sys
 txt = open(sys.argv[1]).read()
 suffix = sys.argv[2]
+txt = re.sub(r"^\[info\] ?", "", txt, flags=re.M)
 parts = re.split(r"^===== (\S+) =====$", txt, flags=re.M)
 # parts: [prefix, name1, body1, name2, body2, ...]
 for name, body in zip(parts[1::2], parts[2::2]):

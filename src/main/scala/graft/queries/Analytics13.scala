@@ -92,7 +92,9 @@ object Analytics13 {
         // broadcast builds, whose differing projections defeat
         // ReuseExchange) — checkpoint so the lineitem scan + distinct
         // runs once; sizes is supplier-sized, so its joins broadcast
-        val sp = t(s, dir, "lineitem")
+        // loadParallel: the distinct's partial aggregate otherwise runs
+        // inside the single-task row-group scan (guide §2.5 input skew)
+        val sp = Tables.loadParallel(s, dir, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .distinct()
           .localCheckpoint(false)

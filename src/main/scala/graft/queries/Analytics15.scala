@@ -204,8 +204,10 @@ object Analytics15 {
         // each re-run the orders⋈lineitem distinct. The score vectors
         // are side-sized (suppliers / customers) — broadcast them so
         // the edge list never shuffles after the checkpoint
+        // loadParallel: the join + distinct otherwise run inside the
+        // single-task row-group scan (guide §2.5 input skew)
         val edges = t(s, dir, "orders")
-          .join(t(s, dir, "lineitem"),
+          .join(graft.sources.Tables.loadParallel(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct()
@@ -269,15 +271,25 @@ object Analytics15 {
           // (measured: plan construction alone 1.2s by round 4)
           val survivors = und.groupBy("x").agg(count(lit(1)).as("d"))
             .where(col("d") >= CoreK).select("x").persist()
-          val nNodes = survivors.count()
           val next = edges
             .join(broadcast(survivors.select(col("x").as("p1"))),
               Seq("p1"), "left_semi")
             .join(broadcast(survivors.select(col("x").as("p2"))),
               Seq("p2"), "left_semi")
-            .localCheckpoint(false) // lazy: the census count right
+            .localCheckpoint(false) // lazy: the census action right
           // below materializes it — eager + count was two jobs/round
-          val nEdges = next.count()
+          // r12 (VERDICT r11 #5): BOTH census scalars in ONE action —
+          // the node and edge counts ride one UNION of two scalar
+          // aggregates (no broadcast, two independent stages in one
+          // job), so a round costs one census job, not two; the
+          // survivors persist still fills inside that same job
+          val censusRows = next.agg(count(lit(1)).as("c"))
+            .select(lit(0L).as("i"), col("c"))
+            .unionByName(survivors.agg(count(lit(1)).as("c"))
+              .select(lit(1L).as("i"), col("c")))
+            .collect().sortBy(_.getLong(0))
+          val (nEdges, nNodes) =
+            (censusRows(0).getLong(1), censusRows(1).getLong(1))
           survivors.unpersist()
           edges = next
           (r, nNodes, nEdges)

@@ -40,6 +40,10 @@ object Analytics17 {
     // ---- as two sorts of the corpus --------------------------------
     Q("q191_spearman_rank",
       (s, dir) => {
+        // NOTE r12: loadParallel (and loadParallel + eager checkpoint)
+        // were tried here and measured +33..40% — the per-row
+        // distinct-token count is cheaper than any extra exchange at
+        // this corpus size. Plain scan kept.
         val docs = t(s, dir, "documents").select(
           col("source"), col("doc_id"), col("n_chars").as("x"),
           size(array_distinct(split(col("text"), " ")))

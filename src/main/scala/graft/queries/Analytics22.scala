@@ -85,7 +85,9 @@ object Analytics22 {
         // (mu/muM/adj/med/mad all re-read), and the window sorts below
         // are certified lattice-grain, not data-grain
         val monthly = graft.operators.Lattice.checkpointBounded(
-          t(s, dir, "orders")
+          // loadParallel: the month partial aggregate otherwise runs
+          // inside the single-task row-group scan (guide §2.5)
+          Tables.loadParallel(s, dir, "orders")
             .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
               month(col("o_orderdate")).as("moy"))
             .agg(sum(dec("o_totalprice")).cast("double").as("rev")),

@@ -43,6 +43,9 @@ object Analytics25 {
     // ---- then identical doubles in both engines and rank safely. ----
     Q("q225_tfidf_doc_sim",
       (s, dir) => {
+        // NOTE r12: loadParallel was tried here and measured +76% — the
+        // 500-doc slice is too small for the extra exchange to pay.
+        // Plain scan kept.
         val d = t(s, dir, "documents").filter(col("doc_id") < 500)
         val tf = d.select(col("doc_id"),
             explode(split(col("text"), " ")).as("term"))

@@ -155,6 +155,10 @@ object Analytics33 {
     // ---- size. -----------------------------------------------------
     Q("q272_nb_langid",
       (s, dir) => {
+        // NOTE r12: loadParallel (and loadParallel + eager checkpoint)
+        // were tried here and measured +55..68% — the inline
+        // single-task explodes are cheaper than any extra exchange at
+        // this corpus size. Plain scan kept.
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("w"))

@@ -166,6 +166,10 @@ object Analytics34 {
     // ---- order. ----------------------------------------------------
     Q("q278_burrows_delta",
       (s, dir) => {
+        // NOTE r12: loadParallel (and loadParallel + eager checkpoint)
+        // were tried here and measured +60% — the three inline
+        // single-task explodes are cheaper than any extra exchange at
+        // this corpus size. Plain scan kept.
         val toks = t(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) > 0)

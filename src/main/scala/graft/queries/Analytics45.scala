@@ -317,6 +317,10 @@ object Analytics45 {
     // ---- pair terms keep the iterates engine-identical. -------------
     Q("q334_bradley_terry",
       (s, dir) => {
+        // NOTE r12: loadParallel was tried here and measured +35% — the
+        // (ym, seg) aggregate collapses 150k rows to a ≤420-row lattice,
+        // so the round-robin exchange costs more than the single-task
+        // probe it parallelizes. Kept on the plain scan deliberately.
         val seg = t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment").as("seg"))),

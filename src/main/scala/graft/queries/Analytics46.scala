@@ -365,7 +365,9 @@ object Analytics46 {
     // ---- degree-based partner of q264's TextRank. -------------------
     Q("q340_rake_keywords",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        // loadParallel: the explode otherwise runs inside the
+        // single-task row-group scan (guide §2.5 input skew)
+        val toks = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .toDF("doc_id", "p", "w")
           .where(length(col("w")) > 0)

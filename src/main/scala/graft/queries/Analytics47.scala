@@ -171,7 +171,9 @@ object Analytics47 {
         // rank + running positives in ONE distributed prefix-sum pass
         // (orders-grain: no single-task sort)
         val ranked = graft.operators.Ranks.withPrefixSums(
-            t(s, dir, "orders")
+            // loadParallel: the range-shuffle sampling + write otherwise
+            // run inside the single-task row-group scan (guide §2.5)
+            Tables.loadParallel(s, dir, "orders")
               .select(round(col("o_totalprice") * 100).cast("long")
                   .as("cents"),
                 col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -227,17 +229,22 @@ object Analytics47 {
     // ---- q116's token drift. ----------------------------------------
     Q("q344_psi_drift",
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        // loadParallel: the filter + rank shuffle write otherwise run
+        // inside the single-task row-group scan (guide §2.5 input skew)
+        val o = Tables.loadParallel(s, dir, "orders")
           .select(year(col("o_orderdate")).as("yr"),
             round(col("o_totalprice") * 100).cast("long").as("cents"),
             col("o_orderkey").as("key"))
-        val base = o.where(col("yr") === 1995).localCheckpoint(true)
-        val nb = base.agg(count(lit(1)).as("nb"))
+        val base = o.where(col("yr") === 1995)
         val ks = base.sparkSession.range(1, 10).toDF("k")
-        // baseline decile bounds via distributed rank (orders-grain)
+        // baseline decile bounds via distributed rank (orders-grain).
+        // r12: the rank pass's group total IS the baseline count, so
+        // the separate nb aggregation job + crossJoin fold into the
+        // same prefix-sum pass (the q160 pattern; guide §2.4) — and
+        // with base referenced only once the eager checkpoint goes too.
         val bnds = graft.operators.Ranks
-          .withGlobalRank(base, Seq(asc("cents"), asc("key")), "rn")
-          .crossJoin(broadcast(nb))
+          .withPrefixSums(base, Seq.empty,
+            Seq(asc("cents"), asc("key")), Seq((lit(1L), "rn", "nb")))
           .join(broadcast(ks), col("rn") === expr("(k * nb) div 10"))
           .select(col("k"), col("cents").as("bound"))
         val bucketed = o.where(col("yr").isin(1995, 1996))

@@ -112,7 +112,10 @@ object Analytics48 {
     // ---- sweep prices the decontamination threshold choice. ---------
     Q("q347_contamination_sweep",
       (s, dir) => {
-        val arrs = t(s, dir, "documents")
+        // loadParallel: the checkpoint otherwise inherits the SINGLE
+        // partition of the row-group scan, making every branch's
+        // explode + md5 single-task (guide §2.5 input skew)
+        val arrs = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("arr"))
           .localCheckpoint(true)
@@ -189,7 +192,9 @@ object Analytics48 {
         // checkpoint certifies the greedy-allocation window below as
         // lattice-grain, not doc-grain
         val perSource = graft.operators.Lattice.checkpointBounded(
-          t(s, dir, "documents")
+          // loadParallel: the explode + countDistinct partial otherwise
+          // run inside the single-task row-group scan (guide §2.5)
+          Tables.loadParallel(s, dir, "documents")
           .select(col("source"),
             explode(filter(split(col("text"), " "), w => length(w) > 0))
               .as("w"))

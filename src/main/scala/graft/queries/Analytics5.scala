@@ -487,7 +487,15 @@ object Analytics5 {
     Q("q135_weighted_median",
       (s, dir) => {
         import s.implicits._
+        // repartition + cache (the q333 pattern): the refinement rounds
+        // each re-scan the projection, and the single-row-group scan
+        // would run every round single-task (guide §2.5 input skew)
         val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        try {
         // domain hint: extendedprice is 2-dp money < $1.34M, so the
         // cent grid sits inside [0, 2^27) — the hint fuses the stats
         // job into round 1 (2 scan-aggs total) and is efficiency-only
@@ -500,6 +508,7 @@ object Analytics5 {
           .map { case (key, _, carry, _) =>
             (key.head.asInstanceOf[String], carry.asInstanceOf[Double]) }
           .toDF("flag", "wmedian").orderBy("flag")
+        } finally li.unpersist()
       },
       Some("""WITH f AS (
              |  SELECT l_returnflag AS flag, l_extendedprice, l_orderkey,

@@ -238,6 +238,9 @@ object Analytics51 {
     // ---- before the cross-group sum. ------------------------------
     Q("q363_brown_forsythe",
       (s, dir) => {
+        // NOTE r12: loadParallel was tried here and measured +3% (base
+        // is referenced twice, so the round-robin exchange is paid
+        // twice). Plain scan kept.
         val base = t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment").as("seg"))),

@@ -222,6 +222,10 @@ object Analytics62 {
     // ---- round-9 grid. ---------------------------------------------
     Q("q418_juilland_dispersion",
       (s, dir) => {
+        // NOTE r12: loadParallel (and loadParallel + eager checkpoint)
+        // were tried here and measured +23..51% — the inline
+        // single-task explodes are cheaper than any extra exchange at
+        // this corpus size. Plain scan kept.
         val occ = t(s, dir, "documents")
           .select(col("source"),
             explode(split(col("text"), " ")).as("w"))

@@ -69,18 +69,23 @@ object Analytics64 {
     // ---- yield — the dry-up curve an admission gate watches. --------
     Q("q427_shingle_saturation",
       (s, dir) => {
-        val words = t(s, dir, "documents")
+        // r12: the triple positional self-join shuffled the exploded
+        // token stream three times (and re-ran the explode per branch);
+        // posexplode emits DENSE 0-based positions, so pos+1/pos+2 are
+        // exactly lead(1)/lead(2) over the per-doc position order — ONE
+        // exchange (hash by doc_id, a key-grain window) replaces three
+        // (guide §2.4). loadParallel parallelizes the explode itself
+        // out of the single-task row-group scan (§2.5).
+        val words = Tables.loadParallel(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .toDF("doc_id", "pos", "w")
-        val sh = words.as("a")
-          .join(words.as("b"),
-            col("a.doc_id") === col("b.doc_id")
-              && col("b.pos") === col("a.pos") + 1)
-          .join(words.as("c"),
-            col("a.doc_id") === col("c.doc_id")
-              && col("c.pos") === col("a.pos") + 2)
-          .select(col("a.doc_id").as("doc_id"),
-            concat_ws(" ", col("a.w"), col("b.w"), col("c.w"))
+        val wd = Window.partitionBy("doc_id").orderBy("pos")
+        val sh = words
+          .withColumn("w2", lead(col("w"), 1).over(wd))
+          .withColumn("w3", lead(col("w"), 2).over(wd))
+          .where(col("w3").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"), col("w2"), col("w3"))
               .as("sh"))
         val firsts = sh.groupBy("sh").agg(min(col("doc_id")).as("fd"))
         // arrival quartiles via distributed rank (doc-grain)

@@ -286,7 +286,9 @@ object Analytics71 {
         // ONE lineitem scan: the monthly (pk, mon) aggregate carries
         // BOTH measures (quantity for the CV, rounded revenue cents
         // for ABC); per-part revenue is its re-aggregation.
-        val monthly = t(s, dir, "lineitem")
+        // loadParallel: the (pk, mon) partial aggregate otherwise runs
+        // inside the single-task row-group scan (guide §2.5 input skew)
+        val monthly = Tables.loadParallel(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("pk"),
             date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
           .agg(sum(col("l_quantity").cast("long")).as("q"),

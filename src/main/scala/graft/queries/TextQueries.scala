@@ -920,7 +920,10 @@ object TextQueries {
     // ---- decimals in BOTH engines — ln is the one non-exactly-rounded
     // ---- op, so ranking and output go through the rounded value) -----
     Q("q73_tfidf_topterms",
-      (s, dir) => Relevance.topTerms(t(s, dir, "documents"), k = 3)
+      // loadParallel: topTerms' tokenize + tf partial agg otherwise run
+      // inside the single-task row-group scan (guide §2.5)
+      (s, dir) => Relevance.topTerms(
+          Tables.loadParallel(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "term"),
       Some("""WITH tf AS (
              |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

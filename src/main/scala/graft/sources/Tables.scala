@@ -53,19 +53,35 @@ object Tables {
     }
   }
 
-  /** Load + spread across the session's default parallelism.
+  /** Load + spread across the session's default parallelism — but only
+    * when the scan is actually narrower than the session's cores.
     *
     * The harness writes each table as ONE parquet row group, and a row
     * group is Spark's minimum split unit — so every scan is a single
-    * task no matter what `maxPartitionBytes` says. For scan-bound
-    * queries that is fine (the files are small); for compute-heavy
-    * chains (JSON roundtrips, MinHash, cosine scoring) the explicit
-    * repartition buys full-core parallelism for the price of one tiny
-    * shuffle. On a production cluster the input is already thousands of
-    * splits and this call is a no-op choice. */
+    * task no matter what `maxPartitionBytes` says (the "one huge
+    * unsplittable file" input-skew case, optimization guide §2.5:
+    * repartition immediately after the read). For scan-bound queries
+    * that is fine (the files are small); for compute-heavy chains
+    * (JSON roundtrips, MinHash, cosine scoring, wide aggregations) the
+    * explicit repartition buys full-core parallelism for the price of
+    * one tiny shuffle.
+    *
+    * SCALE-ADAPTIVE (r12): the repartition is now conditional on the
+    * scan's actual partition count. On a production cluster the input
+    * is already thousands of splits, and the old unconditional
+    * `repartition(defaultParallelism)` would have been a full extra
+    * shuffle of the table that also CAPPED map parallelism at the core
+    * count; now it is a true no-op there — the guard keeps the fix
+    * strictly a small-input affordance. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Integer]()
+
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    df.repartition(spark.sparkContext.defaultParallelism)
+    val cores = spark.sparkContext.defaultParallelism
+    val parts: Int = scanParts.computeIfAbsent((spark, dir, name),
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (parts < cores) df.repartition(cores) else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */
