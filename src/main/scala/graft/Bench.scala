@@ -92,6 +92,10 @@ object Bench {
       // round-robin repartition pre-sorts rows for retry determinism;
       // one JVM has no fetch failures, so skip the sort.
       .config("spark.sql.execution.sortBeforeRepartition", "false")
+      // guide §9 / §3.1: allow shuffled-hash join where its size
+      // conditions hold instead of always sort-merge (A/B knob)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       // NOTE measured, not assumed: raising autoBroadcastJoinThreshold
       // to 64MB made q03/q04 ~1.5× SLOWER here — the single-threaded
       // broadcast build of a ~150k-row side loses to a 32-way shuffle

@@ -51,6 +51,9 @@ object GraphRank {
     // `broadcastRanks` is the small-graph switch — with it (and a
     // broadcastable `deg`) the edge list never shuffles; at
     // billion-node scale leave it off.
+    // EAGER on purpose (r12 re-measured): lazy truncates the plan just
+    // as well, but concurrent consumer stages then race to compute the
+    // unmaterialized RDD before its cache fills (q122 +184% lazy).
     def flat(df: DataFrame, i: Int): DataFrame =
       if (i % 3 == 0) df.localCheckpoint(true) else df
     var rank = deg.select(col("src").as("node"), lit(Unit6).as("r"))
@@ -122,7 +125,10 @@ object GraphRank {
         .distinct()
         .join(visited, Seq("seed", "node"), "left_anti")
         .localCheckpoint(true) // truncate lineage: Catalyst analysis
-        // cost over the growing hop chain otherwise dominates the run
+        // cost over the growing hop chain otherwise dominates the run.
+        // EAGER on purpose (r12 re-measured): lazy lets the expansion
+        // join and the later anti-joins race to compute the hop RDD
+        // before its cache fills (q127 +67% lazy).
       visited = visited.unionByName(nxt)
       frontier = nxt
     }

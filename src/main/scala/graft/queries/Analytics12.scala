@@ -176,6 +176,8 @@ object Analytics12 {
         // a Ranks prefix-sum (rk = cum − ties + 1), keep the ≤ 3
         // winning prices (≤ 9 rows), and broadcast-join back for the
         // tied order rows.
+        // NOTE r12: loadParallel was tried here and measured +4% — no
+        // win over the single-task census at this input size.
         val census = t(s, dir, "orders")
           .groupBy(col("o_orderstatus"), col("o_totalprice"))
           .agg(count(lit(1)).as("tc"))

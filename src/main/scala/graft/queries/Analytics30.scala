@@ -268,6 +268,8 @@ object Analytics30 {
     // ---- table); revenue narrows to DECIMAL(18,2) pre-cast. ----------
     Q("q260_abc_classification",
       (s, dir) => {
+        // NOTE r12: loadParallel was tried here and measured +7% — no
+        // win over the single-task partial aggregate at this size.
         val perPart = t(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(dec("l_extendedprice")).as("rev"))

@@ -26,6 +26,9 @@ object Analytics57 {
     Tables.load(s, dir, n)
 
   private def comps(s: SparkSession, dir: String): DataFrame =
+    // NOTE r12: loadParallel was tried here and measured neutral (−1%
+    // on q393) — the 64-component posexplode is too cheap to gain from
+    // an extra exchange. Plain scan kept.
     t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "i", "x")

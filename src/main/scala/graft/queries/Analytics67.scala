@@ -26,6 +26,10 @@ object Analytics67 {
 
   /** (cnat, snat, cents): customer-nation × supplier-nation flows. */
   private def flows(s: SparkSession, dir: String): DataFrame =
+    // NOTE r12: loadParallel was tried here and measured +29..50% —
+    // the (cnat, snat) aggregate collapses to a ≤625-row lattice, so
+    // the round-robin exchange costs more than the single-task probe
+    // it parallelizes. Plain scan kept.
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders").select(col("o_orderkey"),
         col("o_custkey")), col("l_orderkey") === col("o_orderkey"))

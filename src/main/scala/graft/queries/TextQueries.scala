@@ -504,7 +504,9 @@ object TextQueries {
     // ---- (recall spec in SimilaritySpec) -----------------------------
     Q("q42_embed_lsh_topk",
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        // loadParallel: the 32-cosine bucket projection under the
+        // explode otherwise runs inside the single-task row-group scan
+        val emb = Tables.loadParallel(s, dir, "embeddings")
         graft.sim.DataQuantizers.lshTopK(emb, emb.filter(col("vec_id") < 8),
             k = 5, bits = 4, tables = 8, planeOffset = 100, cacheKey = dir)
           .orderBy("query_id", "rank")

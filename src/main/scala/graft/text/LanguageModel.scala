@@ -233,7 +233,13 @@ object LanguageModel {
         col("tg.w").as("w"))
       .groupBy(col(idCol), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("n_occ"))
-    docTerms.join(types, Seq("u", "v", "w"))
+    // SHUFFLE_HASH on the type table: post-aggregation size estimates
+    // otherwise let the planner BROADCAST the (doc, trigram)-grain
+    // side (observed: BuildLeft over docTerms) — a doc-grain build
+    // side is a single-threaded multi-MB broadcast here and a scale
+    // bug at 100 TB. The type table is the smaller, corpus-type-grain
+    // side; hashing it per partition keeps both sides distributed.
+    docTerms.join(types.hint("SHUFFLE_HASH"), Seq("u", "v", "w"))
       .groupBy(col(idCol))
       .agg(sum(col("n_occ")).as("n_trigrams"),
         round(-sum(col("n_occ") * col("lp")) / sum(col("n_occ")), scale)

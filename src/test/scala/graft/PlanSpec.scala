@@ -50,13 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
     // the dedup exchange carries only (query_id, neighbor_id, cosine):
-    // no embedding array reaches a shuffle exchange (FormattedMode
-    // lists each node's input columns on its own Input line)
-    val exchangeInputs = raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchangeInputs.nonEmpty, p.take(800))
-    assert(!exchangeInputs.exists(_.contains("_vec")),
-      s"wide rows crossed the exchange: ${exchangeInputs.mkString("; ").take(400)}")
+    // no embedding array reaches a KEYED shuffle exchange (FormattedMode
+    // lists each node's input columns and partitioning on their own
+    // lines). The guarded round-robin input spread (loadParallel, r12)
+    // is exempt: it exists only when the scan is narrower than the
+    // cores, i.e. never at scale.
+    val exchangeNodes =
+      raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: (\w+)".r
+        .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(exchangeNodes.nonEmpty, p.take(800))
+    val keyed = exchangeNodes.filterNot(_._2.startsWith("RoundRobin"))
+    assert(!keyed.exists(_._1.contains("_vec")),
+      s"wide rows crossed a keyed exchange: ${keyed.mkString("; ").take(400)}")
   }
 
   test("q96: admission probe broadcasts the batch; corpus never self-joins") {
@@ -645,5 +650,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
       "offsets and neighbor lookups must meet on broadcast equi-joins:\n" +
         p.take(800))
+  }
+
+  test("q89: the trigram-type probe never broadcasts the doc-grain side") {
+    // r12: post-aggregation size estimates let the planner broadcast the
+    // (doc, trigram)-grain aggregate (BuildLeft) — a multi-MB
+    // single-threaded build locally and a scale bug at 100 TB. The probe
+    // must be a shuffled hash join with the type table as build side.
+    val p = SparkEntry.queries("q89_lm_trigram")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("ShuffledHashJoin"),
+      "type probe must be a shuffled hash join:\n" + p.take(1200))
+    assert(!p.contains("BroadcastHashJoin Inner BuildLeft"),
+      "the doc-grain aggregate must never be a broadcast build side:\n" +
+        p.take(1200))
+  }
+
+  test("q427: shingles come from ONE exploded token stream, not a " +
+      "positional self-join") {
+    // r12: lead(1)/lead(2) over the per-doc position order replaces the
+    // triple self-join that shuffled the exploded stream three times.
+    val p = SparkEntry.queries("q427_shingle_saturation")(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    assert(raw"Generate posexplode".r.findAllIn(p).size == 1,
+      "exactly one token explode (self-join branches re-ran it):\n" +
+        p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "no positional self-join of the token stream:\n" + p.take(1200))
   }
 }
